@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's Source/Table query API re-expressed as composable,
+  * lazy Spark transforms.
+  *
+  * Reference: openpolicedata/data.py:827 `Source` — `load` (:1165) with
+  * `date` = year | year-range | date-range and case-insensitive agency
+  * substring matching (:1372), `get_count` (:1056), `get_years` (:885),
+  * `get_agencies` (:963), `load_iter` (:1102); plus
+  * data_loaders/combine_dataset.py `CombinedDataset` (schema-aligned
+  * union of several datasets).
+  *
+  * Scale notes: every function returns an unevaluated DataFrame, so date
+  * and agency predicates reach the parquet scan as PushedFilters and
+  * column selection prunes the read schema. Paging is ORDER BY a unique
+  * key + offset/limit (Spark's GlobalLimit/Offset), the declarative
+  * analogue of the reference's limit/offset record batching
+  * (data_loader.py:381 `_setup_records_request`).
+  */
+object Sources {
+
+  /** Date selector mirroring data.py `load(date=...)` accepted shapes. */
+  sealed trait DateSel
+  final case class Year(y: Int) extends DateSel
+  final case class YearRange(y0: Int, y1: Int) extends DateSel
+  /** Half-open [start, end) timestamp range, `yyyy-MM-dd...` literals. */
+  final case class DateRange(start: String, end: String) extends DateSel
+
+  def dateFilter(field: Column, sel: DateSel): Column = sel match {
+    case Year(y)          => year(field) === y
+    case YearRange(a, b)  => year(field) >= a && year(field) <= b
+    case DateRange(s, e)  => field >= to_timestamp(lit(s)) && field < to_timestamp(lit(e))
+  }
+
+  /** Case-insensitive substring agency match (data.py:1372). */
+  def agencyFilter(field: Column, agency: String): Column =
+    lower(field).contains(agency.toLowerCase)
+
+  /** `Source.load`: date filter + agency filter + column selection. */
+  def load(df: DataFrame,
+           date: Option[(String, DateSel)] = None,
+           agency: Option[(String, String)] = None,
+           select: Seq[String] = Nil): DataFrame = {
+    val d = date.map { case (f, sel) => df.filter(dateFilter(col(f), sel)) }.getOrElse(df)
+    val a = agency.map { case (f, v) => d.filter(agencyFilter(col(f), v)) }.getOrElse(d)
+    if (select.nonEmpty) a.select(select.map(col): _*) else a
+  }
+
+  /** Deterministic paging over a unique sort key (data_loader.py:321
+    * `load(nrows, offset)`). At scale prefer keyset pagination
+    * (`WHERE key > lastSeen LIMIT n`) — see `pageAfter`. */
+  def page(df: DataFrame, sortKey: String, offset: Int, nrows: Int): DataFrame =
+    df.orderBy(col(sortKey)).offset(offset).limit(nrows)
+
+  /** Keyset pagination: O(page) instead of O(offset + page) — the form
+    * that survives 100 TB (no global skip). */
+  def pageAfter(df: DataFrame, sortKey: String, lastSeen: Long, nrows: Int): DataFrame =
+    df.filter(col(sortKey) > lastSeen).orderBy(col(sortKey)).limit(nrows)
+
+  /** `load_iter` (data.py:1102): chunked iteration as a lazy iterator of
+    * keyset pages. Each chunk is an independent pruned scan. */
+  def loadIter(df: DataFrame, sortKey: String, chunk: Int): Iterator[DataFrame] = {
+    val keys = df.select(min(col(sortKey)).cast("long"), max(col(sortKey)).cast("long")).head()
+    if (keys.isNullAt(0)) Iterator.empty
+    else {
+      val (lo, hi) = (keys.getLong(0), keys.getLong(1))
+      Iterator.iterate(lo)(_ + chunk).takeWhile(_ <= hi).map { start =>
+        df.filter(col(sortKey) >= start && col(sortKey) < start + chunk)
+      }
+    }
+  }
+
+  /** `get_count` (data.py:1056). */
+  def count(df: DataFrame, date: Option[(String, DateSel)] = None): Long =
+    date.map { case (f, sel) => df.filter(dateFilter(col(f), sel)) }.getOrElse(df).count()
+
+  /** Distinct years of the date field, sorted (data.py:885 get_years). */
+  def getYears(df: DataFrame, dateField: String): DataFrame =
+    df.select(year(col(dateField)).cast("long").as("yr")).distinct().orderBy("yr")
+
+  /** Distinct agency values, sorted (data.py:963 get_agencies). */
+  def getAgencies(df: DataFrame, agencyField: String): DataFrame =
+    df.select(col(agencyField).as("agency")).distinct().orderBy("agency")
+
+  /** `CombinedDataset` (combine_dataset.py): union datasets with
+    * schema alignment — missing columns become nulls. */
+  def combine(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}
