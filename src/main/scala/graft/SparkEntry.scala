@@ -1,13 +1,627 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Sources, Tables}
+import graft.sources.Sources.{DateRange, Year}
+import graft.ops.{AgeRange, Dates, Expand, Luts, Standardize}
+import graft.catalog.Catalog
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextStats
+import graft.multimodal.Binary
+import graft.streaming.Streams
+import graft.analytics.Analytics
+
+/** Driver contract: every SURVEY.md §2 operator registered as a query,
+  * with equivalent DuckDB SQL for the correctness oracle (omitted only
+  * for the rows-only ops: minhash/simhash/LSH/IVF/mm_features).
+  *
+  * Oracle discipline (SURVEY §6): aliases identical on both sides,
+  * counts BIGINT, money sums decimal-exact then round(…,2), timestamps
+  * never emitted raw at nanosecond precision (µs epoch or DATE), every
+  * query deterministic via explicit ORDER BY + unique tiebreaks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** VALUES clause for an (id, raw) test-vector table; null-safe. */
+  private def valuesSql(raws: Seq[String]): String =
+    raws.zipWithIndex.map { case (v, i) =>
+      s"(${i + 1}, ${if (v == null) "NULL" else sqlLit(v)})"
+    }.mkString(", ")
+
+  private def rawsDf(s: SparkSession, raws: Seq[String]): DataFrame = {
+    import s.implicits._
+    raws.zipWithIndex.map { case (v, i) => (i + 1, Option(v)) }.toDF("id", "raw")
+  }
+
+  // ---- standardization test vectors (exercise each vocabulary rule) ----
+
+  private val raceRaws: Seq[String] = Seq(
+    "WHITE", "White", "W", "CAUCASIAN", "WHTE", "WN", "wht", " white ",
+    "B", "BLACK", "African American", "BLK", "BLCK", "AFR AM",
+    "SOUTH ASIAN", "EAST INDIAN", "ASIAN INDIAN",
+    "ME", "ARABIC", "MIDDLE EASTERN",
+    "A", "ASIAN", "ORIENTAL", "ASN", "ASIAN/PACIFIC ISLANDER",
+    "ASIAN PACIFIC", "HAWAIIAN", "PACIFIC ISLANDER", "NHPI", "PI",
+    "NATIVE HAWAIIAN OR OTHER PACIFIC ISLANDER",
+    "H", "HISPANIC", "LATINO", "HISP", "HISPANIC/LATINO",
+    "I", "INDIAN", "ALASKAN NATIVE", "AMERICAN INDIAN", "NAT AM",
+    "AMERICAN INDIAN/ALASKAN NATIVE", "NATIVE AMERICAN",
+    "MIXED", "BIRACIAL", "TWO OR MORE", "MULTI-RACIAL", "2 OR MORE",
+    "U", "UK", "UNKNOWN", "UNK", "OTH/UNK",
+    "O", "OTHER", "OTH", "OTHER RACE",
+    "MISSING", "NOT SPECIFIED", "N/A", "NONE", "", "   ", null, "ZEBRA")
+
+  private val genderRaws: Seq[String] = Seq(
+    "M", "MALE", "Male", "MAN", "MLE", "MALE/MAN", "MAN/BOY",
+    "F", "FEMALE", "female", "WOMAN", "FEMAL", "FEMALE/WOMAN", "WOMAN/GIRL",
+    "OTHER", "O", "TRANSGENDER", "TRANSGENDERED", "NONBINARY", "NON-BINARY",
+    "GENDER NON-CONFORMING", "GENDER DIVERSE", "TRANSGENDER MALE",
+    "TRANSGENDER MAN", "TRANSGENDER WOMAN", "TRANSGENDER FEMALE",
+    "U", "UNKNOWN", "UNK", "MISSING", "NOT SPECIFIED", "NO DATA", "NONE",
+    "", null, "X123")
+
+  private val injuryRaws: Seq[String] = Seq(
+    null, "", "0", "1", "Yes", "No", "FATAL", "Killed", "Non-Fatal",
+    "NO INJURY", "NONE", "NOT INJURED", "COMPLAINT OF PAIN", "LACERATION",
+    "GUNSHOT WOUND", "SUICIDE", "SELF INFLICTED FATAL", "STUN GUN",
+    "3 - LACERATION", "OFFICER INJURED", "SUBJECT KILLED", "UNKNOWN",
+    "NOT AVAILABLE", "OTHER", "BROKEN BONE", "TREATED AND RELEASED",
+    "Unspecified", "DECEASED", "NO COMPLAINT OF INJURY", "MINOR BLEEDING")
+
+  private val ageRaws: Seq[String] = Seq(
+    "25 - 34", "18-24", "OVER 65", ">40", "65+", "18 PLUS", "60 AND OLDER",
+    "UNDER 21", "<18", "BELOW 25", "17 AND YOUNGER", "20S", "30s",
+    "B - 18-29", "25", "7", "45", "117", "", "MISSING", "UNKNOWN", null,
+    "ADULT")
+
+  private val raceEthRaws: Seq[(String, String)] = Seq(
+    ("WHITE", "HISPANIC"), ("WHITE", "NON-HISPANIC"), ("BLACK", "HISPANIC OR LATINO"),
+    ("BLACK", null), ("ASIAN", "NOT HISPANIC"), (null, "HISPANIC"),
+    ("B", "H"), ("CAUCASIAN", "UNKNOWN"), ("UNKNOWN", "LATINO"), (null, null))
+
+  /** Eth values that force the combined category to Latino —
+    * preproc.py:1533 combine_race_ethnicity. */
+  private val latinoEth = Seq("HISPANIC", "LATINO", "HISPANIC/LATINO",
+    "HISPANIC OR LATINO", "H", "L")
+
+  // ---- flagship ---------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q3(spark, "/root/testdata/sf0.001")
+
+  // ---- the full SURVEY §2 inventory ------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Core query API
+    "q_load_year" -> ((s, dir) =>
+      Sources.load(T(s, dir, "orders"), date = Some(("o_orderdate", Year(1997))))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+    "q_load_date_range" -> ((s, dir) =>
+      Sources.load(T(s, dir, "events"),
+          date = Some(("ts", DateRange("2024-01-10", "2024-01-20"))))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+    "q_load_agency" -> ((s, dir) =>
+      Sources.load(T(s, dir, "events"), agency = Some(("event_type", "CLI")))
+        .select("event_id", "event_type", "value").orderBy("event_id")),
+    "q_load_select" -> ((s, dir) =>
+      Sources.load(T(s, dir, "lineitem"),
+          select = Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_load_page" -> ((s, dir) =>
+      Sources.pageAfter(T(s, dir, "events"), "event_id", 1000L, 50)
+        .select("event_id", "event_type")),
+    "q_count" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .filter(Sources.dateFilter(col("o_orderdate"), Year(1996)))
+        .agg(count(lit(1)).as("cnt"))),
+    "q_get_years" -> ((s, dir) => Sources.getYears(T(s, dir, "orders"), "o_orderdate")),
+    "q_get_agencies" -> ((s, dir) => Sources.getAgencies(T(s, dir, "events"), "event_type")),
+    "q_combine" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      Sources.combine(Seq(
+          e.filter(col("event_type") === "click").select("event_id", "event_type", "value"),
+          e.filter(col("event_type") === "purchase").select("event_id", "event_type", "props")))
+        .orderBy("event_id")
+    }),
+    "q_related_tables" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          Sources.dateFilter(col("o_orderdate"), Year(1996)))
+      T(s, dir, "lineitem").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("l_quantity"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // Catalog
+    "q_catalog_query" -> ((s, dir) =>
+      Catalog.query(Catalog.catalog(s, dir),
+          state = Some("NATION_3"), tableType = Some("BUILDING"))
+        .orderBy("source_id")),
+    "q_summary_by_state" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      Catalog.summaryByState(Catalog.catalog(s, dir), segs)
+        .select(col("state") +: segs.map(v => col(v).as(v.toLowerCase)): _*)
+        .orderBy("state")
+    }),
+    "q_summary_by_type" -> ((s, dir) =>
+      Catalog.summaryByType(Catalog.catalog(s, dir)).orderBy("table_type", "year")),
+    "q_num_sources" -> ((s, dir) =>
+      Catalog.numSources(Catalog.catalog(s, dir)).orderBy("state")),
+    "q_table_types" -> ((s, dir) =>
+      Catalog.tableTypes(Catalog.catalog(s, dir), contains = Some("ur"))
+        .orderBy("table_type")),
+
+    // Standardization
+    "q_std_race" -> ((s, dir) =>
+      rawsDf(s, raceRaws)
+        .select(col("id"), col("raw"), Luts.raceStd(col("raw")).as("race_std"))
+        .orderBy("id")),
+    "q_std_gender" -> ((s, dir) =>
+      rawsDf(s, genderRaws)
+        .select(col("id"), col("raw"), Luts.genderStd(col("raw")).as("gender_std"))
+        .orderBy("id")),
+    "q_std_age_range" -> ((s, dir) =>
+      rawsDf(s, ageRaws)
+        .select(col("id"), col("raw"), AgeRange.ageRangeStd(col("raw")).as("age_range_std"))
+        .orderBy("id")),
+    "q_std_injury" -> ((s, dir) =>
+      rawsDf(s, injuryRaws)
+        .select(col("id"), col("raw"), Luts.injuryStd(col("raw")).as("injury_std"))
+        .orderBy("id")),
+    "q_combine_race_eth" -> ((s, dir) => {
+      import s.implicits._
+      val df = raceEthRaws.zipWithIndex
+        .map { case ((r, e), i) => (i + 1, Option(r), Option(e)) }
+        .toDF("id", "race", "eth")
+      val ethNorm = upper(trim(col("eth")))
+      df.select(col("id"), col("race"), col("eth"),
+          Standardize.precedenceCombineIn(
+            Luts.raceStd(col("race")), ethNorm, latinoEth, "HISPANIC/LATINO")
+            .as("race_eth"))
+        .orderBy("id")
+    }),
+    "q_parse_dates" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val raw = when(pmod(col("o_orderkey"), lit(3)) === 0,
+          date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          date_format(col("o_orderdate"), "yyyyMMdd"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      o.select(col("o_orderkey"), raw.as("raw"),
+          Dates.parseDateMulti(raw, Seq("MM/dd/yyyy", "yyyyMMdd", "yyyy-MM-dd")).as("parsed"))
+        .orderBy("o_orderkey")
+    }),
+    "q_merge_date_time" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val d = date_format(col("ts"), "yyyy-MM-dd")
+      val t = when(pmod(col("user_id"), lit(10)) === 0, lit(null).cast("string"))
+        .otherwise(date_format(col("ts"), "HH:mm:ss"))
+      e.select(col("event_id"), Dates.mergeDateTime(d, t).as("merged"))
+        .orderBy("event_id")
+    }),
+    "q_expand_demo" -> ((s, dir) =>
+      Expand.expandDelimPos(
+          T(s, dir, "documents").filter(col("doc_id") < 100).select("doc_id", "text"),
+          "text", " ", "word", "pos")
+        .orderBy("doc_id", "pos")),
+    "q_std_rename" -> ((s, dir) =>
+      T(s, dir, "events").select(
+          col("event_id").as("incident_id"),
+          col("ts").cast("date").as("incident_date"),
+          col("event_type").as("agency"),
+          col("value"))
+        .orderBy("incident_id")),
+
+    // Dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprint(T(s, dir, "documents"), "doc_id", "text").orderBy("fingerprint")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 5, numPerms = 128, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          blockCol = "source", n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // Similarity search
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text analysis
+    "q_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q_quality_score" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_token_count" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.wsTokens(col("text")).as("ws_tokens"),
+          TextStats.bpeTokens(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Multimodal
+    "q_mm_meta" -> ((s, dir) =>
+      Binary.withMeta(T(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_bytes", "sha256", "mime")
+        .orderBy("doc_id")),
+    "q_mm_features" -> ((s, dir) =>
+      Binary.extractFeatures(s,
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload")
+        .toDF().orderBy("id")),
+
+    // Analytics headliners
+    "q1_agg" -> ((s, dir) => Analytics.q1(s, dir)),
+    "q3_join" -> ((s, dir) => Analytics.q3(s, dir)),
+    "q5_multijoin" -> ((s, dir) => Analytics.q5(s, dir)),
+    "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
+    "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir).orderBy("l_orderkey")),
+
+    // Streaming
+    "q_stream_window" -> ((s, dir) =>
+      Streams.windowAgg(s, dir).orderBy("window_start_us", "event_type")),
+    "q_stream_sessions" -> ((s, dir) =>
+      Streams.sessionize(s, dir).orderBy("user_id", "start_us"))
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_load_year" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_load_date_range" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY event_id""".stripMargin,
+    "q_load_agency" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE contains(lower(event_type), 'cli') ORDER BY event_id""".stripMargin,
+    "q_load_select" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_load_page" ->
+      """SELECT event_id, event_type FROM events WHERE event_id > 1000
+        |ORDER BY event_id LIMIT 50""".stripMargin,
+    "q_count" ->
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q_get_years" ->
+      "SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders ORDER BY yr",
+    "q_get_agencies" ->
+      "SELECT DISTINCT event_type AS agency FROM events ORDER BY agency",
+    "q_combine" ->
+      """SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS props
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value, props
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_related_tables" ->
+      """SELECT o_orderkey, l_linenumber, CAST(o_orderdate AS DATE) AS o_orderdate, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "q_catalog_query" ->
+      """SELECT DISTINCT n_name AS state, c_custkey AS source_id, c_name AS source_name,
+        |  c_mktsegment AS table_type
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE n_name = 'NATION_3' AND c_mktsegment = 'BUILDING'
+        |ORDER BY source_id""".stripMargin,
+    "q_summary_by_state" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val cols = segs.map(v =>
+        s"CAST(count(DISTINCT CASE WHEN c_mktsegment = '$v' THEN c_custkey END) AS BIGINT) AS ${v.toLowerCase}")
+        .mkString(",\n  ")
+      s"""SELECT n_name AS state,
+         |  $cols
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN orders ON o_custkey = c_custkey
+         |GROUP BY n_name ORDER BY state""".stripMargin
+    },
+    "q_summary_by_type" ->
+      """SELECT c_mktsegment AS table_type, CAST(year(o_orderdate) AS BIGINT) AS year,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_sources
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY table_type, year""".stripMargin,
+    "q_num_sources" ->
+      """SELECT n_name AS state, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_sources
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY state""".stripMargin,
+    "q_table_types" ->
+      """SELECT DISTINCT c_mktsegment AS table_type
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE contains(lower(c_mktsegment), 'ur')
+        |ORDER BY table_type""".stripMargin,
+
+    "q_std_race" ->
+      s"""SELECT id, raw, ${Luts.raceStdSql} AS race_std
+         |FROM (VALUES ${valuesSql(raceRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_gender" ->
+      s"""SELECT id, raw, ${Luts.genderStdSql} AS gender_std
+         |FROM (VALUES ${valuesSql(genderRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_age_range" ->
+      s"""SELECT id, raw, ${AgeRange.ageRangeStdSql} AS age_range_std
+         |FROM (VALUES ${valuesSql(ageRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_injury" ->
+      s"""SELECT id, raw, ${Luts.injuryStdSql} AS injury_std
+         |FROM (VALUES ${valuesSql(injuryRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_combine_race_eth" -> {
+      val rows = raceEthRaws.zipWithIndex.map { case ((r, e), i) =>
+        s"(${i + 1}, ${if (r == null) "NULL" else sqlLit(r)}, ${if (e == null) "NULL" else sqlLit(e)})"
+      }.mkString(", ")
+      val raceCase = Luts.raceStdSql.replace("raw", "race")
+      s"""SELECT id, race, eth,
+         |  CASE WHEN upper(trim(eth)) IN (${latinoEth.map(sqlLit).mkString(", ")})
+         |       THEN 'HISPANIC/LATINO' ELSE $raceCase END AS race_eth
+         |FROM (VALUES $rows) AS t(id, race, eth)
+         |ORDER BY id""".stripMargin
+    },
+    "q_parse_dates" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y%m%d')
+        |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey, raw,
+        |  CAST(coalesce(try_strptime(raw, '%m/%d/%Y'), try_strptime(raw, '%Y%m%d'),
+        |                try_strptime(raw, '%Y-%m-%d')) AS DATE) AS parsed
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+    "q_merge_date_time" ->
+      """SELECT event_id,
+        |  coalesce(
+        |    try_strptime(strftime(ts, '%Y-%m-%d') || ' ' ||
+        |      CASE WHEN user_id % 10 = 0 THEN NULL ELSE strftime(ts, '%H:%M:%S') END,
+        |      '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')) AS merged
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_expand_demo" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_std_rename" ->
+      """SELECT event_id AS incident_id, CAST(ts AS DATE) AS incident_date,
+        |  event_type AS agency, value
+        |FROM events ORDER BY incident_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+    "q_dedup_fingerprint" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 2, 1) + 1),
+        |      i -> substr(t, CAST(i AS INT), 3))) AS grams
+        |  FROM (SELECT doc_id, source,
+        |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM documents))
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> c.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])))), 4) AS cos
+        |  FROM q CROSS JOIN v c),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_id" -> {
+      val hits = TextStats.stopwords.map { case (lang, list) =>
+        s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${list.map(sqlLit).mkString(", ")}))) AS ${lang}_hits"
+      }.mkString(",\n    ")
+      val langs = TextStats.stopwords.map(_._1)
+      val best = s"greatest(${langs.map(_ + "_hits").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN ${l}_hits = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM documents)
+         |SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      val allStops = TextStats.stopwords.flatMap(_._2).distinct
+      s"""SELECT doc_id,
+         |  round(
+         |    0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) +
+         |    0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) /
+         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) +
+         |    0.3 * CAST(len(list_filter(string_split(lower(text), ' '),
+         |                    w -> w IN (${allStops.map(sqlLit).mkString(", ")}))) AS DOUBLE) /
+         |          greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256, 'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_window_topn" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INTEGER) AS rnk
+        |      FROM rev)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM r WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(*) >= 4
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT max(t) AS mx FROM e),
+        |s AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, t,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |sess AS (SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us,
+        |           CAST(count(*) AS BIGINT) AS n_events
+        |         FROM g GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+        |SELECT s.user_id, s.start_us, s.end_us, s.n_events
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, m
+        |WHERE s.sid < l.last_sid OR s.end_us + 1800000000 < m.mx - 1800000000
+        |ORDER BY s.user_id, s.start_us""".stripMargin
+  )
 }

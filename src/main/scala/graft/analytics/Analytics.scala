@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** TPC-H-shaped benchmark headliners — the perf-graded core of the
+  * engine. Every query is declarative (Catalyst pushes filters/prunes
+  * columns), dims are broadcast() explicitly, and aggregations partial-
+  * aggregate map-side before their single shuffle.
+  */
+object Analytics {
+
+  /** Decimal-exact money sum: the double term is bit-deterministic per
+    * row (IEEE), the decimal accumulation is exact, so the rounded
+    * result is partition-order-independent and matches the oracle
+    * bit-for-bit. */
+  private def decSum(c: Column): Column = sum(c.cast("decimal(30,10)"))
+  private def moneySum(c: Column): Column = round(decSum(c), 2).cast("double")
+  private def moneyAvg(c: Column): Column =
+    round(decSum(c).cast("double") / count(lit(1)), 2)
+
+  /** q1: pricing summary (groupBy 2 low-card keys, 8 aggregates over the
+    * full lineitem scan — shuffle carries only 6 grouped rows after
+    * map-side partial agg). */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q3: shipping priority — filtered customer (broadcastable after the
+    * segment filter at this scale; at 100 TB it shuffles on the join key
+    * with AQE choosing the strategy) ⋈ orders ⋈ lineitem, top-10 revenue. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q5: 6-table multijoin with broadcast dims (region, nation,
+    * supplier) — local-supplier revenue per nation for one region+year. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val supplier = Tables(spark, dir, "supplier")
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Rank-per-group top-N: top-3 parts by revenue within each brand.
+    * One shuffle for the agg, one for the per-brand window (25 groups). */
+  def windowTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rnk"))
+      .orderBy("p_brand", "rnk")
+  }
+
+  /** High-cardinality aggregation (AQE/skew path): per-order rollup over
+    * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced
+    * shuffle. */
+  def skewAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+      .filter(col("n_lines") >= 4)
+}

@@ -1,0 +1,82 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dataset catalog — the reference's `datasets.py` front door re-expressed
+  * over the synthetic star schema.
+  *
+  * Reference: openpolicedata/datasets.py — `query` (:107),
+  * `summary_by_state` (:184), `summary_by_table_type` (:248),
+  * `num_unique`/`num_sources` (:160,168), `get_table_types` (:317).
+  *
+  * Domain mapping (SURVEY.md §0): nation → state, region → region,
+  * customer → source, c_mktsegment → table type, order year → dataset
+  * coverage year. One catalog row = one (source, year) dataset entry.
+  *
+  * Scale notes: nation/region are classic broadcast dims (25/5 rows —
+  * broadcast() hinted so the plan never shuffles the fact side for them).
+  * The orders↔customer join shuffles on the join key only; at 100 TB both
+  * sides partition on custkey and AQE handles skew. All summaries are
+  * partial-aggregated map-side before the shuffle.
+  */
+object Catalog {
+
+  /** The catalog as a lazy DataFrame: state, region, source_id,
+    * source_name, table_type, year. */
+  def catalog(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val nation   = Tables(spark, dir, "nation")
+    val region   = Tables(spark, dir, "region")
+    val orders   = Tables(spark, dir, "orders")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("n_name").as("state"),
+        col("r_name").as("region"),
+        col("c_custkey").as("source_id"),
+        col("c_name").as("source_name"),
+        col("c_mktsegment").as("table_type"),
+        year(col("o_orderdate")).cast("long").as("year"))
+  }
+
+  /** `datasets.query(state=, table_type=)` (datasets.py:107): filtered
+    * distinct catalog entries. */
+  def query(cat: DataFrame, state: Option[String] = None,
+            tableType: Option[String] = None): DataFrame = {
+    val f1 = state.map(s => cat.filter(col("state") === s)).getOrElse(cat)
+    val f2 = tableType.map(t => f1.filter(col("table_type") === t)).getOrElse(f1)
+    f2.select("state", "source_id", "source_name", "table_type").distinct()
+  }
+
+  /** `summary_by_state` (datasets.py:184): pivot state × table_type with
+    * distinct-source counts. Pivot values are passed explicitly so no
+    * extra distinct-collection job runs. */
+  def summaryByState(cat: DataFrame, tableTypes: Seq[String]): DataFrame =
+    cat.groupBy("state")
+      .pivot("table_type", tableTypes)
+      .agg(count_distinct(col("source_id")))
+      .na.fill(0L)
+
+  /** `summary_by_table_type` (datasets.py:248): dataset counts by
+    * table_type × year. */
+  def summaryByType(cat: DataFrame): DataFrame =
+    cat.groupBy("table_type", "year")
+      .agg(count_distinct(col("source_id")).as("n_sources"))
+
+  /** `num_unique`/`num_sources` (datasets.py:160): distinct sources per
+    * state. */
+  def numSources(cat: DataFrame): DataFrame =
+    cat.groupBy("state").agg(count_distinct(col("source_id")).as("n_sources"))
+
+  /** `get_table_types(contains=)` (datasets.py:317): distinct table types
+    * matching a case-insensitive substring. */
+  def tableTypes(cat: DataFrame, contains: Option[String] = None): DataFrame = {
+    val base = cat.select("table_type").distinct()
+    contains.map(s => base.filter(lower(col("table_type")).contains(s.toLowerCase)))
+      .getOrElse(base)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM training-data pipelines: exact,
+  * fingerprint, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale discipline (the 100 TB gate): candidate pairs are ALWAYS
+  * generated through a bucketed equi-join — LSH band buckets, SimHash
+  * band blocks, blocking keys, or IVF-style label cells — never an
+  * unblocked cross join. Each bucket join shuffles on the bucket key
+  * only; skew within hot buckets is handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Normalized text used by all textual dedup variants: lower, trim,
+    * collapsed whitespace. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Exact dedup: group by normalized text, keep the minimum id as the
+    * canonical representative. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(normText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Fingerprint dedup: md5 of the normalized text as the group key
+    * (content-addressable id usable across datasets). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(normText(col(textCol))).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash signature: numPerms values, perm j = min over shingles of
+    * hash(shingle, j). Declarative form; see functions/ for the codegen
+    * Expression variant. */
+  def minhashSignature(text: Column, k: Int, numPerms: Int): Column = {
+    val t = normText(text)
+    val shingles = array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => substring(t, i, lit(k))))
+    val hashes = transform(shingles, s => xxhash64(s))
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      j => array_min(transform(hashes, h => xxhash64(h, j))))
+  }
+
+  /** LSH banding: explode the signature into (band_id, band_hash) bucket
+    * keys; docs sharing a bucket are candidate pairs. bands*rowsPerBand
+    * must equal the signature length. */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("string")))).as(Seq("band_id", "band_hash")))
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing
+    * components. */
+  def estJaccard(sigA: Column, sigB: Column, numPerms: Int): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / numPerms
+
+  /** MinHash near-dup pairs: signature → banded buckets → bucket
+    * self-join (id_a < id_b) → distinct candidates → estimated-Jaccard
+    * filter. Never an all-pairs product: the join key is
+    * (band_id, band_hash). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, numPerms: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numPerms).as("sig"))
+    val buckets = lshBuckets(sigs, "id", "sig", bands, numPerms / bands)
+    val cands = buckets.as("l").join(buckets.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    cands
+      .join(sigs.withColumnRenamed("sig", "sig_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(sigs.withColumnRenamed("sig", "sig_b"), col("id_b") === col("id"))
+      .drop("id")
+      .select(col("id_a"), col("id_b"),
+        round(estJaccard(col("sig_a"), col("sig_b"), numPerms), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes: bit b of the result is 1 iff more
+    * than half the word hashes have bit b set. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(normText(text), " "), w => xxhash64(w))
+    val n = size(hashes)
+    // Static unroll over the 64 bits (shift amounts must be literals for
+    // the builtin); stays inside one codegen stage.
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1)) * 2 > n,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit bands (two hashes within
+    * hamming distance ≤ 3 of each other must agree on ≥1 band; with k up
+    * to 6 this is a high-recall blocking, standard SimHash practice),
+    * then exact hamming filter via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sims = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band_id"),
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val")))
+    val banded = sims.select(col("id"), col("sim"),
+      inline(array(bandStructs: _*)))
+    banded.as("l").join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_val") === col("r.band_val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- N-gram Jaccard --------------------------------------------------
+
+  /** Distinct character n-grams of the normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normText(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => substring(t, i, lit(n))))
+  }
+
+  /** Blocked n-gram Jaccard similarity join: candidates share a blocking
+    * key (default: a coarse length bucket + first token), exact Jaccard
+    * on distinct n-gram sets. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3,
+                        threshold: Double = 0.4): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      charNgrams(col(textCol), n).as("grams"))
+    grams.as("l").join(grams.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(
+          size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
+          size(array_union(col("l.grams"), col("r.grams"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- Embedding cosine ------------------------------------------------
+
+  /** Embedding-cosine near-dup pairs within IVF-style cells (`cellCol`):
+    * per-cell self-join + exact cosine ≥ threshold. At 100 TB the cell
+    * assignment comes from a coarse quantizer; here cells are the
+    * `label` column. */
+  def embedCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+                       cellCol: String, threshold: Double): DataFrame = {
+    val v = embs.select(col(idCol).as("id"), col(cellCol).as("cell"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    v.as("l").join(v.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(graft.sim.Ann.cosine(col("l.vec"), col("r.vec")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

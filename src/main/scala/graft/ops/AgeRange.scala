@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Age-range normalization — the reference's `_create_age_range_lut`
+  * (openpolicedata/_converters.py:146) re-expressed as a codegen-friendly
+  * conditional chain, with a matching DuckDB SQL rendering for the
+  * oracle.
+  *
+  * Canonical output is "lo-hi" (e.g. "18-24"):
+  *   "25 - 34"  → "25-34"      (range spacing normalized)
+  *   "OVER 65"  → "65-120"     (p_over)
+  *   "18+"      → "18-120"     (p_plus), "18 PLUS" (p_plus2)
+  *   "60 AND OLDER" → "60-120" (p_above)
+  *   "UNDER 21" → "0-21"       (p_under)
+  *   "17 AND YOUNGER" → "0-17" (p_under2)
+  *   "20S"      → "20-29"      (p_decade)
+  *   plain age number → bucketed (engine-defined census-style bins)
+  *   null/blank/missing → UNSPECIFIED
+  * Unrecognized values pass through unchanged (no_id="keep").
+  */
+object AgeRange {
+
+  private val bounds = Seq(18, 25, 35, 45, 55, 65)
+  private val labels = Seq("0-17", "18-24", "25-34", "35-44", "45-54", "55-64", "65-120")
+
+  def ageRangeStd(raw: Column): Column = {
+    // Strip a leading single-letter category label ("B - 18-29" style)
+    // then upper + trim — _converters.py:186.
+    // Capture-group form (not lookahead) so the same pattern runs on
+    // DuckDB's RE2 oracle side.
+    val x = trim(regexp_replace(upper(trim(raw)), "^[A-Z]\\s*-\\s*(\\d)", "$1"))
+    val decade = regexp_extract(x, "^(\\d+)0S$", 1).cast("int") * 10
+    val n = x.cast("int")
+    val bucketed = bounds.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((b, lbl), acc) => when(n < b, lbl).otherwise(acc)
+    }
+    when(raw.isNull, lit(Luts.UNSPECIFIED))
+      .when(x.isin("", "MISSING", "N/A", "NA", "UNKNOWN", "NOT SPECIFIED"), lit(Luts.UNSPECIFIED))
+      .when(x.rlike("^\\d+\\s*-\\s*\\d+$"),
+            regexp_replace(x, "^(\\d+)\\s*-\\s*(\\d+)$", "$1-$2"))
+      .when(x.rlike("^(OVER|>)\\s*\\d+$"),
+            regexp_replace(x, "^(OVER|>)\\s*(\\d+)$", "$2-120"))
+      .when(x.rlike("^\\d+\\s*(\\+|PLUS)$"),
+            regexp_replace(x, "^(\\d+)\\s*(\\+|PLUS)$", "$1-120"))
+      .when(x.rlike("^\\d+\\s*(AND|&)\\s*(ABOVE|OLDER)$"),
+            regexp_replace(x, "^(\\d+)\\s*(AND|&)\\s*(ABOVE|OLDER)$", "$1-120"))
+      .when(x.rlike("^(UNDER|<|BELOW)\\s*\\d+$"),
+            regexp_replace(x, "^(UNDER|<|BELOW)\\s*(\\d+)$", "0-$2"))
+      .when(x.rlike("^\\d+\\s*(AND|&)\\s*(UNDER|YOUNGER)$"),
+            regexp_replace(x, "^(\\d+)\\s*(AND|&)\\s*(UNDER|YOUNGER)$", "0-$1"))
+      .when(x.rlike("^\\d+0S$"),
+            concat(decade.cast("string"), lit("-"), (decade + 9).cast("string")))
+      .when(x.rlike("^\\d+$"), bucketed)
+      .otherwise(x)
+  }
+
+  /** Matching DuckDB SQL over a column literally named `raw`. */
+  val ageRangeStdSql: String = {
+    val x = "trim(regexp_replace(upper(trim(raw)), '^[A-Z]\\s*-\\s*(\\d)', '\\1'))"
+    val n = s"CAST($x AS INT)"
+    val decade = s"(CAST(regexp_extract($x, '^(\\d+)0S$$', 1) AS INT) * 10)"
+    val bucketed = bounds.zip(labels.init).foldRight(s"'${labels.last}'") {
+      case ((b, lbl), acc) => s"CASE WHEN $n < $b THEN '$lbl' ELSE $acc END"
+    }
+    s"""CASE
+       |  WHEN raw IS NULL THEN '${Luts.UNSPECIFIED}'
+       |  WHEN $x IN ('', 'MISSING', 'N/A', 'NA', 'UNKNOWN', 'NOT SPECIFIED') THEN '${Luts.UNSPECIFIED}'
+       |  WHEN regexp_matches($x, '^\\d+\\s*-\\s*\\d+$$') THEN regexp_replace($x, '^(\\d+)\\s*-\\s*(\\d+)$$', '\\1-\\2')
+       |  WHEN regexp_matches($x, '^(OVER|>)\\s*\\d+$$') THEN regexp_replace($x, '^(OVER|>)\\s*(\\d+)$$', '\\2-120')
+       |  WHEN regexp_matches($x, '^\\d+\\s*(\\+|PLUS)$$') THEN regexp_replace($x, '^(\\d+)\\s*(\\+|PLUS)$$', '\\1-120')
+       |  WHEN regexp_matches($x, '^\\d+\\s*(AND|&)\\s*(ABOVE|OLDER)$$') THEN regexp_replace($x, '^(\\d+)\\s*(AND|&)\\s*(ABOVE|OLDER)$$', '\\1-120')
+       |  WHEN regexp_matches($x, '^(UNDER|<|BELOW)\\s*\\d+$$') THEN regexp_replace($x, '^(UNDER|<|BELOW)\\s*(\\d+)$$', '0-\\2')
+       |  WHEN regexp_matches($x, '^\\d+\\s*(AND|&)\\s*(UNDER|YOUNGER)$$') THEN regexp_replace($x, '^(\\d+)\\s*(AND|&)\\s*(UNDER|YOUNGER)$$', '0-\\1')
+       |  WHEN regexp_matches($x, '^\\d+0S$$') THEN CAST($decade AS VARCHAR) || '-' || CAST($decade + 9 AS VARCHAR)
+       |  WHEN regexp_matches($x, '^\\d+$$') THEN $bucketed
+       |  ELSE $x
+       |END""".stripMargin
+  }
+}

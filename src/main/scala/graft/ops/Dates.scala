@@ -23,10 +23,19 @@ object Dates {
   def parseDateMulti(c: Column, formats: Seq[String]): Column =
     coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*).cast("date")
 
-  /** Merge separate date and time string columns into one timestamp. */
+  /** Merge separate date and time string columns into one timestamp.
+    * When the time is null/unparseable the reference's
+    * `merge_date_and_time(empty_time='ignore')` falls back to the date
+    * alone (datetime_parser.py:206); `emptyTimeIgnore=false` keeps the
+    * strict null-propagating behavior. */
   def mergeDateTime(dateStr: Column, timeStr: Column,
-                    fmt: String = "yyyy-MM-dd HH:mm:ss"): Column =
-    try_to_timestamp(concat(dateStr, lit(" "), timeStr), lit(fmt))
+                    fmt: String = "yyyy-MM-dd HH:mm:ss",
+                    dateFmt: String = "yyyy-MM-dd",
+                    emptyTimeIgnore: Boolean = true): Column = {
+    val merged = try_to_timestamp(concat(dateStr, lit(" "), timeStr), lit(fmt))
+    if (emptyTimeIgnore) coalesce(merged, try_to_timestamp(dateStr, lit(dateFmt)))
+    else merged
+  }
 
   /** Truncate a (possibly nanosecond-precision) timestamp to seconds —
     * used to canonicalize before comparisons. */

@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Expand {
 
-  /** Explode a delimited column to one row per value. */
+  /** Explode a delimited column to one row per value. `explode_outer`
+    * keeps rows whose cell is null (the reference's pandas explode keeps
+    * scalar/NaN rows — data.py:578). */
   def expandDelim(df: DataFrame, column: String, delim: String,
                   as: String): DataFrame =
-    df.withColumn(as, explode(split(col(column), delim))).drop(column)
+    df.withColumn(as, explode_outer(split(col(column), delim))).drop(column)
 
   /** Positional variant (keeps the reference's item_num semantics,
-    * _converters.py `item_num`). */
+    * _converters.py `item_num`). Aliases the generator output directly —
+    * never renames hardcoded `pos`/`col`, which would corrupt same-named
+    * input columns. */
   def expandDelimPos(df: DataFrame, column: String, delim: String,
                      as: String, posCol: String): DataFrame =
-    df.select(df.columns.map(col) :+ posexplode(split(col(column), delim)): _*)
-      .withColumnRenamed("pos", posCol).withColumnRenamed("col", as)
+    df.select(df.columns.map(col) :+
+        posexplode_outer(split(col(column), delim)).as(Seq(posCol, as)): _*)
       .drop(column)
 }

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's categorical standardization vocabularies, expressed as
+  * *data* (ordered match rules) with two renderers: a Spark `Column`
+  * (codegen-friendly `when` chain — the engine) and a DuckDB `CASE` SQL
+  * string (the independent oracle). Both render from the same rule list,
+  * so engine and oracle share one source of truth for the vocabulary
+  * while exercising two different execution paths.
+  *
+  * Vocabulary provenance (re-expressed, not copied):
+  *   race     — openpolicedata/_converters.py:293 `_create_race_lut`
+  *              (generic string vocabulary at :480-545; per-source letter
+  *              codes are out of scope)
+  *   gender   — openpolicedata/_converters.py:620 `_create_gender_lut`
+  *   injury   — openpolicedata/_converters.py:773 `_create_injury_lut`
+  *   fatal    — openpolicedata/_converters.py:853 `_create_fatal_lut`
+  *   firearm  — openpolicedata/_converters.py:884 `_create_firearm_lut`
+  *   age      — openpolicedata/_converters.py:146 `_create_age_range_lut`
+  *   category values — openpolicedata/defs.py:499 `_race_cats_basic` +
+  *              :513 `_more_race_cats` (expanded set), :543 `_genders`
+  *
+  * Scale: rendered rules are pure per-row string predicates inside
+  * WholeStageCodegen — no UDF, no shuffle, no broadcast state.
+  */
+object Luts {
+
+  /** One predicate over the cleaned value (`x`) or its space-stripped
+    * variant (`xns`). */
+  sealed trait Matcher
+  final case class InSet(vals: Seq[String], noSpace: Boolean = false) extends Matcher
+  final case class ContainsAny(subs: Seq[String], noSpace: Boolean = false) extends Matcher
+  final case class StartsWithAny(prefixes: Seq[String]) extends Matcher
+
+  /** Fires when any of `anyOf` matches, every `allOf` matches, and none
+    * of `butNot` does. */
+  final case class Rule(anyOf: Seq[Matcher], out: String,
+                        allOf: Seq[Matcher] = Nil, butNot: Seq[Matcher] = Nil)
+
+  // ---- Column renderer -------------------------------------------------
+
+  private def matchCol(m: Matcher, x: Column, xns: Column): Column = m match {
+    case InSet(vals, ns)       => (if (ns) xns else x).isin(vals: _*)
+    case ContainsAny(subs, ns) =>
+      subs.map(s => (if (ns) xns else x).contains(s)).reduce(_ || _)
+    case StartsWithAny(ps)     => ps.map(p => x.startsWith(p)).reduce(_ || _)
+  }
+
+  /** Render rules as a when-chain over pre-cleaned `x`; falls back to
+    * `orig` (the reference's no_id="keep" behavior). */
+  def rulesToColumn(rules: Seq[Rule], x: Column, orig: Column): Column = {
+    val xns = regexp_replace(x, " ", "")
+    rules.foldRight(orig) { case (r, acc) =>
+      var cond = r.anyOf.map(matchCol(_, x, xns)).reduce(_ || _)
+      r.allOf.foreach(m => cond = cond && matchCol(m, x, xns))
+      r.butNot.foreach(m => cond = cond && !matchCol(m, x, xns))
+      when(cond, lit(r.out)).otherwise(acc)
+    }
+  }
+
+  // ---- SQL renderer (DuckDB dialect) -----------------------------------
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def matchSql(m: Matcher, x: String, xns: String): String = m match {
+    case InSet(vals, ns) =>
+      s"${if (ns) xns else x} IN (${vals.map(sqlLit).mkString(", ")})"
+    case ContainsAny(subs, ns) =>
+      subs.map(s => s"contains(${if (ns) xns else x}, ${sqlLit(s)})").mkString("(", " OR ", ")")
+    case StartsWithAny(ps) =>
+      ps.map(p => s"starts_with($x, ${sqlLit(p)})").mkString("(", " OR ", ")")
+  }
+
+  /** Render rules as a SQL CASE over the cleaned expression `x`
+    * (DuckDB dialect), with `orig` as the fallback. */
+  def rulesToSql(rules: Seq[Rule], x: String, orig: String): String = {
+    val xns = s"replace($x, ' ', '')"
+    val whens = rules.map { r =>
+      val parts = Seq(r.anyOf.map(matchSql(_, x, xns)).mkString("(", " OR ", ")")) ++
+        r.allOf.map(m => matchSql(m, x, xns)) ++
+        r.butNot.map(m => "NOT " + matchSql(m, x, xns))
+      s"WHEN ${parts.mkString(" AND ")} THEN ${sqlLit(r.out)}"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE $orig END"
+  }
+
+  // ---- Cleaning (normalize-before-match, _converters.py:478) -----------
+
+  /** Race-style cleaning: upper, '_'→' ', drop '*' '-' '.', trim. */
+  def cleanRace(c: Column): Column =
+    trim(regexp_replace(regexp_replace(upper(c), "_", " "), "[*.-]", ""))
+  val cleanRaceSql: String =
+    "trim(regexp_replace(replace(upper(raw), '_', ' '), '[*.-]', '', 'g'))"
+
+  /** Gender-style cleaning: upper, drop '-' '_' ' ' '''. */
+  def cleanGender(c: Column): Column =
+    regexp_replace(upper(c), "[-_ ']", "")
+  val cleanGenderSql: String =
+    "regexp_replace(upper(raw), '[-_ '']', '', 'g')"
+
+  /** Injury-style cleaning: upper, strip a leading "<n> - " label,
+    * '-'→' ', drop '*', drop OFFICER/SUBJECT words, collapse spaces. */
+  def cleanInjury(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(upper(c), "^\\d+\\s*-\\s*", ""),
+            "-", " "),
+          "\\*", ""),
+        "OF[FI]{2}CERS?|SUBJECT", ""),
+      "\\s{2,}", " "))
+  val cleanInjurySql: String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(upper(raw), '^\\d+\\s*-\\s*', ''), '-', ' ', 'g'), " +
+      "'\\*', '', 'g'), 'OF[FI]{2}CERS?|SUBJECT', '', 'g'), '\\s{2,}', ' ', 'g'))"
+
+  // ---- Race vocabulary -------------------------------------------------
+
+  val UNSPECIFIED = "UNSPECIFIED"
+
+  val raceRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq("MISSING", "NOT SPECIFIED", "", "NOT RECORDED", "N/A",
+                       "NOT REPORTED", "NONE", "BLANK", "NOT SPECIF")),
+             ContainsAny(Seq("NO DATA", "NO RACE", "NULL"))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("W", "CAUCASIAN", "WN", "WHITE", "WHTE", "WHT"), noSpace = true)),
+         "WHITE"),
+    Rule(Seq(InSet(Seq("B", "AFRICAN AMERICAN", "BLCK", "BLK", "BLACE",
+                       "AFR AMERICAN", "AFR AM", "BLK/AFR AM")),
+             InSet(Seq("AFRICANAMERICAN", "BLACK"), noSpace = true)),
+         "BLACK",
+         butNot = Seq(ContainsAny(Seq("HISPANIC", "LATINO")))),
+    Rule(Seq(InSet(Seq("SOUTH ASIAN", "EAST INDIAN", "ASIAN INDIAN"))),
+         "SOUTH ASIAN"),
+    Rule(Seq(InSet(Seq("ME", "ARABIC")), ContainsAny(Seq("MIDDLE EAST"))),
+         "MIDDLE EASTERN",
+         butNot = Seq(ContainsAny(Seq("AFRICA")))),
+    // Asian + Pacific combo → AAPI; pure Asian next; pure Pacific after.
+    Rule(Seq(ContainsAny(Seq("ASIAN"))), "ASIAN/PACIFIC ISLANDER",
+         allOf = Seq(ContainsAny(Seq("PAC", "HAWAI")))),
+    Rule(Seq(InSet(Seq("A", "ORIENTAL", "AA", "ASN")), ContainsAny(Seq("ASIAN"))),
+         "ASIAN",
+         butNot = Seq(ContainsAny(Seq("CAUCASIAN", "INDIAN")),
+                      InSet(Seq("SOUTHWEST ASIAN")))),
+    Rule(Seq(ContainsAny(Seq("HAWAI")),
+             ContainsAny(Seq("PACIF", "PACISL"), noSpace = true),
+             InSet(Seq("PI", "NHPI"))),
+         "HAWAIIAN/PACIFIC ISLANDER"),
+    Rule(Seq(InSet(Seq("H", "WH", "HISPANIC", "LATINO", "HISPANIC OR LATINO",
+                       "LATINO OR HISPANIC", "HISPANIC/LATINO", "LATINO/HISPANIC",
+                       "HISPANIC/LATIN/MEXICAN", "HISP", "HIS"))),
+         "HISPANIC/LATINO"),
+    Rule(Seq(InSet(Seq("I", "INDIAN", "ALASKAN NATIVE", "AN", "AI", "AL NATIVE",
+                       "A/INDIAN", "NAT AM")),
+             ContainsAny(Seq("AMERICAN IND", "NATIVE AM", "ALASK", "NAT AMER")),
+             ContainsAny(Seq("AMERIND", "AMIND"), noSpace = true)),
+         "INDIGENOUS"),
+    Rule(Seq(ContainsAny(Seq("OR MORE", "MULTI")),
+             InSet(Seq("2ORMORE", "MIXED", "BIRACIAL", "MIXEDRACE"), noSpace = true)),
+         "MULTIPLE"),
+    Rule(Seq(ContainsAny(Seq("UNK"))), "OTHER OR UNKNOWN",
+         allOf = Seq(ContainsAny(Seq("OTH")))),
+    Rule(Seq(ContainsAny(Seq("UNK")), InSet(Seq("U", "UK"))), "UNKNOWN"),
+    Rule(Seq(InSet(Seq("O", "OTHER", "OTH")),
+             ContainsAny(Seq("OTHER RACE", "OTHER UNCLASS"))), "OTHER")
+  )
+
+  // ---- Gender vocabulary -----------------------------------------------
+
+  val genderRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq("MISSING", "UNSPECIFIED", "", ",", "NOTSPECIFIED",
+                       "NOTRECORDED", "NONE", "BLANK", "N/A", "NONSPECIFIED")),
+             ContainsAny(Seq("NODATA", "NOSEX", "NULL"))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("F", "FEMALE", "FEMAALE", "FFEMALE", "FEMAL",
+                       "FEMALE/WOMAN", "WOMAN", "WOMAN/GIRL"))), "FEMALE"),
+    Rule(Seq(InSet(Seq("M", "MALE", "MMALE", "MALE/MAN", "MAN", "MLE",
+                       "MAN/BOY"))), "MALE"),
+    Rule(Seq(InSet(Seq("TRANSGENDERMALE")), ContainsAny(Seq("TRANSGENDERMAN"))),
+         "TRANSGENDER MALE"),
+    Rule(Seq(InSet(Seq("TRANSGENDERFEMALE")), ContainsAny(Seq("TRANSGENDERWOMAN"))),
+         "TRANSGENDER FEMALE"),
+    Rule(Seq(InSet(Seq("TRANSGENDER", "TRANSGENDERED"))), "TRANSGENDER"),
+    Rule(Seq(InSet(Seq("NONBINARY"))), "GENDER NON-BINARY"),
+    Rule(Seq(InSet(Seq("GENDERNONCONFORMING", "NONCONFORMING", "GENDERDIVERSE")),
+             ContainsAny(Seq("TGNC"))), "TRANSGENDER OR GENDER NON-CONFORMING"),
+    Rule(Seq(InSet(Seq("OTHER", "O"))), "OTHER"),
+    Rule(Seq(InSet(Seq("U", "UNK", "UNKNOWN", "UK"))), "UNKNOWN")
+  )
+
+  // ---- Injury vocabulary -----------------------------------------------
+
+  private val injuredKeywords = Seq(
+    "WOUND", "PAIN", "BLEEDING", "SWELLING", "SCRAPE", "PUNCTURE",
+    "LACERATION", "BRUIS", "BROKEN", "UNCONSCIOUS", "FIRST AID",
+    "DISLOCATED", "FRACTURE", "ABRASION", "BUSTED", "REDNESS", "RASH",
+    "SCRATCH", "NUMBNESS", "BREATHING", "CUT", "STUN", "MARK", "BURN",
+    "CONCUSSION", "CANINE BITE", "MINOR", "SERIOUS", "TREATED",
+    "TAKEN TO HOSPITAL", "SHOT", "VISIBLE INJURY", "BODILY INJURY",
+    "SOFT TISSUE", "BLOOD", "SORE", "HURT", "STRUCK")
+
+  val injuryRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq("", "UNSPECIFIED", "NOT AVAILABLE", "NOT SPECIFIED",
+                       "(MISSING)", "NA"))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("0"))), "NO INJURY"),
+    Rule(Seq(InSet(Seq("1", "2", "3", "4", "5"))), "INJURED"),
+    Rule(Seq(ContainsAny(Seq("SUICIDE")),
+             InSet(Seq("SELF INFLICTED FATAL", "DECEASED (SELF INFLICTED)",
+                       "KILLED (SELF INFLICTED)"))), "SELF-INFLICTED FATAL"),
+    Rule(Seq(InSet(Seq("FATAL", "KILLED", "DECEASED", "DEATH", "FATAL INJURY"))),
+         "FATAL"),
+    Rule(Seq(StartsWithAny(Seq("NO INJUR", "NONE", "NO COMPLAINT")),
+             InSet(Seq("NOT INJURED", "NEITHER", "NO", "N", "MISS",
+                       "SHOOT AND MISS", "FALSE", "NO VISIBLE INJURY",
+                       "UNINJURED", "SHOW OF FORCE"))), "NO INJURY"),
+    Rule(Seq(InSet(Seq("Y", "YES", "TRUE", "INJURY", "INJURED", "NON FATAL",
+                       "NON FATAL INJURY")),
+             StartsWithAny(Seq("YES,", "YES ", "COMPLAINED OF", "COMPLAINT OF")),
+             ContainsAny(injuredKeywords)), "INJURED"),
+    Rule(Seq(InSet(Seq("UNKNOWN", "UNKNWON"))), "UNKNOWN"),
+    Rule(Seq(InSet(Seq("OTHER"))), "OTHER")
+  )
+
+  // ---- Fatal / firearm (yes-no style) ----------------------------------
+
+  val fatalRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq(""))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("FATAL", "YES", "Y", "DECEASED", "1"))), "YES"),
+    Rule(Seq(InSet(Seq("NON-FATAL", "NON FATAL", "NO", "N", "NO CONTACT", "0"))), "NO"),
+    Rule(Seq(InSet(Seq("SELF-INFLICTED"))), "SELF-INFLICTED FATAL")
+  )
+
+  val firearmRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq(""))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("YES", "Y", "TRUE", "FIREARM", "1"))), "YES"),
+    Rule(Seq(InSet(Seq("NO", "N", "FALSE", "PHYSICAL FORCE", "ELECTRICAL WEAPON",
+                       "OC SPRAY", "IMPACT WEAPON", "NO FORCE", "0")),
+             ContainsAny(Seq("CANINE", "BLANKET", "DISPLAYED", "CUTTING"))), "NO")
+  )
+
+  // ---- End-to-end column builders + matching oracle SQL ----------------
+
+  /** raw → standardized race category (null → UNSPECIFIED). */
+  def raceStd(raw: Column): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(raceRules, cleanRace(raw), trim(upper(raw))))
+
+  /** raw → standardized gender category (null → UNSPECIFIED). */
+  def genderStd(raw: Column): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(genderRules, cleanGender(raw), trim(upper(raw))))
+
+  /** raw → standardized injury category (null → UNSPECIFIED). */
+  def injuryStd(raw: Column): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(injuryRules, cleanInjury(raw), trim(upper(raw))))
+
+  /** Matching oracle SQL expressions over a column literally named `raw`. */
+  def raceStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(raceRules, cleanRaceSql, "trim(upper(raw))") + " END"
+  def genderStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(genderRules, cleanGenderSql, "trim(upper(raw))") + " END"
+  def injuryStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(injuryRules, cleanInjurySql, "trim(upper(raw))") + " END"
+}

@@ -18,11 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Standardize {
 
-  /** Exact-match LUT with a default — `std_dict` (_converters.py:908). */
-  def mapCats(c: Column, lut: Seq[(String, String)], default: String): Column =
-    lut.foldRight(lit(default): Column) { case ((k, v), acc) =>
-      when(c === k, v).otherwise(acc)
+  /** Exact-match LUT with a default — `std_dict` (_converters.py:908).
+    * Matches case-insensitively after trim (the reference upper-cases
+    * before lookup) and maps NULL to `nullOut` (the reference's
+    * UNSPECIFIED class) instead of the default. */
+  def mapCats(c: Column, lut: Seq[(String, String)], default: String,
+              nullOut: String = "UNSPECIFIED"): Column = {
+    val norm = upper(trim(c))
+    val mapped = lut.foldRight(lit(default): Column) { case ((k, v), acc) =>
+      when(norm === k.trim.toUpperCase, v).otherwise(acc)
     }
+    when(c.isNull, lit(nullOut)).otherwise(mapped)
+  }
 
   /** First-matching-keyword LUT (ordered precedence) — the contains-based
     * matching used by the injury/fatal converters (_converters.py:773). */
@@ -34,11 +41,16 @@ object Standardize {
   /** Numeric value → labelled range buckets — `_create_age_range_lut`
     * (_converters.py:146). `bounds` are the inclusive-lower split points,
     * labels has size bounds.size + 1. */
-  def rangeBucket(c: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+  def rangeBucket(c: Column, bounds: Seq[Double], labels: Seq[String],
+                  nullLabel: String = "UNSPECIFIED"): Column = {
     require(labels.size == bounds.size + 1)
-    bounds.zip(labels.init).foldRight(lit(labels.last): Column) {
+    // Null guard first: without it every `c < b` is null and evaluation
+    // would fall through to the top bucket (the reference returns an
+    // unidentified marker for null ages, _converters.py:146).
+    val bucketed = bounds.zip(labels.init).foldRight(lit(labels.last): Column) {
       case ((b, lbl), acc) => when(c < b, lbl).otherwise(acc)
     }
+    when(c.isNull, lit(nullLabel)).otherwise(bucketed)
   }
 
   /** Precedence combine of two categorical columns —
@@ -47,4 +59,10 @@ object Standardize {
   def precedenceCombine(primary: Column, secondary: Column,
                         trigger: String, triggerOut: String): Column =
     when(secondary === trigger, triggerOut).otherwise(primary)
+
+  /** Set-valued variant: the secondary column wins when it matches any
+    * trigger value (callers pre-normalize case/whitespace). */
+  def precedenceCombineIn(primary: Column, secondary: Column,
+                          triggers: Seq[String], triggerOut: String): Column =
+    when(secondary.isin(triggers: _*), triggerOut).otherwise(primary)
 }

@@ -1,0 +1,131 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * and IVF-style cell probing as the scale paths.
+  *
+  * Scale notes: brute-force is O(|Q|·|C|) and only acceptable when the
+  * query side is small enough to broadcast — the corpus is never
+  * collected. LSH/IVF prune the corpus side through a bucketed equi-join
+  * (hash band / cell id), so the scan and shuffle touch only candidate
+  * buckets at 100 TB.
+  */
+object Ann {
+
+  /** Elementwise-double dot product (deterministic left-to-right fold —
+    * the oracle computes the same order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact cosine top-k: query rows (small — broadcast) × corpus, scored,
+    * ranked per query with a deterministic tiebreak on neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q.crossJoin(c)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
+    * (plane j, dimension d) — seeded by hashing, no RNG state. */
+  private def planeComponent(j: Int, d: Column): Column =
+    (pmod(xxhash64(lit(j), d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
+    * long (static unroll — shift amounts must be literals). */
+  def lshSignature(vec: Column, numPlanes: Int): Column = {
+    val v = asDouble(vec)
+    val bits: Seq[Column] = (0 until numPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * planeComponent(j, d)),
+        lit(0.0), (s, x) => s + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed ANN: queries and corpus are hashed to `bands` buckets
+    * of `numPlanes/bands` sign bits; candidates share any bucket; exact
+    * cosine re-rank keeps top-k. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 16,
+              bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = numPlanes / bands
+    def withBuckets(df: DataFrame, id: String) = {
+      val bandStructs = (0 until bands).map(b => struct(lit(b).as("band_id"),
+        shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1)).as("band_val")))
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(id + "_v"),
+          lshSignature(col(vecCol), numPlanes).as("sig"))
+        .select(col(id), col(id + "_v"), inline(array(bandStructs: _*)))
+    }
+    val qb = withBuckets(queries, "query_id")
+    val cb = withBuckets(corpus, "neighbor_id")
+    val cands = qb.join(cb, Seq("band_id", "band_val"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-cell centroids (IVF coarse quantizer): avg of each dimension.
+    * Tiny result (cells × dim) — always broadcastable. */
+  def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(avg("x").as("x"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("x"))))
+        .getField("x").as("centroid"))
+
+  /** IVF-style probe search: route each query to its `nprobe` nearest
+    * centroids (broadcast join against the tiny centroid table), then
+    * search only the corpus rows in those cells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, k: Int,
+              nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(corpus, cellCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val routed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("ccos"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = routed.withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe).select("query_id", "qv", "cell")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(cellCol).as("cell"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -29,9 +29,14 @@ object Sources {
   /** Half-open [start, end) timestamp range, `yyyy-MM-dd...` literals. */
   final case class DateRange(start: String, end: String) extends DateSel
 
+  /** All selectors compile to *range predicates on the raw column* (never
+    * `year(field) === y`, which parquet cannot push down) so the filter
+    * reaches the scan as PushedFilters — the 100 TB-safe form. */
   def dateFilter(field: Column, sel: DateSel): Column = sel match {
-    case Year(y)          => year(field) === y
-    case YearRange(a, b)  => year(field) >= a && year(field) <= b
+    case Year(y) =>
+      field >= to_timestamp(lit(f"$y%04d-01-01")) && field < to_timestamp(lit(f"${y + 1}%04d-01-01"))
+    case YearRange(a, b) =>
+      field >= to_timestamp(lit(f"$a%04d-01-01")) && field < to_timestamp(lit(f"${b + 1}%04d-01-01"))
     case DateRange(s, e)  => field >= to_timestamp(lit(s)) && field < to_timestamp(lit(e))
   }
 
@@ -60,15 +65,46 @@ object Sources {
   def pageAfter(df: DataFrame, sortKey: String, lastSeen: Long, nrows: Int): DataFrame =
     df.filter(col(sortKey) > lastSeen).orderBy(col(sortKey)).limit(nrows)
 
-  /** `load_iter` (data.py:1102): chunked iteration as a lazy iterator of
-    * keyset pages. Each chunk is an independent pruned scan. */
+  /** `load_iter` (data.py:1102): chunked iteration as keyset pagination —
+    * each chunk is `WHERE key > lastSeen ORDER BY key LIMIT n`, so pages
+    * are exactly `chunk` rows (matching the reference's fixed-size-batch
+    * contract) regardless of key sparsity/skew, and every page is an
+    * independent pruned scan (no global offset skip at 100 TB).
+    *
+    * The sort key must be numeric and unique (fails fast otherwise —
+    * a silently-uncastable key must not yield an empty iteration). */
   def loadIter(df: DataFrame, sortKey: String, chunk: Int): Iterator[DataFrame] = {
-    val keys = df.select(min(col(sortKey)).cast("long"), max(col(sortKey)).cast("long")).head()
-    if (keys.isNullAt(0)) Iterator.empty
-    else {
-      val (lo, hi) = (keys.getLong(0), keys.getLong(1))
-      Iterator.iterate(lo)(_ + chunk).takeWhile(_ <= hi).map { start =>
-        df.filter(col(sortKey) >= start && col(sortKey) < start + chunk)
+    import org.apache.spark.sql.types._
+    val field = df.schema.find(_.name == sortKey).getOrElse(
+      throw new IllegalArgumentException(s"loadIter: no such column '$sortKey'"))
+    val integral = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"loadIter: sort key '$sortKey' must be integral, got ${field.dataType}")
+    require(chunk > 0, "loadIter: chunk must be positive")
+    new Iterator[DataFrame] {
+      private var lastSeen: Option[Long] = None // None = first page
+      private var exhausted = false
+      private var nextPage: Option[(DataFrame, Long, Int)] = None
+      private def fetch(): Unit = if (nextPage.isEmpty && !exhausted) {
+        val base = lastSeen.map(k => df.filter(col(sortKey) > k)).getOrElse(df)
+        val page = base.orderBy(col(sortKey)).limit(chunk)
+        // One driver action per page to learn the page's last key (the
+        // reference's load_iter is likewise one request per batch).
+        val keys = page.select(col(sortKey).cast("long")).collect()
+        if (keys.isEmpty) { exhausted = true }
+        else nextPage = Some((page, keys.last.getLong(0), keys.length))
+      }
+      def hasNext: Boolean = { fetch(); nextPage.nonEmpty }
+      def next(): DataFrame = {
+        fetch()
+        val (page, last, n) = nextPage.getOrElse(throw new NoSuchElementException)
+        nextPage = None
+        lastSeen = Some(last)
+        if (n < chunk) exhausted = true
+        page
       }
     }
   }

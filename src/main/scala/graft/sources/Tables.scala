@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loading over a scale-factor directory.
   *
@@ -16,6 +18,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the legacy
+    * conf it reads as a raw nanosecond long, which we normalize to a
+    * microsecond TimestampType column (`ts DIV 1000` — integer division,
+    * no double round-trip that would lose precision above 2^53). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+  }
 }

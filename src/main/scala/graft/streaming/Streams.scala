@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the `events` table: tumbling-
+  * window aggregation and gap-based sessionization.
+  *
+  * Both run as genuine streaming queries (file source → stateful op →
+  * memory sink, Trigger.AvailableNow) and produce batch-equivalent
+  * results the DuckDB oracle can check: the windowed agg runs in
+  * `complete` mode (all windows), the sessionizer emits sessions closed
+  * by the event-time watermark.
+  *
+  * Scale notes: state is bounded by the watermark (windows expire,
+  * sessions time out); sessionization state is one open session per key.
+  */
+object Streams {
+
+  /** Micro-batch file stream over one parquet table (events.ts nanosecond
+    * normalization applied the same way as the batch reader). */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    // The file-stream source requires a directory; select just this
+    // table's file out of the shared sf directory via the glob filter.
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet")
+        .parquet(dir))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling-window agg: per (event_type, hour) count + sum(value).
+    * Complete mode → every window, identical to the batch time_bucket. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val events = readTableStream(spark, dir, "events")
+    val agg = events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // Decimal-exact sum: double partial sums are order-dependent across
+      // partitions and would flake against the oracle at round() edges.
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+    runToMemory(agg, s"graft_stream_window_${System.nanoTime()}", OutputMode.Complete())
+  }
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessState(start_us: Long, end_us: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState with event-time
+    * timeout: a session closes when the next event is > gap after its
+    * last event (emitted immediately) or when the watermark passes
+    * last_event + gap (emitted on timeout). Exactly one open session of
+    * state per user. */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val events = readTableStream(spark, dir, "events")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("ts")) // event-time column must survive for the watermark
+    val sessions = events.as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start_us, s.end_us, s.n))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            ts.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.end_us > gapUs =>
+                  closed += Session(user, s.start_us, s.end_us, s.n)
+                  Some(SessState(t, t, 1))
+                case Some(s) => Some(SessState(s.start_us, t, s.n + 1))
+                case None    => Some(SessState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Close via watermark once no event can extend the session.
+              state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+    runToMemory(sessions.toDF(),
+      s"graft_stream_sessions_${System.nanoTime()}", OutputMode.Append())
+  }
+}

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: language
+  * ID, quality scoring, token counting, document fingerprinting. All are
+  * built from codegen'd builtins (split / filter / regexp) — no UDFs, no
+  * shuffle; they scale linearly with the scan.
+  */
+object TextStats {
+
+  /** Per-language stopword lists for the n-gram/stopword heuristic
+    * language scorer. Tiny on purpose: the mechanism (per-language hit
+    * counting + argmax) is the operator; the lists are swappable. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"))
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** Number of tokens from `list` appearing in the text (with
+    * multiplicity). */
+  def stopwordHits(text: Column, list: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(list: _*)))
+
+  /** Language-ID: per-language stopword hit counts + argmax (ties broken
+    * by list order; no hits → "und" per BCP-47 undetermined). */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, list) => lang -> stopwordHits(text, list) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs — a cheap proxy for subword tokenizers. */
+  val bpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeLikePattern), lit(0))).cast("long")
+
+  /** Length / punctuation / stopword-ratio quality score in [0,1]:
+    *   0.4 * min(1, words/50) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    * (rounded to 4). High = prose-like. */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(split(text, " ")).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stops = stopwordHits(text, stopwords.flatMap(_._2).distinct).cast("double")
+    val lenScore = least(lit(1.0), nWords / 50.0)
+    val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = stops / greatest(nWords, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio, 4)
+  }
+
+  /** Rolling-hash document fingerprint (polynomial hash of the
+    * normalized text, base 31 mod 2^61-1 style via xxhash64 of the
+    * normalized form — stable, collision-resistant, cheap). */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+}
