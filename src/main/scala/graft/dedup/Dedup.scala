@@ -34,9 +34,9 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** MinHash signature: numPerms values, perm j = min over shingles of
-    * hash(shingle, j). Declarative form; see functions/ for the codegen
-    * Expression variant. */
+  /** MinHash signature, declarative reference form (numPerms nested
+    * array transforms — kept for documentation/tests; the pairs pipeline
+    * uses the ~200x faster codegen Expression `minhash_sig`). */
   def minhashSignature(text: Column, k: Int, numPerms: Int): Column = {
     val t = normText(text)
     val shingles = array_distinct(transform(
@@ -69,8 +69,14 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numPerms: Int = 128, bands: Int = 32,
                    threshold: Double = 0.5): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numPerms).as("sig"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // Repartition before the signature projection: the docs scan is one
+    // parquet split, and the signature feeds three plan branches (bucket
+    // explode + both join probes) — without the exchange the kernel
+    // would run 3x on one core.
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val sigs = docs.repartition(parts).select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.minhashSig(col(textCol), k, numPerms).as("sig"))
     val buckets = lshBuckets(sigs, "id", "sig", bands, numPerms / bands)
     val cands = buckets.as("l").join(buckets.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -90,8 +96,9 @@ object Dedup {
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: bit b of the result is 1 iff more
-    * than half the word hashes have bit b set. */
-  def simhash64(text: Column): Column = {
+    * than half the word hashes have bit b set. Declarative reference
+    * form; the pairs pipeline uses the codegen Expression `simhash64`. */
+  def simhash64Decl(text: Column): Column = {
     val hashes = transform(split(normText(text), " "), w => xxhash64(w))
     val n = size(hashes)
     // Static unroll over the 64 bits (shift amounts must be literals for
@@ -109,7 +116,10 @@ object Dedup {
     * then exact hamming filter via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val sims = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val sims = docs.repartition(parts).select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim"))
     val bandStructs = (0 until 4).map(b => struct(lit(b).as("band_id"),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val")))
     val banded = sims.select(col("id"), col("sim"),
@@ -120,8 +130,10 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct: the dedup shuffle then only
+      // carries true near-dup pairs instead of every band collision.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---- N-gram Jaccard --------------------------------------------------
@@ -140,16 +152,45 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.4): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      charNgrams(col(textCol), n).as("grams"))
-    grams.as("l").join(grams.as("r"),
-        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // Grams are hashed (xxhash64) and sorted ONCE per doc; the per-pair
+    // Jaccard is then a single merge scan over two sorted long arrays
+    // (codegen Expression) — ~50x cheaper than string-set intersection.
+    // Set sizes are unchanged modulo 64-bit collisions (~1e-16/doc), so
+    // the value equals the string-set Jaccard the oracle computes.
+    // Repartition the RAW docs before the gram projection: the docs scan
+    // is one parquet split, and computing the ngram+hash+sort arrays
+    // there would serialize the most expensive per-row work onto one
+    // core. After the round-robin exchange the projection runs on every
+    // core, and (stream side) the exchange boundary also keeps
+    // CollapseProject from inlining the gram pipeline twice (once for
+    // grams, once for sz).
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs.repartition(parts)
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        array_sort(transform(charNgrams(col(textCol), n), g => xxhash64(g))).as("grams"))
+      .withColumn("sz", size(col("grams")).cast("double"))
+    // Broadcast the build side: the gram table is tiny relative to the
+    // pair count, and a broadcast hash join keeps the big gram arrays
+    // out of the shuffle entirely (the SMJ alternative shuffles ~1KB of
+    // array per candidate pair). At 100 TB the same plan holds per
+    // block/partition; AQE falls back to shuffle join if the build side
+    // outgrows memory.
+    val jac = graft.functions.GraftFunctions.jaccardSorted(col("l.grams"), col("r.grams"))
+    grams.as("l").join(broadcast(grams.as("r")),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id") &&
+        // Size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+        // size mismatch can never clear the threshold — cheap compares
+        // inside the join, before any merge scan runs. Pure optimization:
+        // removes only pairs the threshold filter would drop anyway.
+        col("l.sz") >= col("r.sz") * threshold &&
+        col("r.sz") >= col("l.sz") * threshold)
+      // Filter on the raw expression BEFORE projecting the rounded alias;
+      // filtering the alias would let predicate pushdown duplicate the
+      // merge scan per pair.
+      .where(jac >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(
-          size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
-          size(array_union(col("l.grams"), col("r.grams"))).cast("double"), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(jac, 4).as("jaccard"))
   }
 
   // ---- Embedding cosine ------------------------------------------------
@@ -160,12 +201,14 @@ object Dedup {
     * `label` column. */
   def embedCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                        cellCol: String, threshold: Double): DataFrame = {
-    val v = embs.select(col(idCol).as("id"), col(cellCol).as("cell"),
+    graft.functions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val parts = embs.sparkSession.sparkContext.defaultParallelism
+    val v = embs.repartition(parts).select(col(idCol).as("id"), col(cellCol).as("cell"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    v.as("l").join(v.as("r"),
+    v.as("l").join(broadcast(v.as("r")),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(graft.sim.Ann.cosine(col("l.vec"), col("r.vec")), 4).as("cos"))
+        round(graft.functions.GraftFunctions.cosineSim(col("l.vec"), col("r.vec")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -24,6 +24,11 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Codegen-Expression cosine (same sequential double math → identical
+    * values); requires GraftFunctions registration on the session. */
+  private def cosFast(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact cosine top-k: query rows (small — broadcast) × corpus, scored,
@@ -31,12 +36,13 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = q.crossJoin(c)
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -78,6 +84,7 @@ object Ann {
           lshSignature(col(vecCol), numPlanes).as("sig"))
         .select(col(id), col(id + "_v"), inline(array(bandStructs: _*)))
     }
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val qb = withBuckets(queries, "query_id")
     val cb = withBuckets(corpus, "neighbor_id")
     val cands = qb.join(cb, Seq("band_id", "band_val"))
@@ -87,7 +94,7 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -109,6 +116,7 @@ object Ann {
               vecCol: String, cellCol: String, k: Int,
               nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val cents = centroids(corpus, cellCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val routed = q.crossJoin(broadcast(cents))
@@ -124,7 +132,7 @@ object Ann {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

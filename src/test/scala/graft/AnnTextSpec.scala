@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Ann
+import graft.text.TextStats
+
+class AnnTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val embs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0.95f, 0.05f, 0f, 0f), 0),
+    (2L, Array(0.9f, 0.1f, 0f, 0f), 0), (3L, Array(0f, 1f, 0f, 0f), 1),
+    (4L, Array(0f, 0.9f, 0.1f, 0f), 1), (5L, Array(0f, 0f, 1f, 0f), 2),
+    (6L, Array(0f, 0f, 0.9f, 0.1f), 2), (7L, Array(0.5f, 0.5f, 0f, 0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK: self is rank 1 with cos 1.0; ranks dense and ordered") {
+    val got = Ann.bruteForceTopK(embs.filter(col("vec_id") === 0), embs,
+      "vec_id", "embedding", 3).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 3)
+    assert(got.head == ((0L, 0L, 1.0, 1)))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+  }
+
+  test("ivfTopK finds the same top neighbor as brute force for clustered vectors") {
+    val bf = Ann.bruteForceTopK(embs.filter(col("vec_id") === 0), embs,
+      "vec_id", "embedding", 2).filter(col("rank") === 1)
+      .select("neighbor_id").as[Long].head()
+    val ivf = Ann.ivfTopK(embs.filter(col("vec_id") === 0), embs,
+      "vec_id", "embedding", "label", 2).filter(col("rank") === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(ivf == bf)
+  }
+
+  test("lshTopK returns ranked candidates including the query itself") {
+    val got = Ann.lshTopK(embs.filter(col("vec_id") === 0), embs,
+      "vec_id", "embedding", 3)
+    val rows = got.orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty && rows.head._2 == 0L && rows.head._3 == 1.0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq("the cat is in the hat", "el gato es un gato", "zzz qqq").toDF("text")
+    val got = df.select(TextStats.langId(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello world 42!").toDF("text")
+    val got = df.select(TextStats.wsTokens(col("text")),
+      TextStats.bpeTokens(col("text"))).as[(Long, Long)].head()
+    assert(got == ((3L, 4L))) // hello|world|42|!
+  }
+
+  test("quality score is in [0,1] and favors prose over symbols") {
+    val df = Seq(("a", "the quick brown fox is a good dog and that is that"),
+                 ("b", "@#$% ^&*! ~~~~")).toDF("id", "text")
+    val got = df.orderBy("id").select(TextStats.qualityScore(col("text"))).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq(("A b  C", "a b c")).toDF("x", "y")
+    val got = df.select(TextStats.fingerprint(col("x")) === TextStats.fingerprint(col("y")))
+      .as[Boolean].head()
+    assert(got)
+  }
+}

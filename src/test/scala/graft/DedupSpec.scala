@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.dedup.Dedup
+import graft.functions.{JaccardImpl, MinHashImpl, SimHashImpl}
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "THE  quick   brown fox jumps over the lazy dog", "a"), // ws/case variant
+    (3L, "the quick brown fox jumps over the lazy cat", "a"),    // near-dup
+    (4L, "completely different content about spark engines", "a"),
+    (5L, "unrelated text on query optimizers and joins", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups whitespace/case variants") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("fingerprint is stable across whitespace/case variants") {
+    val fps = Dedup.fingerprint(docs, "doc_id", "text")
+      .filter(col("keep_id") === 1L).as[(String, Long, Long)].collect()
+    assert(fps.length == 1 && fps.head._3 == 2L)
+  }
+
+  test("minhash pairs surface the exact and near duplicates, not the unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical normalized docs have hamming 0") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("hamming").as[Int].collect()
+    assert(got.toSeq == Seq(0))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups high, blocks respected") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) > 0.7)
+    // doc 5 is in block "b": never paired with block "a" docs
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("embedding cosine pairs stay within cells and above threshold") {
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f), 0),
+      (3L, Array(-1f, 0f, 0f), 0), (4L, Array(1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embedCosinePairs(embs, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L))) // 1⋈4 cross-cell excluded
+    assert(got.head._3 > 0.99)
+  }
+
+  // ---- kernel-level checks of the codegen implementations --------------
+
+  test("JaccardImpl merge scan equals set-based jaccard") {
+    val a = new GenericArrayData(Array[Long](1, 3, 5, 7))
+    val b = new GenericArrayData(Array[Long](3, 5, 9))
+    assert(JaccardImpl.jaccard(a, b) == 2.0 / 5.0)
+    assert(JaccardImpl.jaccard(a, a) == 1.0)
+    assert(JaccardImpl.jaccard(new GenericArrayData(Array[Long]()),
+      new GenericArrayData(Array[Long]())) == 0.0)
+  }
+
+  test("MinHashImpl: identical text → identical signature; similar text agrees more") {
+    def sig(s: String) = MinHashImpl.compute(UTF8String.fromString(s), 5, 128)
+      .toLongArray().toSeq
+    val s1 = sig("the quick brown fox jumps over the lazy dog")
+    val s2 = sig("THE  quick brown fox jumps over the lazy dog")
+    val s3 = sig("the quick brown fox jumps over the lazy cat")
+    val s4 = sig("completely different content about spark engines")
+    assert(s1 == s2)
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(s1, s3) > agree(s1, s4))
+  }
+
+  test("SimHashImpl: identical normalized text → same hash; word order ignored") {
+    def h(s: String) = SimHashImpl.compute(UTF8String.fromString(s))
+    assert(h("alpha beta gamma") == h("ALPHA  beta   GAMMA"))
+    assert(h("alpha beta gamma") == h("gamma alpha beta")) // bag-of-words model
+    assert(java.lang.Long.bitCount(h("alpha beta gamma") ^ h("x y z w")) > 6)
+  }
+}

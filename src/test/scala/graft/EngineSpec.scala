@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.analytics.Analytics
+import graft.streaming.Streams
+import graft.multimodal.Binary
+
+/** Integration-level specs over the sf0.001 test tables: catalog,
+  * analytics headliners, streaming-vs-batch equivalence, multimodal. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog query filters state and table_type") {
+    val cat = Catalog.catalog(spark, sfDir)
+    val got = Catalog.query(cat, state = Some("NATION_3"), tableType = Some("BUILDING"))
+    val rows = got.collect()
+    assert(rows.forall(r => r.getAs[String]("state") == "NATION_3" &&
+      r.getAs[String]("table_type") == "BUILDING"))
+  }
+
+  test("summaryByState pivot: per-state counts sum to per-state total") {
+    val cat = Catalog.catalog(spark, sfDir)
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val pivoted = Catalog.summaryByState(cat, segs)
+    val viaPivot = pivoted.select(segs.map(col): _*).collect()
+      .map(r => (0 until segs.size).map(r.getLong).sum).sum
+    val direct = Catalog.numSources(cat).agg(sum("n_sources")).as[Long].head()
+    assert(viaPivot == direct)
+  }
+
+  test("q1 pricing summary has the expected group keys and positive counts") {
+    val got = Analytics.q1(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 6)
+    assert(got.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q3 returns exactly top-10 by revenue, descending") {
+    val got = Analytics.q3(spark, sfDir).as[(Long, Double, java.sql.Date)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("q5 covers the ASIA nations with positive revenue") {
+    val got = Analytics.q5(spark, sfDir).as[(String, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
+
+  test("windowTopN keeps at most 3 per brand, ranked") {
+    val got = Analytics.windowTopN(spark, sfDir).as[(String, Long, Double, Int)].collect()
+    val perBrand = got.groupBy(_._1)
+    assert(perBrand.values.forall(g => g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
+  }
+
+  test("streaming windowAgg equals the batch time-bucket aggregation") {
+    val streamed = Streams.windowAgg(spark, sfDir)
+      .orderBy("window_start_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = graft.sources.Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("v"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("n"), col("v"))
+      .orderBy("ws", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize: sessions are per-user, ordered, gap-respecting") {
+    val sessions = Streams.sessionize(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(s => s._2 <= s._3 && s._4 >= 1))
+    // no two emitted sessions of one user overlap or violate the gap
+    sessions.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 - a._3 > 30L * 60 * 1000000)
+        case _ =>
+      }
+    }
+  }
+
+  test("multimodal feature extraction: stable histograms, batch shape preserved") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents").limit(50)
+    val feats = Binary.extractFeatures(spark,
+      Binary.withMeta(docs, "doc_id", "text"), "doc_id", "payload").collect()
+    assert(feats.length == 50)
+    assert(feats.forall(f => f.features.length == 16 &&
+      math.abs(f.features.sum - 1.0f) < 1e-3))
+    val again = Binary.extractFeatures(spark,
+      Binary.withMeta(docs, "doc_id", "text"), "doc_id", "payload").collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}

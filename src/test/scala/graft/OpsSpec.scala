@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Standardize -----------------------------------------------------
+
+  test("mapCats matches case-insensitively after trim, null → UNSPECIFIED") {
+    val lut = Seq("W" -> "WHITE", "B" -> "BLACK")
+    val got = Seq(Some(" w "), Some("B"), Some("zz"), None).toDF("x")
+      .select(Standardize.mapCats(col("x"), lut, default = "KEEP").as("y"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("WHITE", "BLACK", "KEEP", "UNSPECIFIED"))
+  }
+
+  test("rangeBucket: nulls do NOT fall into the top bucket") {
+    val got = Seq(Some(5.0), Some(30.0), Some(90.0), None).toDF("x")
+      .select(Standardize.rangeBucket(col("x"), Seq(18, 65), Seq("child", "adult", "senior")).as("y"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("child", "adult", "senior", "UNSPECIFIED"))
+  }
+
+  test("precedenceCombineIn: trigger wins, otherwise primary") {
+    val df = Seq(("WHITE", "HISPANIC"), ("BLACK", "NO")).toDF("race", "eth")
+    val got = df.select(Standardize.precedenceCombineIn(
+      col("race"), col("eth"), Seq("HISPANIC"), "LATINO").as("y")).as[String].collect()
+    assert(got.toSeq == Seq("LATINO", "BLACK"))
+  }
+
+  // ---- Luts ------------------------------------------------------------
+
+  test("race LUT core vocabulary") {
+    val cases = Map(
+      "WHITE" -> "WHITE", "w" -> "WHITE", "CAUCASIAN" -> "WHITE",
+      "B" -> "BLACK", "african american" -> "BLACK",
+      "ASIAN" -> "ASIAN", "ASIAN/PACIFIC ISLANDER" -> "ASIAN/PACIFIC ISLANDER",
+      "HAWAIIAN" -> "HAWAIIAN/PACIFIC ISLANDER",
+      "HISPANIC" -> "HISPANIC/LATINO", "AMERICAN INDIAN" -> "INDIGENOUS",
+      "TWO OR MORE" -> "MULTIPLE", "OTH/UNK" -> "OTHER OR UNKNOWN",
+      "UNK" -> "UNKNOWN", "OTHER" -> "OTHER", "MISSING" -> "UNSPECIFIED",
+      "ZEBRA" -> "ZEBRA")
+    val got = cases.keys.toSeq.map(k =>
+      k -> Seq(k).toDF("raw").select(Luts.raceStd(col("raw"))).as[String].head())
+    got.foreach { case (k, v) => assert(v == cases(k), s"for '$k'") }
+  }
+
+  test("race/gender LUTs map null to UNSPECIFIED") {
+    val df = Seq(Option.empty[String]).toDF("raw")
+    assert(df.select(Luts.raceStd(col("raw"))).as[String].head() == "UNSPECIFIED")
+    assert(df.select(Luts.genderStd(col("raw"))).as[String].head() == "UNSPECIFIED")
+    assert(df.select(Luts.injuryStd(col("raw"))).as[String].head() == "UNSPECIFIED")
+  }
+
+  test("gender LUT handles punctuation/space-stripped variants") {
+    val cases = Map("M" -> "MALE", "male/man" -> "MALE", "F" -> "FEMALE",
+      "NON-BINARY" -> "GENDER NON-BINARY",
+      "TRANSGENDER MALE" -> "TRANSGENDER MALE",
+      "GENDER NON-CONFORMING" -> "TRANSGENDER OR GENDER NON-CONFORMING",
+      "NO DATA" -> "UNSPECIFIED")
+    cases.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.genderStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+  }
+
+  test("injury LUT: keywords, label strips, numerics") {
+    val cases = Map("3 - LACERATION" -> "INJURED", "OFFICER INJURED" -> "INJURED",
+      "Killed" -> "FATAL", "No" -> "NO INJURY", "0" -> "NO INJURY",
+      "1" -> "INJURED", "SUICIDE" -> "SELF-INFLICTED FATAL",
+      "COMPLAINT OF PAIN" -> "INJURED")
+    cases.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.injuryStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+  }
+
+  test("age range normalization") {
+    val cases = Map("25 - 34" -> "25-34", "OVER 65" -> "65-120", "65+" -> "65-120",
+      "UNDER 21" -> "0-21", "20S" -> "20-29", "B - 18-29" -> "18-29",
+      "25" -> "25-34", "7" -> "0-17", "" -> "UNSPECIFIED", "ADULT" -> "ADULT")
+    cases.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(AgeRange.ageRangeStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+  }
+
+  // ---- Dates -----------------------------------------------------------
+
+  test("parseDateMulti: first matching format wins, null when none") {
+    val df = Seq("01/02/1997", "19970203", "1997-02-04", "garbage").toDF("raw")
+    val got = df.select(Dates.parseDateMulti(col("raw"),
+      Seq("MM/dd/yyyy", "yyyyMMdd", "yyyy-MM-dd")).cast("string").as("d"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("1997-01-02", "1997-02-03", "1997-02-04", null))
+  }
+
+  test("mergeDateTime: empty time falls back to date when ignoring") {
+    val df = Seq(("2021-05-01", Some("10:30:00")), ("2021-05-02", None)).toDF("d", "t")
+    val ignore = df.select(Dates.mergeDateTime(col("d"), col("t")).cast("string").as("m"))
+      .as[String].collect()
+    assert(ignore.toSeq == Seq("2021-05-01 10:30:00", "2021-05-02 00:00:00"))
+    val strict = df.select(Dates.mergeDateTime(col("d"), col("t"), emptyTimeIgnore = false)
+      .cast("string").as("m")).as[String].collect()
+    assert(strict.toSeq == Seq("2021-05-01 10:30:00", null))
+  }
+
+  // ---- Expand ----------------------------------------------------------
+
+  test("expandDelim keeps rows whose cell is null") {
+    val df = Seq((1, Some("a,b")), (2, None)).toDF("id", "cell")
+    val got = Expand.expandDelim(df, "cell", ",", "v").orderBy("id", "v").collect()
+    assert(got.length == 3)
+    assert(got.map(r => (r.getInt(0), r.getAs[String]("v"))).toSeq ==
+      Seq((1, "a"), (1, "b"), (2, null)))
+  }
+
+  test("expandDelimPos does not corrupt pre-existing pos/col columns") {
+    val df = Seq((1, "x", "a,b")).toDF("id", "pos", "cell")
+    val got = Expand.expandDelimPos(df, "cell", ",", "v", "item_num")
+      .orderBy("item_num").collect()
+    assert(got.map(r => (r.getAs[String]("pos"), r.getAs[Int]("item_num"), r.getAs[String]("v"))).toSeq ==
+      Seq(("x", 0, "a"), ("x", 1, "b")))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Sources, Tables}
+import graft.sources.Sources._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dated = Seq(
+    (1L, "2020-06-01", "Austin PD"),
+    (2L, "2021-01-15", "Dallas Police"),
+    (3L, "2021-12-31", "austin pd"),
+    (4L, "2022-03-01", "Houston PD")
+  ).toDF("id", "d", "agency").withColumn("d", col("d").cast("timestamp"))
+
+  test("dateFilter Year keeps only that calendar year") {
+    val got = dated.filter(Sources.dateFilter(col("d"), Year(2021)))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("dateFilter YearRange is inclusive on both years") {
+    val got = dated.filter(Sources.dateFilter(col("d"), YearRange(2020, 2021)))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("dateFilter DateRange is half-open [start, end)") {
+    val got = dated.filter(Sources.dateFilter(col("d"), DateRange("2021-01-15", "2021-12-31")))
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("agencyFilter matches case-insensitive substrings") {
+    val got = dated.filter(Sources.agencyFilter(col("agency"), "AUSTIN"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("load composes date + agency + projection") {
+    val got = Sources.load(dated,
+      date = Some(("d", YearRange(2020, 2021))),
+      agency = Some(("agency", "pd")),
+      select = Seq("id"))
+    assert(got.columns.toSeq == Seq("id"))
+    assert(got.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("pageAfter is deterministic keyset paging") {
+    val e = Tables(spark, sfDir, "events")
+    val p1 = Sources.pageAfter(e, "event_id", -1L, 10).select("event_id").as[Long].collect()
+    assert(p1.length == 10 && p1.toSeq == p1.sorted.toSeq)
+    val p2 = Sources.pageAfter(e, "event_id", p1.last, 10).select("event_id").as[Long].collect()
+    assert(p2.length == 10 && p2.head > p1.last)
+  }
+
+  test("loadIter yields fixed-size chunks covering all rows exactly once") {
+    val e = Tables(spark, sfDir, "events").limit(95)
+    val chunks = Sources.loadIter(e, "event_id", 20).map(_.count()).toSeq
+    assert(chunks.init.forall(_ == 20) && chunks.sum == 95)
+  }
+
+  test("loadIter fails fast on a non-integral sort key") {
+    val e = Tables(spark, sfDir, "events")
+    intercept[IllegalArgumentException](Sources.loadIter(e, "event_type", 10))
+  }
+
+  test("combine aligns schemas with nulls for missing columns") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, 3.0)).toDF("id", "only_b")
+    val got = Sources.combine(Seq(a, b)).orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("only_a") == "x" && got(0).isNullAt(2))
+    assert(got(1).isNullAt(1) && got(1).getAs[Double]("only_b") == 3.0)
+  }
+}
