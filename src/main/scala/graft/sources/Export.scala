@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-table export with the reference's canonical filenames.
+  *
+  * Reference: openpolicedata/data.py:397 `Table.to_csv`, :1963
+  * `get_csv_filename`, :2105 `_get_filename` — filename is
+  * `{state}_{source}[_{agency} if != source]_{table_type}_{date}` where
+  * a date range renders as `{start}_{stop}`; extension selects format.
+  *
+  * Scale notes: writes stay distributed (one file per partition by
+  * default); `singleFile=true` coalesces through one task and is only
+  * for small reference extracts — never the 100 TB path.
+  */
+object Export {
+
+  /** Canonical base filename (without extension) — data.py:2105. */
+  def canonicalBase(state: String, sourceName: String, agency: String,
+                    tableType: String, date: Either[String, (String, String)]): String = {
+    val b = new StringBuilder(s"${state}_$sourceName")
+    if (sourceName != agency) b.append(s"_$agency")
+    b.append(s"_$tableType")
+    date match {
+      case Left(single)       => b.append(s"_$single")
+      case Right((d0, d1))    => b.append(s"_${d0}_$d1")
+    }
+    b.toString
+  }
+
+  def csvFilename(state: String, sourceName: String, agency: String,
+                  tableType: String, date: Either[String, (String, String)]): String =
+    canonicalBase(state, sourceName, agency, tableType, date) + ".csv"
+
+  def parquetFilename(state: String, sourceName: String, agency: String,
+                      tableType: String, date: Either[String, (String, String)]): String =
+    canonicalBase(state, sourceName, agency, tableType, date) + ".parquet"
+
+  /** `Table.to_csv`: write under outputDir with the canonical name. */
+  def toCsv(df: DataFrame, outputDir: String, state: String, sourceName: String,
+            agency: String, tableType: String,
+            date: Either[String, (String, String)],
+            singleFile: Boolean = false): String = {
+    val path = s"$outputDir/${csvFilename(state, sourceName, agency, tableType, date)}"
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+
+  def toParquet(df: DataFrame, outputDir: String, state: String, sourceName: String,
+                agency: String, tableType: String,
+                date: Either[String, (String, String)]): String = {
+    val path = s"$outputDir/${parquetFilename(state, sourceName, agency, tableType, date)}"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+}

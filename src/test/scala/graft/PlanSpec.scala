@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+import graft.sources.{Export, Sources, Tables}
+import graft.sources.Sources.Year
+
+/** Physical-plan audits: the scale properties (filter pushdown, column
+  * pruning, broadcast joins, whole-stage codegen) must be visible in the
+  * executed plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q_load_year: year selector compiles to a pushed range predicate") {
+    val df = Sources.load(Tables(spark, sfDir, "orders"),
+      date = Some(("o_orderdate", Year(1997))))
+    val p = planOf(df)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      s"year filter must push as a range, got:\n$p")
+  }
+
+  test("q_load_select: read schema pruned to the projection") {
+    val df = Sources.load(Tables(spark, sfDir, "lineitem"),
+      select = Seq("l_orderkey", "l_quantity"))
+    val p = planOf(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("q1: map-side partial aggregation precedes the exchange") {
+    val p = planOf(Analytics.q1(spark, sfDir))
+    // partial_* before the Exchange = map-side combine: the shuffle
+    // carries 6 grouped rows, not the scan.
+    assert(p.contains("partial_sum") && p.indexOf("partial_sum") > p.indexOf("Exchange"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("q5: all three dims join via BroadcastHashJoin") {
+    val p = planOf(Analytics.q5(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q3: filtered customer side is broadcast; date filters pushed") {
+    val p = planOf(Analytics.q3(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("ngram pairs: candidate generation is an equi-join on the block key") {
+    val df = graft.dedup.Dedup.ngramJaccardPairs(
+      Tables(spark, sfDir, "documents"), "doc_id", "text", "source", 3, 0.6)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("blk"),
+      s"pair generation must be a bucketed equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unblocked cross product allowed:\n$p")
+  }
+
+  test("minhash pairs: candidates join on band buckets, never cross product") {
+    val df = graft.dedup.Dedup.minhashPairs(
+      Tables(spark, sfDir, "documents"), "doc_id", "text")
+    val p = planOf(df)
+    assert(p.contains("band_hash"), p)
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
+  test("export writes canonical reference filenames") {
+    assert(Export.csvFilename("Texas", "Austin", "Austin", "STOPS", Left("2020"))
+      == "Texas_Austin_STOPS_2020.csv")
+    assert(Export.csvFilename("Texas", "Austin", "Austin PD", "STOPS",
+      Right(("2020", "2022"))) == "Texas_Austin_Austin PD_STOPS_2020_2022.csv")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val path = Export.toParquet(Tables(spark, sfDir, "region"), tmp,
+      "Texas", "Austin", "Austin", "STOPS", Left("2020"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 5)
+  }
+}
