@@ -239,6 +239,27 @@ object Luts {
              ContainsAny(Seq("CANINE", "BLANKET", "DISPLAYED", "CUTTING"))), "NO")
   )
 
+  // ---- Ethnicity vocabulary (_converters.py:233, defs.py:491) ----------
+
+  val ethRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq("MISSING", "NOT SPECIFIED", "", "NOT RECORDED", "N/A",
+                       "NONE", "BLANK")),
+             ContainsAny(Seq("NO DATA", "NULL"))), UNSPECIFIED),
+    Rule(Seq(ContainsAny(Seq("NONHISPANIC", "NONLATINO", "NOTHISPANIC"), noSpace = true),
+             InSet(Seq("N", "NH", "NON HISPANIC", "NON-HISPANIC"))),
+         "NON-HISPANIC/NON-LATINO"),
+    Rule(Seq(InSet(Seq("H", "L", "HISP", "HIS")),
+             ContainsAny(Seq("HISPANIC", "LATINO"))), "HISPANIC/LATINO"),
+    Rule(Seq(InSet(Seq("ME", "ARABIC")), ContainsAny(Seq("MIDDLE EAST"))),
+         "MIDDLE EASTERN"),
+    Rule(Seq(ContainsAny(Seq("UNK")), InSet(Seq("U", "UK"))), "UNKNOWN")
+  )
+
+  /** raw → standardized ethnicity category (null → UNSPECIFIED). */
+  def ethStd(raw: Column): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(ethRules, cleanRace(raw), trim(upper(raw))))
+
   // ---- End-to-end column builders + matching oracle SQL ----------------
 
   /** raw → standardized race category (null → UNSPECIFIED). */

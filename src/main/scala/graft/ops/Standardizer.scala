@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The full standardization pipeline — the reference's
+  * `Table.standardize` (openpolicedata/data.py:682 → preproc.py:1456
+  * `standardize_rename_only`, :1480 `sort_columns`, :1491
+  * `standardize_columns`) as one DataFrame → DataFrame transform:
+  *
+  *   1. identify source columns by name patterns ([[Identify]])
+  *   2. copy them to canonical names (originals kept under RAW_ prefix,
+  *      the reference's _OLD_COLUMN_INDICATOR behavior)
+  *   3. apply the categorical LUTs ([[Luts]], [[AgeRange]])
+  *   4. parse/merge date + time ([[Dates]])
+  *   5. order columns: standardized first, untouched passthroughs next,
+  *      RAW_ originals last
+  *
+  * Everything is a stack of narrow per-row projections — single scan
+  * stage, no shuffle, safe at any scale.
+  */
+object Standardizer {
+
+  val RawPrefix = "RAW_"
+
+  final case class Result(df: DataFrame, colMap: Map[String, String])
+
+  /** Standardize every identified field. */
+  def standardize(df: DataFrame,
+                  known: Map[String, String] = Map.empty,
+                  dateFormats: Seq[String] = Seq("yyyy-MM-dd", "MM/dd/yyyy", "yyyyMMdd")): Result = {
+    val colMap = Identify.identifyColumns(df, known)
+
+    def convert(field: String, src: Column): Column = field match {
+      case "RACE"      => Luts.raceStd(src)
+      case "ETHNICITY" => Luts.ethStd(src)
+      case "GENDER"    => Luts.genderStd(src)
+      case "INJURY"    => Luts.injuryStd(src)
+      case "AGE_RANGE" => AgeRange.ageRangeStd(src)
+      case "AGE"       => src.cast("string")
+      // date-only canonical string ("yyyy-MM-dd") so the DATETIME merge
+      // below can re-parse it with the default formats
+      case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string")
+      case "TIME"      => Dates.parseTime(src)
+      case _           => src
+    }
+
+    val stdCols = colMap.toSeq.sortBy(f => Identify.fieldPatterns.indexWhere(_._1 == f._1))
+    var out = df
+    stdCols.foreach { case (field, srcName) =>
+      out = out.withColumn(field, convert(field, col(srcName)))
+    }
+    // DATE+TIME merge when both present (preproc.py:1406 merge_date_time)
+    if (colMap.contains("DATE") && colMap.contains("TIME"))
+      out = out.withColumn("DATETIME",
+        Dates.mergeDateTime(col("DATE"), col("TIME")))
+
+    // Rename originals to RAW_* and order columns canonically.
+    val renames = colMap.values.toSeq.distinct.filterNot(colMap.keySet.contains)
+    renames.foreach(c => out = out.withColumnRenamed(c, RawPrefix + c))
+    val stdNames = stdCols.map(_._1) ++ (if (out.columns.contains("DATETIME")) Seq("DATETIME") else Nil)
+    val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq
+    val passthru = out.columns.filterNot(c => stdNames.contains(c) || rawNames.contains(c)).toSeq
+    Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-format data loaders behind one interface — the reference's
+  * data_loaders registry (openpolicedata/data_loaders/data_loader.py:297;
+  * per-backend `get_count` / `load` / `get_years`) re-expressed as lazy
+  * Spark scans. The live HTTP backends (Socrata/ArcGIS/CKAN/Carto/ODS)
+  * are out of scope in this zero-egress build (SURVEY §5); their query
+  * semantics — server-side WHERE on dates, projection, paging — are what
+  * [[Sources]] implements on top of any loader here, with Catalyst
+  * pushing the predicates into the scan exactly as the reference pushes
+  * them into the backend's query API.
+  */
+object Loaders {
+
+  sealed trait Loader {
+    /** Lazy scan; every [[Sources]] operator composes on top. */
+    def load(spark: SparkSession, path: String): DataFrame
+  }
+
+  /** Parquet-backed dataset (the native path). */
+  case object ParquetLoader extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.normalizeEventTs(spark.read.parquet(path))
+    }
+  }
+
+  /** CSV-backed dataset (reference data_loaders/csv.py `Csv`). */
+  final case class CsvLoader(header: Boolean = true, inferSchema: Boolean = true,
+                             delimiter: String = ",") extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame =
+      spark.read
+        .option("header", header.toString)
+        .option("inferSchema", inferSchema.toString)
+        .option("delimiter", delimiter)
+        .csv(path)
+  }
+
+  /** JSON-lines-backed dataset. */
+  case object JsonLoader extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame =
+      spark.read.json(path)
+  }
+
+  /** Format registry (reference data_loaders/__init__.py exports). */
+  val registry: Map[String, Loader] = Map(
+    "parquet" -> ParquetLoader,
+    "csv" -> CsvLoader(),
+    "json" -> JsonLoader)
+
+  def apply(format: String): Loader =
+    registry.getOrElse(format.toLowerCase,
+      throw new IllegalArgumentException(
+        s"Unknown loader format '$format' (have: ${registry.keys.mkString(", ")})"))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dates, Identify, Luts, Standardizer}
+import graft.sources.Loaders
+
+class StandardizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val messy = Seq(
+    ("2020-06-01", "14:30", "W", "HISPANIC", "M", "25", "Austin PD", 1L),
+    ("06/02/2020", "230", "BLACK", "NON-HISPANIC", "F", "40 AND OLDER", "Dallas Police", 2L),
+    ("20200603", "2:15 PM", "UNKNOWN", null, null, null, "Austin PD", 3L)
+  ).toDF("incident_date", "incident_tm", "subject_race", "subject_ethnicity",
+    "subject_sex", "subject_age", "agency_name", "case_id")
+
+  test("identifyColumns maps messy names to canonical fields") {
+    val got = Identify.identifyColumns(messy)
+    assert(got("DATE") == "incident_date")
+    assert(got("TIME") == "incident_tm")
+    assert(got("RACE") == "subject_race")
+    assert(got("ETHNICITY") == "subject_ethnicity")
+    assert(got("GENDER") == "subject_sex")
+    assert(got("AGE") == "subject_age")
+    assert(got("AGENCY") == "agency_name")
+    assert(!got.contains("FATAL"))
+  }
+
+  test("identifyColumns rejects unknown known-column overrides") {
+    intercept[IllegalArgumentException](
+      Identify.identifyColumns(messy, known = Map("DATE" -> "nope")))
+  }
+
+  test("standardize: full pipeline renames, converts, merges, orders") {
+    val r = Standardizer.standardize(messy)
+    val df = r.df
+    // standardized first, passthrough middle, RAW_ last
+    assert(df.columns.head == "DATE")
+    assert(df.columns.last.startsWith(Standardizer.RawPrefix))
+    assert(df.columns.contains("DATETIME"))
+    assert(df.columns.contains("case_id"))
+    val rows = df.orderBy("case_id")
+      .select("DATE", "TIME", "RACE", "ETHNICITY", "GENDER", "DATETIME")
+      .collect()
+    assert(rows(0).getString(0) == "2020-06-01" && rows(0).getString(1) == "14:30:00")
+    assert(rows(0).getString(2) == "WHITE" && rows(0).getString(3) == "HISPANIC/LATINO")
+    assert(rows(1).getString(0) == "2020-06-02" && rows(1).getString(1) == "02:30:00")
+    assert(rows(1).getString(2) == "BLACK" && rows(1).getString(3) == "NON-HISPANIC/NON-LATINO")
+    assert(rows(2).getString(0) == "2020-06-03" && rows(2).getString(1) == "14:15:00")
+    assert(rows(2).getString(3) == "UNSPECIFIED" && rows(2).getString(4) == "UNSPECIFIED")
+    assert(rows(0).getTimestamp(5).toString == "2020-06-01 14:30:00.0")
+  }
+
+  test("parseDateFlexible: epochs, int dates, quarters, format list") {
+    val df = Seq("1577836800", "1577836800000", "20200601", "2021-Q3",
+      "06/15/2020", "garbage").toDF("raw")
+    val got = df.select(Dates.parseDateFlexible(col("raw"),
+      Seq("yyyy-MM-dd", "MM/dd/yyyy")).cast("string")).as[String].collect()
+    assert(got.toSeq == Seq("2020-01-01 00:00:00", "2020-01-01 00:00:00",
+      "2020-06-01 00:00:00", "2021-07-01 00:00:00", "2020-06-15 00:00:00", null))
+  }
+
+  test("parseTime: 24h, military, AM/PM, invalid") {
+    val df = Seq("9:05", "14:30:59", "230", "2359", "12:00 AM", "12:30 PM",
+      "1:05:09 PM", "2560", "noon").toDF("raw")
+    val got = df.select(Dates.parseTime(col("raw"))).as[String].collect()
+    assert(got.toSeq == Seq("09:05:00", "14:30:59", "02:30:00", "23:59:00",
+      "00:00:00", "12:30:00", "13:05:09", null, null))
+  }
+
+  test("ethnicity LUT core vocabulary") {
+    val cases = Map("HISPANIC" -> "HISPANIC/LATINO", "H" -> "HISPANIC/LATINO",
+      "NON-HISPANIC" -> "NON-HISPANIC/NON-LATINO", "NOT HISPANIC" -> "NON-HISPANIC/NON-LATINO",
+      "MIDDLE EASTERN" -> "MIDDLE EASTERN", "U" -> "UNKNOWN", "" -> "UNSPECIFIED")
+    cases.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.ethStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+  }
+
+  test("loader registry round-trips CSV with the Sources API on top") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Tables(spark, sfDir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(s"$tmp/nation.csv")
+    val back = Loaders("csv").load(spark, s"$tmp/nation.csv")
+    assert(back.count() == 25)
+    assert(graft.sources.Sources.load(back, select = Seq("n_name")).columns.toSeq == Seq("n_name"))
+    intercept[IllegalArgumentException](Loaders("xml"))
+  }
+}
