@@ -37,9 +37,13 @@ object Ann {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // Repartition the corpus before scoring: the parquet scan is a
+    // single split, which would serialize the |Q|x|C| cosine loop.
+    val c = corpus.repartition(parts)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = q.crossJoin(c)
       .select(col("query_id"), col("neighbor_id"),
         round(cosFast(col("qv"), col("cv")), 4).as("cos"))
@@ -85,8 +89,11 @@ object Ann {
         .select(col(id), col(id + "_v"), inline(array(bandStructs: _*)))
     }
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val qb = withBuckets(queries, "query_id")
-    val cb = withBuckets(corpus, "neighbor_id")
+    // Corpus signatures are the expensive projection — spread the single
+    // parquet split across cores first.
+    val cb = withBuckets(corpus.repartition(parts), "neighbor_id")
     val cands = qb.join(cb, Seq("band_id", "band_val"))
       .select(col("query_id"), col("neighbor_id"),
         col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
@@ -117,6 +124,7 @@ object Ann {
               nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val cents = centroids(corpus, cellCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val routed = q.crossJoin(broadcast(cents))
@@ -126,7 +134,7 @@ object Ann {
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = routed.withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe).select("query_id", "qv", "cell")
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.repartition(parts).select(col(idCol).as("neighbor_id"),
       col(cellCol).as("cell"), asDouble(col(vecCol)).as("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
