@@ -41,19 +41,48 @@ object Dates {
     * used to canonicalize before comparisons. */
   def toSecond(c: Column): Column = date_trunc("second", c)
 
+  /** Format fallback list covering the shapes the reference's own test
+    * suite exercises (tests/test_date_parser.py:57,64 parametrizations):
+    * ISO with/without time, T-separators with .000/.000Z millis, US
+    * orderings with 2- or 4-digit years, "HHmm hours" military stamps,
+    * month-name dates, and "+00"-offset timestamps. */
+  val defaultFormats: Seq[String] = Seq(
+    "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ssx",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "MM/dd/yyyy", "M/d/yyyy",
+    "MM/dd/yyyy HH:mm", "MM/dd/yyyy HHmm", "MM-dd-yyyy",
+    "MMMM d, yyyy")
+
   /** Flexible date parse covering the reference's real-world shapes
-    * (datetime_parser.py:14): epoch millis (13 digits), epoch seconds
-    * (10 digits), YYYYMMDD ints (8 digits), quarterly strings
-    * ("2021-Q2" → quarter start), then the caller's format list. */
-  def parseDateFlexible(c: Column, formats: Seq[String]): Column = {
-    val s = trim(c.cast("string"))
+    * (datetime_parser.py:14 `parse_date_to_datetime` and the formats in
+    * tests/test_date_parser.py): epoch millis (13 digits), epoch seconds
+    * (10 digits), YYYYMMDD[HHMMSS] ints — including float-rendered
+    * "20200601.0" — quarterly strings ("2021-Q2" → quarter start), then
+    * a format fallback list. Trailing " hours" and repeated spaces are
+    * normalized first. */
+  def parseDateFlexible(c: Column, formats: Seq[String] = defaultFormats): Column = {
+    val s = regexp_replace(regexp_replace(regexp_replace(
+      trim(c.cast("string")), "\\.0$", ""), "(?i)\\s*hours$", ""), "\\s{2,}", " ")
     val qYear = regexp_extract(s, "^(\\d{4})\\s*-?\\s*Q([1-4])$", 1).cast("int")
     val qNum = regexp_extract(s, "^(\\d{4})\\s*-?\\s*Q([1-4])$", 2).cast("int")
     when(s.rlike("^\\d{13}$"), timestamp_millis(s.cast("long")))
       .when(s.rlike("^\\d{10}$"), timestamp_seconds(s.cast("long")))
+      .when(s.rlike("^\\d{14}$"), try_to_timestamp(s, lit("yyyyMMddHHmmss")))
       .when(s.rlike("^\\d{8}$"), try_to_timestamp(s, lit("yyyyMMdd")))
       .when(s.rlike("^\\d{4}\\s*-?\\s*Q[1-4]$"),
         make_timestamp(qYear, (qNum - 1) * 3 + 1, lit(1), lit(0), lit(0), lit(0)))
+      // 2-digit years need their own branch: a generic "M/d/yyyy" in the
+      // fallback list would parse "1/2/97" as year 0097, and Java's 'yy'
+      // pivots to 2000-2099 while the reference follows the POSIX %y
+      // convention (69-99 → 19xx) — so build from components.
+      .when(s.rlike("^\\d{1,2}/\\d{1,2}/\\d{2}$"), {
+        val m2 = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2})$", 1).cast("int")
+        val d2 = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2})$", 2).cast("int")
+        val y2 = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2})$", 3).cast("int")
+        val y4 = when(y2 >= 69, y2 + 1900).otherwise(y2 + 2000)
+        make_timestamp(y4, m2, d2, lit(0), lit(0), lit(0))
+      })
       .otherwise(coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*))
   }
 

@@ -28,7 +28,7 @@ object Standardizer {
   /** Standardize every identified field. */
   def standardize(df: DataFrame,
                   known: Map[String, String] = Map.empty,
-                  dateFormats: Seq[String] = Seq("yyyy-MM-dd", "MM/dd/yyyy", "yyyyMMdd")): Result = {
+                  dateFormats: Seq[String] = Dates.defaultFormats): Result = {
     val colMap = Identify.identifyColumns(df, known)
 
     def convert(field: String, src: Column): Column = field match {
