@@ -262,20 +262,42 @@ object Luts {
 
   // ---- End-to-end column builders + matching oracle SQL ----------------
 
+  /** The reference's `no_id` unidentified-value modes
+    * (_converters.py:293 signature): "keep" passes the original value
+    * through, "null" maps it to empty string, "error" fails the job
+    * with the offending value (raise_error — the Spark analogue of the
+    * reference's ValueError). */
+  def noIdFallback(raw: Column, noId: String): Column = noId match {
+    case "keep"  => trim(upper(raw))
+    case "null"  => lit("")
+    case "error" => raise_error(concat(lit("Unknown value in column: "), raw)).cast("string")
+    case other   => throw new IllegalArgumentException(s"noId must be keep|null|error, got $other")
+  }
+
   /** raw → standardized race category (null → UNSPECIFIED). */
-  def raceStd(raw: Column): Column =
+  def raceStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(raceRules, cleanRace(raw), trim(upper(raw))))
+      .otherwise(rulesToColumn(raceRules, cleanRace(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized gender category (null → UNSPECIFIED). */
-  def genderStd(raw: Column): Column =
+  def genderStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(genderRules, cleanGender(raw), trim(upper(raw))))
+      .otherwise(rulesToColumn(genderRules, cleanGender(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized injury category (null → UNSPECIFIED). */
-  def injuryStd(raw: Column): Column =
+  def injuryStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(injuryRules, cleanInjury(raw), trim(upper(raw))))
+      .otherwise(rulesToColumn(injuryRules, cleanInjury(raw), noIdFallback(raw, noId)))
+
+  /** raw → FATAL yes/no category (_converters.py:853). */
+  def fatalStd(raw: Column, noId: String = "keep"): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(fatalRules, trim(upper(raw)), noIdFallback(raw, noId)))
+
+  /** raw → firearm yes/no category (_converters.py:884). */
+  def firearmStd(raw: Column, noId: String = "keep"): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(firearmRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
   /** Matching oracle SQL expressions over a column literally named `raw`. */
   def raceStdSql: String =

@@ -87,6 +87,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("no_id modes: keep passes through, null blanks, error raises") {
+    val df = Seq("GLORP").toDF("raw")
+    assert(df.select(Luts.raceStd(col("raw"), "keep")).as[String].head() == "GLORP")
+    assert(df.select(Luts.raceStd(col("raw"), "null")).as[String].head() == "")
+    intercept[Exception](df.select(Luts.raceStd(col("raw"), "error")).as[String].head())
+    intercept[IllegalArgumentException](Luts.raceStd(col("raw"), "bogus"))
+  }
+
+  test("fatal and firearm yes/no LUTs") {
+    val fatal = Map("FATAL" -> "YES", "Deceased" -> "YES", "non-fatal" -> "NO",
+      "N" -> "NO", "SELF-INFLICTED" -> "SELF-INFLICTED FATAL", "1" -> "YES")
+    fatal.foreach { case (k, want) =>
+      assert(Seq(k).toDF("raw").select(Luts.fatalStd(col("raw"))).as[String].head() == want, s"fatal '$k'")
+    }
+    val firearm = Map("FIREARM" -> "YES", "TRUE" -> "YES", "OC SPRAY" -> "NO",
+      "CANINE UNIT" -> "NO", "0" -> "NO")
+    firearm.foreach { case (k, want) =>
+      assert(Seq(k).toDF("raw").select(Luts.firearmStd(col("raw"))).as[String].head() == want, s"firearm '$k'")
+    }
+  }
+
   // ---- Dates -----------------------------------------------------------
 
   test("parseDateMulti: first matching format wins, null when none") {
