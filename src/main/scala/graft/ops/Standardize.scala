@@ -65,4 +65,12 @@ object Standardize {
   def precedenceCombineIn(primary: Column, secondary: Column,
                           triggers: Seq[String], triggerOut: String): Column =
     when(secondary.isin(triggers: _*), triggerOut).otherwise(primary)
+
+  /** Multi-person cell standardization — the reference's `std_dict`
+    * (_converters.py:908): a delimited cell holding several people's
+    * values ("BLACK, WHITE") is standardized per item and re-joined in
+    * order. Cells without the delimiter go through `stdFn` unchanged. */
+  def stdMulti(c: Column, delim: String, stdFn: Column => Column): Column =
+    when(c.isNull, stdFn(c))
+      .otherwise(array_join(transform(split(c, delim), x => stdFn(trim(x))), delim.trim + " "))
 }

@@ -95,6 +95,13 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Luts.raceStd(col("raw"), "bogus"))
   }
 
+  test("stdMulti standardizes each person in a delimited cell") {
+    val df = Seq(Some("B, WHITE"), Some("ASIAN"), None).toDF("raw")
+    val got = df.select(Standardize.stdMulti(col("raw"), ",", Luts.raceStd(_)).as("y"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("BLACK, WHITE", "ASIAN", "UNSPECIFIED"))
+  }
+
   test("fatal and firearm yes/no LUTs") {
     val fatal = Map("FATAL" -> "YES", "Deceased" -> "YES", "non-fatal" -> "NO",
       "N" -> "NO", "SELF-INFLICTED" -> "SELF-INFLICTED FATAL", "1" -> "YES")
