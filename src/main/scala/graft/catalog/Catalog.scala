@@ -72,6 +72,11 @@ object Catalog {
   def numSources(cat: DataFrame): DataFrame =
     cat.groupBy("state").agg(count_distinct(col("source_id")).as("n_sources"))
 
+  /** `num_unique` (datasets.py:160): distinct values of one catalog
+    * column. */
+  def numUnique(cat: DataFrame, column: String): Long =
+    cat.select(column).distinct().count()
+
   /** `get_table_types(contains=)` (datasets.py:317): distinct table types
     * matching a case-insensitive substring. */
   def tableTypes(cat: DataFrame, contains: Option[String] = None): DataFrame = {

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{JaccardImpl, MinHashImpl, SimHashImpl}
+
+/** Property-style tests for the codegen kernels over seeded random
+  * samples — no Spark session needed, these hit the static
+  * implementations the generated code calls. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+  private val Trials = 200
+
+  private def randomSet(): Set[Long] =
+    Seq.fill(rng.nextInt(60))(rng.nextLong() % 1000).toSet
+
+  private def arr(s: Set[Long]) = new GenericArrayData(s.toArray.sorted)
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta")
+  private def randomText(): String =
+    Seq.fill(1 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  test("JaccardImpl equals set-definition jaccard for any sorted distinct input") {
+    (1 to Trials).foreach { _ =>
+      val (a, b) = (randomSet(), randomSet())
+      val want =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      assert(JaccardImpl.jaccard(arr(a), arr(b)) == want, s"a=$a b=$b")
+    }
+  }
+
+  test("JaccardImpl is symmetric and bounded") {
+    (1 to Trials).foreach { _ =>
+      val (a, b) = (randomSet(), randomSet())
+      val j1 = JaccardImpl.jaccard(arr(a), arr(b))
+      val j2 = JaccardImpl.jaccard(arr(b), arr(a))
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+    }
+  }
+
+  test("MinHash signature is deterministic and whitespace/case invariant") {
+    def sig(s: String) = MinHashImpl.compute(UTF8String.fromString(s), 5, 64).toLongArray().toSeq
+    (1 to Trials).foreach { _ =>
+      val t = randomText()
+      assert(sig(t) == sig("  " + t.toUpperCase.replace(" ", "   ") + " "), t)
+    }
+  }
+
+  test("MinHash agreement is total for identical docs, partial for disjoint vocab") {
+    def sig(s: String) = MinHashImpl.compute(UTF8String.fromString(s), 5, 64).toLongArray()
+    (1 to Trials).foreach { _ =>
+      val t = randomText()
+      val same = sig(t).zip(sig(t)).count(p => p._1 == p._2)
+      val other = sig(t).zip(sig("qqqq wwww xxxx yyyy zzzz")).count(p => p._1 == p._2)
+      assert(same == 64 && other < 64, t)
+    }
+  }
+
+  test("MinHash estimated jaccard tracks true shingle jaccard") {
+    def shingles(s: String): Set[String] = {
+      val n = MinHashImpl.normalize(s)
+      (0 to math.max(n.length - 5, 0)).map(i => n.substring(i, math.min(i + 5, n.length))).toSet
+    }
+    def sig(s: String) = MinHashImpl.compute(UTF8String.fromString(s), 5, 128).toLongArray()
+    var totalErr = 0.0
+    val pairs = 100
+    (1 to pairs).foreach { _ =>
+      val (a, b) = (randomText(), randomText())
+      val sa = shingles(a); val sb = shingles(b)
+      val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      val estJ = sig(a).zip(sig(b)).count(p => p._1 == p._2).toDouble / 128
+      totalErr += math.abs(trueJ - estJ)
+    }
+    // 128 perms → stderr ~ sqrt(j(1-j)/128) ≈ 0.04; mean abs error well under 0.1
+    assert(totalErr / pairs < 0.1, s"mean abs error ${totalErr / pairs}")
+  }
+
+  test("SimHash is a bag-of-words model: order invariant") {
+    (1 to Trials).foreach { _ =>
+      val t = randomText()
+      val shuffled = t.split(" ").reverse.mkString(" ")
+      assert(SimHashImpl.compute(UTF8String.fromString(t)) ==
+        SimHashImpl.compute(UTF8String.fromString(shuffled)), t)
+    }
+  }
+}
