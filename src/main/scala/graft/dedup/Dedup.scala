@@ -78,15 +78,17 @@ object Dedup {
     val sigs = docs.repartition(parts).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.minhashSig(col(textCol), k, numPerms).as("sig"))
     val buckets = lshBuckets(sigs, "id", "sig", bands, numPerms / bands)
-    val cands = buckets.as("l").join(buckets.as("r"),
+    // Bucket join broadcasts the (tiny) banded build side — collision
+    // enumeration stays a local hash probe instead of an SMJ shuffle.
+    val cands = buckets.as("l").join(broadcast(buckets.as("r")),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     cands
-      .join(sigs.withColumnRenamed("sig", "sig_a"), col("id_a") === col("id"))
+      .join(broadcast(sigs.withColumnRenamed("sig", "sig_a")), col("id_a") === col("id"))
       .drop("id")
-      .join(sigs.withColumnRenamed("sig", "sig_b"), col("id_b") === col("id"))
+      .join(broadcast(sigs.withColumnRenamed("sig", "sig_b")), col("id_b") === col("id"))
       .drop("id")
       .select(col("id_a"), col("id_b"),
         round(estJaccard(col("sig_a"), col("sig_b"), numPerms), 4).as("est_jaccard"))
@@ -124,7 +126,10 @@ object Dedup {
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val")))
     val banded = sims.select(col("id"), col("sim"),
       inline(array(bandStructs: _*)))
-    banded.as("l").join(banded.as("r"),
+    // The banded table is tiny (4 rows per doc) — broadcast the build
+    // side so band-collision enumeration is a local hash probe, not an
+    // SMJ shuffle of every collision.
+    banded.as("l").join(broadcast(banded.as("r")),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_val") === col("r.band_val") &&
         col("l.id") < col("r.id"))
