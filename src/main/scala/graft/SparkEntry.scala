@@ -86,11 +86,6 @@ object SparkEntry {
     ("BLACK", null), ("ASIAN", "NOT HISPANIC"), (null, "HISPANIC"),
     ("B", "H"), ("CAUCASIAN", "UNKNOWN"), ("UNKNOWN", "LATINO"), (null, null))
 
-  /** Eth values that force the combined category to Latino —
-    * preproc.py:1533 combine_race_ethnicity. */
-  private val latinoEth = Seq("HISPANIC", "LATINO", "HISPANIC/LATINO",
-    "HISPANIC OR LATINO", "H", "L")
-
   // ---- flagship ---------------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -185,10 +180,9 @@ object SparkEntry {
       val df = raceEthRaws.zipWithIndex
         .map { case ((r, e), i) => (i + 1, Option(r), Option(e)) }
         .toDF("id", "race", "eth")
-      val ethNorm = upper(trim(col("eth")))
       df.select(col("id"), col("race"), col("eth"),
-          Standardize.precedenceCombineIn(
-            Luts.raceStd(col("race")), ethNorm, latinoEth, "HISPANIC/LATINO")
+          Standardize.combineRaceEth(
+            Luts.raceStd(col("race")), Luts.ethStd(col("eth")), "merge")
             .as("race_eth"))
         .orderBy("id")
     }),
@@ -412,9 +406,11 @@ object SparkEntry {
         s"(${i + 1}, ${if (r == null) "NULL" else sqlLit(r)}, ${if (e == null) "NULL" else sqlLit(e)})"
       }.mkString(", ")
       val raceCase = Luts.raceStdSql.replace("raw", "race")
+      val ethCase = Luts.ethStdSql.replace("raw", "eth")
+      // merge mode (preproc.py:1594): ethnicity wins unless NON-LATINO
       s"""SELECT id, race, eth,
-         |  CASE WHEN upper(trim(eth)) IN (${latinoEth.map(sqlLit).mkString(", ")})
-         |       THEN 'HISPANIC/LATINO' ELSE $raceCase END AS race_eth
+         |  CASE WHEN $ethCase = 'NON-HISPANIC/NON-LATINO'
+         |       THEN $raceCase ELSE $ethCase END AS race_eth
          |FROM (VALUES $rows) AS t(id, race, eth)
          |ORDER BY id""".stripMargin
     },

@@ -309,4 +309,7 @@ object Luts {
   def injuryStdSql: String =
     s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
       rulesToSql(injuryRules, cleanInjurySql, "trim(upper(raw))") + " END"
+  def ethStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(ethRules, cleanRaceSql, "trim(upper(raw))") + " END"
 }

@@ -66,6 +66,22 @@ object Standardize {
                           triggers: Seq[String], triggerOut: String): Column =
     when(secondary.isin(triggers: _*), triggerOut).otherwise(primary)
 
+  /** Faithful `combine_race_ethnicity` (preproc.py:1553) over
+    * STANDARDIZED race + ethnicity columns: in "merge" mode the
+    * ethnicity wins unless it is exactly NON-LATINO; "concat" appends
+    * the ethnicity to the race instead. Null eth (pre-standardization
+    * should make this impossible) falls back to race. */
+  def combineRaceEth(raceStd: Column, ethStd: Column, mode: String,
+                     nonLatino: String = "NON-HISPANIC/NON-LATINO"): Column = mode match {
+    case "merge" =>
+      when(ethStd.isNull || ethStd === nonLatino, raceStd).otherwise(ethStd)
+    case "concat" =>
+      when(ethStd.isNull || ethStd === nonLatino, raceStd)
+        .otherwise(concat(raceStd, lit(" "), ethStd))
+    case other => throw new IllegalArgumentException(
+      s"combine mode must be merge|concat, got $other")
+  }
+
   /** Multi-person cell standardization — the reference's `std_dict`
     * (_converters.py:908): a delimited cell holding several people's
     * values ("BLACK, WHITE") is standardized per item and re-joined in

@@ -55,11 +55,19 @@ object Standardizer {
     if (colMap.contains("DATE") && colMap.contains("TIME"))
       out = out.withColumn("DATETIME",
         Dates.mergeDateTime(col("DATE"), col("TIME")))
+    // RE_GROUP: merged race+ethnicity when both present, else race
+    // (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
+    if (colMap.contains("RACE") && colMap.contains("ETHNICITY"))
+      out = out.withColumn("RE_GROUP",
+        Standardize.combineRaceEth(col("RACE"), col("ETHNICITY"), "merge"))
+    else if (colMap.contains("RACE"))
+      out = out.withColumn("RE_GROUP", col("RACE"))
 
     // Rename originals to RAW_* and order columns canonically.
     val renames = colMap.values.toSeq.distinct.filterNot(colMap.keySet.contains)
     renames.foreach(c => out = out.withColumnRenamed(c, RawPrefix + c))
-    val stdNames = stdCols.map(_._1) ++ (if (out.columns.contains("DATETIME")) Seq("DATETIME") else Nil)
+    val stdNames = stdCols.map(_._1) ++
+      Seq("DATETIME", "RE_GROUP").filter(out.columns.contains)
     val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq
     val passthru = out.columns.filterNot(c => stdNames.contains(c) || rawNames.contains(c)).toSeq
     Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap)

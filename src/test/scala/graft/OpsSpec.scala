@@ -95,6 +95,18 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Luts.raceStd(col("raw"), "bogus"))
   }
 
+  test("combineRaceEth merge and concat modes follow the reference") {
+    val df = Seq(("BLACK", "NON-HISPANIC/NON-LATINO"), ("BLACK", "HISPANIC/LATINO"),
+      ("WHITE", "UNKNOWN")).toDF("r", "e")
+    val merged = df.select(Standardize.combineRaceEth(col("r"), col("e"), "merge"))
+      .as[String].collect()
+    assert(merged.toSeq == Seq("BLACK", "HISPANIC/LATINO", "UNKNOWN"))
+    val concat = df.select(Standardize.combineRaceEth(col("r"), col("e"), "concat"))
+      .as[String].collect()
+    assert(concat.toSeq == Seq("BLACK", "BLACK HISPANIC/LATINO", "WHITE UNKNOWN"))
+    intercept[IllegalArgumentException](Standardize.combineRaceEth(col("r"), col("e"), "x"))
+  }
+
   test("stdMulti standardizes each person in a delimited cell") {
     val df = Seq(Some("B, WHITE"), Some("ASIAN"), None).toDF("raw")
     val got = df.select(Standardize.stdMulti(col("raw"), ",", Luts.raceStd(_)).as("y"))
