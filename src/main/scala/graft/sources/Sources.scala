@@ -125,4 +125,14 @@ object Sources {
     * schema alignment — missing columns become nulls. */
   def combine(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `find_related_tables` + `Table.merge` (data.py:1629, :312): join a
+    * table with a related table on the shared incident-id column. The
+    * caller hints `broadcastRight` when the related side is a small
+    * lookup (the common case: per-incident detail joined to a filtered
+    * incident list); otherwise both sides shuffle on the id. */
+  def mergeRelated(left: DataFrame, right: DataFrame, idCol: String,
+                   how: String = "inner",
+                   broadcastRight: Boolean = false): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, Seq(idCol), how)
 }

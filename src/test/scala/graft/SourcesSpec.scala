@@ -66,6 +66,16 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.loadIter(e, "event_type", 10))
   }
 
+  test("mergeRelated joins related tables on the incident id") {
+    val orders = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
+      .withColumnRenamed("o_orderkey", "incident_id").limit(50)
+    val items = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "incident_id")
+    val merged = Sources.mergeRelated(items, orders, "incident_id", broadcastRight = true)
+    assert(merged.columns.toSeq == Seq("incident_id", "l_quantity", "o_orderdate"))
+    assert(merged.count() > 0)
+  }
+
   test("combine aligns schemas with nulls for missing columns") {
     val a = Seq((1L, "x")).toDF("id", "only_a")
     val b = Seq((2L, 3.0)).toDF("id", "only_b")
