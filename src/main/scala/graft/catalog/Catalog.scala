@@ -52,6 +52,17 @@ object Catalog {
     f2.select("state", "source_id", "source_name", "table_type").distinct()
   }
 
+  /** Generalized catalog query: equality filters on any catalog columns
+    * (the reference's query() accepts state / source_name / agency /
+    * table_type / year — datasets.py:107). Unknown columns fail fast. */
+  def queryBy(cat: DataFrame, filters: Map[String, Any]): DataFrame = {
+    val cols = cat.columns.toSet
+    filters.keys.foreach(k => require(cols.contains(k),
+      s"Unknown catalog column '$k' (have: ${cat.columns.mkString(", ")})"))
+    filters.foldLeft(cat) { case (df, (k, v)) => df.filter(col(k) === v) }
+      .distinct()
+  }
+
   /** `summary_by_state` (datasets.py:184): pivot state × table_type with
     * distinct-source counts. Pivot values are passed explicitly so no
     * extra distinct-collection job runs. */

@@ -117,9 +117,15 @@ object Sources {
   def getYears(df: DataFrame, dateField: String): DataFrame =
     df.select(year(col(dateField)).cast("long").as("yr")).distinct().orderBy("yr")
 
-  /** Distinct agency values, sorted (data.py:963 get_agencies). */
-  def getAgencies(df: DataFrame, agencyField: String): DataFrame =
-    df.select(col(agencyField).as("agency")).distinct().orderBy("agency")
+  /** Distinct agency values, sorted, optionally restricted to a
+    * case-insensitive partial name (data.py:963 get_agencies
+    * partial_name parameter). */
+  def getAgencies(df: DataFrame, agencyField: String,
+                  partialName: Option[String] = None): DataFrame = {
+    val base = partialName
+      .map(p => df.filter(agencyFilter(col(agencyField), p))).getOrElse(df)
+    base.select(col(agencyField).as("agency")).distinct().orderBy("agency")
+  }
 
   /** `CombinedDataset` (combine_dataset.py): union datasets with
     * schema alignment — missing columns become nulls. */

@@ -19,6 +19,21 @@ class EngineSpec extends SparkSpec {
       r.getAs[String]("table_type") == "BUILDING"))
   }
 
+  test("queryBy filters on arbitrary catalog columns and rejects unknown ones") {
+    val cat = Catalog.catalog(spark, sfDir)
+    val got = Catalog.queryBy(cat, Map("state" -> "NATION_3", "year" -> 1997L))
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[String]("state") == "NATION_3" && r.getAs[Long]("year") == 1997L))
+    intercept[IllegalArgumentException](Catalog.queryBy(cat, Map("nope" -> 1)))
+  }
+
+  test("getAgencies supports partial-name restriction") {
+    val e = graft.sources.Tables(spark, sfDir, "events")
+    val got = graft.sources.Sources.getAgencies(e, "event_type", Some("CLI"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("click"))
+  }
+
   test("summaryByState pivot: per-state counts sum to per-state total") {
     val cat = Catalog.catalog(spark, sfDir)
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
