@@ -29,18 +29,25 @@ object Catalog {
     val customer = Tables(spark, dir, "customer")
     val nation   = Tables(spark, dir, "nation")
     val region   = Tables(spark, dir, "region")
-    val orders   = Tables(spark, dir, "orders")
+    // Every catalog operation is distinct over (source, year), so the
+    // orders fact reduces to its distinct (custkey, year) pairs BEFORE
+    // the join — at 100 TB this is the difference between joining the
+    // order fact and joining a per-customer-year digest (the distinct
+    // partial-aggregates map-side first).
+    val coverage = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("year"))
+      .distinct()
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(coverage, col("o_custkey") === col("c_custkey"))
       .select(
         col("n_name").as("state"),
         col("r_name").as("region"),
         col("c_custkey").as("source_id"),
         col("c_name").as("source_name"),
         col("c_mktsegment").as("table_type"),
-        year(col("o_orderdate")).cast("long").as("year"))
+        col("year"))
   }
 
   /** `datasets.query(state=, table_type=)` (datasets.py:107): filtered
