@@ -95,6 +95,20 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals the plain groupBy for any salt count") {
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+    val plain = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("total"))
+      .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    Seq(1, 7, 32).foreach { s =>
+      val salted = graft.ops.Skew.saltedSumCount(li, "l_orderkey", "l_quantity", s)
+        .orderBy("l_orderkey").collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100)))
+      assert(salted.toSeq == plain.toSeq, s"salts=$s")
+    }
+  }
+
   test("multimodal feature extraction: stable histograms, batch shape preserved") {
     val docs = graft.sources.Tables(spark, sfDir, "documents").limit(50)
     val feats = Binary.extractFeatures(spark,
