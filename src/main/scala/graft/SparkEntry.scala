@@ -56,7 +56,8 @@ object SparkEntry {
     "MIXED", "BIRACIAL", "TWO OR MORE", "MULTI-RACIAL", "2 OR MORE",
     "U", "UK", "UNKNOWN", "UNK", "OTH/UNK",
     "O", "OTHER", "OTH", "OTHER RACE",
-    "MISSING", "NOT SPECIFIED", "N/A", "NONE", "", "   ", null, "ZEBRA")
+    "MISSING", "NOT SPECIFIED", "N/A", "NONE", "", "   ", null, "ZEBRA",
+    "CHINESE", "SAMOAN", "WHITE HISPANIC", "MEXICAN", "BOSNIAN", "FILIPINO")
 
   private val genderRaws: Seq[String] = Seq(
     "M", "MALE", "Male", "MAN", "MLE", "MALE/MAN", "MAN/BOY",

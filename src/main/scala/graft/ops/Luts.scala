@@ -134,6 +134,10 @@ object Luts {
          butNot = Seq(ContainsAny(Seq("HISPANIC", "LATINO")))),
     Rule(Seq(InSet(Seq("SOUTH ASIAN", "EAST INDIAN", "ASIAN INDIAN"))),
          "SOUTH ASIAN"),
+    // Combined ME/SA category before plain Middle Eastern
+    // (_converters.py:517 MIDDLE_EASTERN_SOUTH_ASIAN).
+    Rule(Seq(ContainsAny(Seq("MIDDLE EAST"))), "MIDDLE EASTERN/SOUTH ASIAN",
+         allOf = Seq(ContainsAny(Seq("SOUTH ASIAN")))),
     Rule(Seq(InSet(Seq("ME", "ARABIC")), ContainsAny(Seq("MIDDLE EAST"))),
          "MIDDLE EASTERN",
          butNot = Seq(ContainsAny(Seq("AFRICA")))),
@@ -164,8 +168,66 @@ object Luts {
          allOf = Seq(ContainsAny(Seq("OTH")))),
     Rule(Seq(ContainsAny(Seq("UNK")), InSet(Seq("U", "UK"))), "UNKNOWN"),
     Rule(Seq(InSet(Seq("O", "OTHER", "OTH")),
-             ContainsAny(Seq("OTHER RACE", "OTHER UNCLASS"))), "OTHER")
+             ContainsAny(Seq("OTHER RACE", "OTHER UNCLASS"))), "OTHER"),
+    // Census-style aggregation fallbacks (_converters.py:556 agg_cat
+    // branch) — checked after every primary category, like the reference.
+    Rule(Seq(InSet(Seq("CAMBODIAN", "VIETNAMESE", "LAOTIAN", "JAPANESE",
+                       "KOREAN", "CHINESE", "HMONG", "MIEN", "FILIPINO"))), "ASIAN"),
+    Rule(Seq(InSet(Seq("POLYNESIAN", "SAMOAN", "GUAMANIAN"))),
+         "HAWAIIAN/PACIFIC ISLANDER"),
+    Rule(Seq(InSet(Seq("MEXICAN")), ContainsAny(Seq("HISP", "LATIN"))),
+         "HISPANIC/LATINO",
+         butNot = Seq(ContainsAny(Seq("NONHISP", "NONLATINO"), noSpace = true))),
+    Rule(Seq(InSet(Seq("EAST AFRICAN"))), "BLACK"),
+    Rule(Seq(InSet(Seq("BOSNIAN"))), "WHITE")
   )
+
+  /** Per-source race code tables (letter/numeric codes documented in
+    * _converters.py:330-420) — applied BEFORE the generic vocabulary:
+    * the code expands to its documented phrase, which then standardizes
+    * through the rules above. */
+  val sourceRaceCodes: Map[String, Seq[(String, String)]] = Map(
+    "Chicago" -> Seq("BLK" -> "BLACK", "WHI" -> "WHITE",
+      "API" -> "ASIAN/PACIFIC ISLANDER", "WBH" -> "BLACK HISPANIC",
+      "WWH" -> "WHITE HISPANIC", "I" -> "AMER IND/ALASKAN NATIVE",
+      "U" -> "UNKNOWN", "P" -> "NATIVE HAWAIIAN OR OTHER PACIFIC ISLANDER",
+      "WHT" -> "WHITE"),
+    "Los Angeles" -> Seq("A" -> "OTHER ASIAN", "B" -> "BLACK", "C" -> "CHINESE",
+      "D" -> "CAMBODIAN", "F" -> "FILIPINO", "G" -> "GUAMANIAN",
+      "H" -> "HISPANIC/LATIN/MEXICAN", "I" -> "AMERICAN INDIAN/ALASKAN NATIVE",
+      "J" -> "JAPANESE", "K" -> "KOREAN", "L" -> "LAOTIAN", "O" -> "OTHER",
+      "P" -> "PACIFIC ISLANDER", "S" -> "SAMOAN", "U" -> "HAWAIIAN",
+      "V" -> "VIETNAMESE", "W" -> "WHITE", "X" -> "UNKNOWN", "Z" -> "ASIAN INDIAN"),
+    "Austin" -> Seq("M" -> "MIDDLE EASTERN",
+      "P" -> "PACIFIC ISLANDER/NATIVE HAWAIIAN", "N" -> "NATIVE AMERICAN/ALASKAN",
+      "O" -> "OTHER"),
+    "New York City" -> Seq("P" -> "BLACK HISPANIC", "Q" -> "WHITE HISPANIC",
+      "X" -> "UNKNOWN", "Z" -> "OTHER"),
+    "Dallas" -> Seq("L" -> "CAUCASIAN HISPANIC"),
+    "Charleston" -> Seq("A" -> "ASIAN OR PACIFIC ISLANDER",
+      "AI" -> "ALASKAN OR AMERICAN INDIAN", "AP" -> "ASIAN OR PACIFIC ISLANDER",
+      "BK" -> "BLACK", "MR" -> "MULTI-RACIAL", "AO" -> "OTHER"),
+    // Numeric code dictionaries (California RIPA, Lincoln LPD)
+    "California" -> Seq("1" -> "ASIAN", "2" -> "BLACK", "3" -> "HISPANIC/LATINO",
+      "4" -> "MIDDLE EASTERN/SOUTH ASIAN", "5" -> "AMERICAN INDIAN",
+      "6" -> "PACIFIC ISLANDER", "7" -> "WHITE", "8" -> "TWO OR MORE"),
+    "Lincoln" -> Seq("1" -> "WHITE", "2" -> "BLACK", "3" -> "HISPANIC/LATINO",
+      "4" -> "ASIAN", "5" -> "AMERICAN INDIAN", "6" -> "OTHER"))
+
+  /** Source-aware race standardization: documented per-source codes
+    * expand first, then the generic vocabulary applies. Unknown sources
+    * behave exactly like [[raceStd]]. */
+  def raceStdForSource(raw: Column, source: String, noId: String = "keep"): Column = {
+    val expanded = sourceRaceCodes.get(source) match {
+      case Some(codes) =>
+        val key = trim(upper(raw))
+        codes.foldRight(raw) { case ((code, phrase), acc) =>
+          when(key === code, lit(phrase)).otherwise(acc)
+        }
+      case None => raw
+    }
+    raceStd(expanded, noId)
+  }
 
   // ---- Gender vocabulary -----------------------------------------------
 

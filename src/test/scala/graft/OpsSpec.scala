@@ -47,6 +47,27 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v == cases(k), s"for '$k'") }
   }
 
+  test("race agg fallbacks and per-source code tables") {
+    val agg = Map("CHINESE" -> "ASIAN", "SAMOAN" -> "HAWAIIAN/PACIFIC ISLANDER",
+      "WHITE HISPANIC" -> "HISPANIC/LATINO", "MEXICAN" -> "HISPANIC/LATINO",
+      "BOSNIAN" -> "WHITE", "NON-HISPANIC" -> "NON-HISPANIC")
+    agg.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.raceStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+    val bySource = Seq(
+      ("Chicago", "BLK", "BLACK"), ("Chicago", "API", "ASIAN/PACIFIC ISLANDER"),
+      ("Los Angeles", "K", "ASIAN"), ("Los Angeles", "S", "HAWAIIAN/PACIFIC ISLANDER"),
+      ("Los Angeles", "Z", "SOUTH ASIAN"), ("New York City", "Q", "HISPANIC/LATINO"),
+      ("California", "4", "MIDDLE EASTERN/SOUTH ASIAN"), ("Lincoln", "3", "HISPANIC/LATINO"),
+      ("Dallas", "L", "HISPANIC/LATINO"), ("Nowhere", "W", "WHITE"))
+    bySource.foreach { case (src, raw, want) =>
+      val got = Seq(raw).toDF("raw")
+        .select(Luts.raceStdForSource(col("raw"), src)).as[String].head()
+      assert(got == want, s"for source=$src raw='$raw'")
+    }
+  }
+
   test("race/gender LUTs map null to UNSPECIFIED") {
     val df = Seq(Option.empty[String]).toDF("raw")
     assert(df.select(Luts.raceStd(col("raw"))).as[String].head() == "UNSPECIFIED")
