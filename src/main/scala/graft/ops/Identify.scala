@@ -32,13 +32,25 @@ object Identify {
     "ROLE"      -> (Seq("role", "civilian_officer", "civilian or officer") -> Nil)
   )
 
+  /** Demographic fields get role-qualified canonical names
+    * (RACE_SUBJECT / RACE_OFFICER — defs.py columns); the role comes
+    * from the reference's officer terms (preproc.py:550). */
+  val demographicFields: Set[String] =
+    Set("RACE", "ETHNICITY", "AGE", "AGE_RANGE", "GENDER")
+  val officerTerms: Seq[String] = Seq("officer", "deputy", "empl", "personnel")
+
   private def matches(colName: String, subs: Seq[String], excl: Seq[String]): Boolean = {
     val n = colName.toLowerCase
     subs.exists(n.contains) && !excl.exists(n.contains)
   }
 
-  /** Identify the first matching source column for each canonical field.
-    * `known` entries override pattern search (the reference's
+  private def role(colName: String): String =
+    if (officerTerms.exists(colName.toLowerCase.contains)) "_OFFICER" else "_SUBJECT"
+
+  /** Identify source columns for each canonical field. Demographic
+    * fields may match one column per role (subject + officer); other
+    * fields take the first match. `known` entries (role-qualified or
+    * base names) override pattern search (the reference's
     * known_col_names). */
   def identifyColumns(df: DataFrame,
                       known: Map[String, String] = Map.empty): Map[String, String] = {
@@ -46,14 +58,20 @@ object Identify {
     known.foreach { case (f, c) =>
       require(cols.contains(c), s"Known column '$c' for $f is not in the DataFrame")
     }
-    val found = fieldPatterns.flatMap { case (field, (subs, excl)) =>
-      known.get(field).orElse(cols.find(matches(_, subs, excl))).map(field -> _)
-    }.toMap
-    // A column may only serve one canonical field (first in pattern
-    // order wins) — mirrors the reference's exclude_col_names chaining.
-    val seen = scala.collection.mutable.Set[String]()
-    fieldPatterns.map(_._1).flatMap { f =>
-      found.get(f).filter(seen.add).map(f -> _)
-    }.toMap
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    val used = scala.collection.mutable.Set[String]()
+    known.foreach { case (f, c) => out(f) = c; used += c }
+    fieldPatterns.foreach { case (field, (subs, excl)) =>
+      val hits = cols.filterNot(used.contains).filter(matches(_, subs, excl))
+      if (demographicFields.contains(field)) {
+        hits.foreach { c =>
+          val key = field + role(c)
+          if (!out.contains(key)) { out(key) = c; used += c }
+        }
+      } else hits.headOption.foreach { c =>
+        if (!out.contains(field)) { out(field) = c; used += c }
+      }
+    }
+    out.toMap
   }
 }

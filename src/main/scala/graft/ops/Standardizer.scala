@@ -31,22 +31,26 @@ object Standardizer {
                   dateFormats: Seq[String] = Dates.defaultFormats): Result = {
     val colMap = Identify.identifyColumns(df, known)
 
-    def convert(field: String, src: Column): Column = field match {
-      case "RACE"      => Luts.raceStd(src)
-      case "ETHNICITY" => Luts.ethStd(src)
-      case "GENDER"    => Luts.genderStd(src)
-      case "INJURY"    => Luts.injuryStd(src)
-      case "FATAL"     => Luts.fatalStd(src)
-      case "AGE_RANGE" => AgeRange.ageRangeStd(src)
-      case "AGE"       => src.cast("string")
-      // date-only canonical string ("yyyy-MM-dd") so the DATETIME merge
-      // below can re-parse it with the default formats
-      case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string")
-      case "TIME"      => Dates.parseTime(src)
-      case _           => src
-    }
+    def convert(field: String, src: Column): Column =
+      field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {
+        case "RACE"      => Luts.raceStd(src)
+        case "ETHNICITY" => Luts.ethStd(src)
+        case "GENDER"    => Luts.genderStd(src)
+        case "INJURY"    => Luts.injuryStd(src)
+        case "FATAL"     => Luts.fatalStd(src)
+        case "AGE_RANGE" => AgeRange.ageRangeStd(src)
+        case "AGE"       => src.cast("string")
+        // date-only canonical string ("yyyy-MM-dd") so the DATETIME
+        // merge below can re-parse it with the default formats
+        case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string")
+        case "TIME"      => Dates.parseTime(src)
+        case _           => src
+      }
 
-    val stdCols = colMap.toSeq.sortBy(f => Identify.fieldPatterns.indexWhere(_._1 == f._1))
+    val stdCols = colMap.toSeq.sortBy { f =>
+      val base = f._1.stripSuffix("_SUBJECT").stripSuffix("_OFFICER")
+      (Identify.fieldPatterns.indexWhere(_._1 == base), f._1)
+    }
     var out = df
     stdCols.foreach { case (field, srcName) =>
       out = out.withColumn(field, convert(field, col(srcName)))
@@ -55,19 +59,21 @@ object Standardizer {
     if (colMap.contains("DATE") && colMap.contains("TIME"))
       out = out.withColumn("DATETIME",
         Dates.mergeDateTime(col("DATE"), col("TIME")))
-    // RE_GROUP: merged race+ethnicity when both present, else race
-    // (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
-    if (colMap.contains("RACE") && colMap.contains("ETHNICITY"))
-      out = out.withColumn("RE_GROUP",
-        Standardize.combineRaceEth(col("RACE"), col("ETHNICITY"), "merge"))
-    else if (colMap.contains("RACE"))
-      out = out.withColumn("RE_GROUP", col("RACE"))
+    // RE_GROUP per role: merged race+ethnicity when both present, else
+    // race (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
+    Seq("_SUBJECT", "_OFFICER").foreach { r =>
+      if (colMap.contains("RACE" + r) && colMap.contains("ETHNICITY" + r))
+        out = out.withColumn("RE_GROUP" + r,
+          Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r), "merge"))
+      else if (colMap.contains("RACE" + r))
+        out = out.withColumn("RE_GROUP" + r, col("RACE" + r))
+    }
 
     // Rename originals to RAW_* and order columns canonically.
     val renames = colMap.values.toSeq.distinct.filterNot(colMap.keySet.contains)
     renames.foreach(c => out = out.withColumnRenamed(c, RawPrefix + c))
     val stdNames = stdCols.map(_._1) ++
-      Seq("DATETIME", "RE_GROUP").filter(out.columns.contains)
+      Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER").filter(out.columns.contains)
     val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq
     val passthru = out.columns.filterNot(c => stdNames.contains(c) || rawNames.contains(c)).toSeq
     Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap)

@@ -14,16 +14,24 @@ class StandardizerSpec extends SparkSpec {
   ).toDF("incident_date", "incident_tm", "subject_race", "subject_ethnicity",
     "subject_sex", "subject_age", "agency_name", "case_id")
 
-  test("identifyColumns maps messy names to canonical fields") {
+  test("identifyColumns maps messy names to role-qualified canonical fields") {
     val got = Identify.identifyColumns(messy)
     assert(got("DATE") == "incident_date")
     assert(got("TIME") == "incident_tm")
-    assert(got("RACE") == "subject_race")
-    assert(got("ETHNICITY") == "subject_ethnicity")
-    assert(got("GENDER") == "subject_sex")
-    assert(got("AGE") == "subject_age")
+    assert(got("RACE_SUBJECT") == "subject_race")
+    assert(got("ETHNICITY_SUBJECT") == "subject_ethnicity")
+    assert(got("GENDER_SUBJECT") == "subject_sex")
+    assert(got("AGE_SUBJECT") == "subject_age")
     assert(got("AGENCY") == "agency_name")
     assert(!got.contains("FATAL"))
+  }
+
+  test("identifyColumns separates officer and subject demographics") {
+    val df = Seq(("W", "B", "M")).toDF("officer_race", "subject_race", "deputy_sex")
+    val got = Identify.identifyColumns(df)
+    assert(got("RACE_OFFICER") == "officer_race")
+    assert(got("RACE_SUBJECT") == "subject_race")
+    assert(got("GENDER_OFFICER") == "deputy_sex")
   }
 
   test("identifyColumns rejects unknown known-column overrides") {
@@ -37,10 +45,10 @@ class StandardizerSpec extends SparkSpec {
     // standardized first, passthrough middle, RAW_ last
     assert(df.columns.head == "DATE")
     assert(df.columns.last.startsWith(Standardizer.RawPrefix))
-    assert(df.columns.contains("DATETIME"))
+    assert(df.columns.contains("DATETIME") && df.columns.contains("RE_GROUP_SUBJECT"))
     assert(df.columns.contains("case_id"))
     val rows = df.orderBy("case_id")
-      .select("DATE", "TIME", "RACE", "ETHNICITY", "GENDER", "DATETIME")
+      .select("DATE", "TIME", "RACE_SUBJECT", "ETHNICITY_SUBJECT", "GENDER_SUBJECT", "DATETIME")
       .collect()
     assert(rows(0).getString(0) == "2020-06-01" && rows(0).getString(1) == "14:30:00")
     assert(rows(0).getString(2) == "WHITE" && rows(0).getString(3) == "HISPANIC/LATINO")
