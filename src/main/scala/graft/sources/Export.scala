@@ -54,4 +54,12 @@ object Export {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** `Source.load_from_csv` (data.py): reload a previously-exported
+    * table from its canonical filename. */
+  def loadCsv(spark: org.apache.spark.sql.SparkSession, outputDir: String,
+              state: String, sourceName: String, agency: String,
+              tableType: String, date: Either[String, (String, String)]): DataFrame =
+    Loaders("csv").load(spark,
+      s"$outputDir/${csvFilename(state, sourceName, agency, tableType, date)}")
 }

@@ -78,5 +78,11 @@ class PlanSpec extends SparkSpec {
       "Texas", "Austin", "Austin", "STOPS", Left("2020"))
     val back = spark.read.parquet(path)
     assert(back.count() == 5)
+    // csv export → canonical-name reload round trip (load_from_csv)
+    Export.toCsv(Tables(spark, sfDir, "region"), tmp,
+      "Texas", "Austin", "Austin", "STOPS", Left("2020"))
+    val csvBack = Export.loadCsv(spark, tmp, "Texas", "Austin", "Austin",
+      "STOPS", Left("2020"))
+    assert(csvBack.count() == 5 && csvBack.columns.contains("r_name"))
   }
 }
