@@ -251,6 +251,42 @@ object Luts {
     Rule(Seq(InSet(Seq("U", "UNK", "UNKNOWN", "UK"))), "UNKNOWN")
   )
 
+  /** Per-source gender code tables (_converters.py:637-668: California
+    * RIPA and Lincoln numeric codes; NYC/LA/Chicago letter codes). */
+  val sourceGenderCodes: Map[String, Seq[(String, String)]] = Map(
+    "California" -> Seq("1" -> "MALE", "2" -> "FEMALE", "3" -> "TRANSGENDER MALE",
+      "4" -> "TRANSGENDER FEMALE", "5" -> "GENDER NONCONFORMING"),
+    "Lincoln" -> Seq("1" -> "MALE", "2" -> "FEMALE"),
+    "New York City" -> Seq("Z" -> "UNKNOWN"),
+    "Los Angeles" -> Seq("X" -> "UNKNOWN"),
+    "Chicago" -> Seq("X" -> "UNKNOWN"))
+
+  /** Source-aware gender standardization (codes expand first). */
+  def genderStdForSource(raw: Column, source: String, noId: String = "keep"): Column = {
+    val expanded = sourceGenderCodes.get(source) match {
+      case Some(codes) =>
+        val key = trim(upper(raw))
+        codes.foldRight(raw) { case ((code, phrase), acc) =>
+          when(key === code, lit(phrase)).otherwise(acc)
+        }
+      case None => raw
+    }
+    genderStd(expanded, noId)
+  }
+
+  // ---- Role vocabulary (_converters.py:129 convert_off_or_civ) ---------
+
+  val roleRules: Seq[Rule] = Seq(
+    Rule(Seq(InSet(Seq("", "MISSING"))), UNSPECIFIED),
+    Rule(Seq(InSet(Seq("OFFICER"))), "OFFICER"),
+    Rule(Seq(InSet(Seq("SUBJECT", "CIVILIAN", "CITIZEN"))), "SUBJECT")
+  )
+
+  /** raw → OFFICER / SUBJECT / UNSPECIFIED (data.py person-type roles). */
+  def roleStd(raw: Column, noId: String = "keep"): Column =
+    when(raw.isNull, lit(UNSPECIFIED))
+      .otherwise(rulesToColumn(roleRules, trim(upper(raw)), noIdFallback(raw, noId)))
+
   // ---- Injury vocabulary -----------------------------------------------
 
   private val injuredKeywords = Seq(

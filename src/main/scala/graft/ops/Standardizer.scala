@@ -38,6 +38,7 @@ object Standardizer {
         case "GENDER"    => Luts.genderStd(src)
         case "INJURY"    => Luts.injuryStd(src)
         case "FATAL"     => Luts.fatalStd(src)
+        case "ROLE"      => Luts.roleStd(src)
         case "AGE_RANGE" => AgeRange.ageRangeStd(src)
         case "AGE"       => src.cast("string")
         // date-only canonical string ("yyyy-MM-dd") so the DATETIME

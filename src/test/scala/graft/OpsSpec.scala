@@ -135,6 +135,23 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("BLACK, WHITE", "ASIAN", "UNSPECIFIED"))
   }
 
+  test("role LUT and per-source gender codes") {
+    val roles = Map("Officer" -> "OFFICER", "CIVILIAN" -> "SUBJECT",
+      "Citizen" -> "SUBJECT", "SUBJECT" -> "SUBJECT", "" -> "UNSPECIFIED")
+    roles.foreach { case (k, want) =>
+      assert(Seq(k).toDF("raw").select(Luts.roleStd(col("raw"))).as[String].head() == want, s"role '$k'")
+    }
+    val genders = Seq(("California", "3", "TRANSGENDER MALE"),
+      ("California", "5", "TRANSGENDER OR GENDER NON-CONFORMING"),
+      ("Lincoln", "2", "FEMALE"), ("New York City", "Z", "UNKNOWN"),
+      ("Nowhere", "F", "FEMALE"))
+    genders.foreach { case (src, raw, want) =>
+      val got = Seq(raw).toDF("raw")
+        .select(Luts.genderStdForSource(col("raw"), src)).as[String].head()
+      assert(got == want, s"gender source=$src raw='$raw'")
+    }
+  }
+
   test("fatal and firearm yes/no LUTs") {
     val fatal = Map("FATAL" -> "YES", "Deceased" -> "YES", "non-fatal" -> "NO",
       "N" -> "NO", "SELF-INFLICTED" -> "SELF-INFLICTED FATAL", "1" -> "YES")
