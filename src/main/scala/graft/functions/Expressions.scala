@@ -196,6 +196,50 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object LshImpl {
+  /** Deterministic random-hyperplane components, cached per
+    * (numPlanes, dim); seeded SplittableRandom, uniform in [-1, 1]. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dim), { _ =>
+      Array.tabulate(numPlanes) { j =>
+        val r = new java.util.SplittableRandom(1234L + j)
+        Array.fill(dim)(r.nextDouble() * 2 - 1)
+      }
+    })
+
+  def compute(vec: ArrayData, numPlanes: Int): Long = {
+    val dim = vec.numElements()
+    val ps = planes(numPlanes, dim)
+    var sig = 0L
+    var j = 0
+    while (j < numPlanes) {
+      val p = ps(j)
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += vec.getDouble(d) * p(d); d += 1 }
+      if (s >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** lsh_sig(array<double>, numPlanes) → bigint sign-bit signature. */
+case class LshSignature(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    LshImpl.compute(input.asInstanceOf[ArrayData], numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshImpl.compute($c, $numPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
 /** Registration: via SparkSessionExtensions (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or at runtime
   * with `ensureRegistered(spark)`. */
@@ -210,7 +254,9 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Number].intValue())),
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1)))
+    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
+    "lsh_sig" -> (es => LshSignature(es.head,
+      es(1).eval().asInstanceOf[Number].intValue()))
   )
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -231,6 +277,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def jaccardSorted(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
+  def lshSig(c: Column, numPlanes: Int): Column =
+    call_function("lsh_sig", c, org.apache.spark.sql.functions.lit(numPlanes))
 }
 
 /** Entry point for spark.sql.extensions. */

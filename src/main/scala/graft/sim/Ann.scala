@@ -59,9 +59,15 @@ object Ann {
   private def planeComponent(j: Int, d: Column): Column =
     (pmod(xxhash64(lit(j), d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
 
-  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
-    * long (static unroll — shift amounts must be literals). */
-  def lshSignature(vec: Column, numPlanes: Int): Column = {
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into
+    * a long — codegen Expression (one projection loop per row); the
+    * declarative form is kept below as documentation. */
+  def lshSignature(vec: Column, numPlanes: Int): Column =
+    graft.functions.GraftFunctions.lshSig(asDouble(vec), numPlanes)
+
+  /** Declarative reference form of [[lshSignature]] (static unroll of
+    * zip_with/aggregate per plane). */
+  def lshSignatureDecl(vec: Column, numPlanes: Int): Column = {
     val v = asDouble(vec)
     val bits: Seq[Column] = (0 until numPlanes).map { j =>
       val proj = aggregate(
