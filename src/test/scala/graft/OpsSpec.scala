@@ -195,6 +195,13 @@ class OpsSpec extends SparkSpec {
       Seq((1, "a"), (1, "b"), (2, null)))
   }
 
+  test("detectMultiValue finds only the delimited columns") {
+    val df = Seq(("B, W", "M", "20, 30"), ("A", "F", "40"), ("W", "M", "50"))
+      .toDF("race", "sex", "ages")
+    val got = Expand.detectMultiValue(df, Seq("race", "sex", "ages"), ",")
+    assert(got == Seq("race", "ages"))
+  }
+
   test("expandDelimPos does not corrupt pre-existing pos/col columns") {
     val df = Seq((1, "x", "a,b")).toDF("id", "pos", "cell")
     val got = Expand.expandDelimPos(df, "cell", ",", "v", "item_num")
