@@ -54,6 +54,21 @@ object Streams {
     runToMemory(agg, s"graft_stream_window_${System.nanoTime()}", OutputMode.Complete())
   }
 
+  /** Streaming deduplication: drop events whose key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * state stays bounded by event time, unlike a full-history distinct).
+    * The staple in-flight dedup stage of a streaming ingest pipeline. */
+  def dedupeStream(spark: SparkSession, dir: String,
+                   keyCols: Seq[String] = Seq("event_id"),
+                   watermarkMinutes: Int = 60): DataFrame = {
+    val events = readTableStream(spark, dir, "events")
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    runToMemory(events, s"graft_stream_dedupe_${System.nanoTime()}", OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start_us: Long, end_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -81,6 +81,14 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedupe: unique keys pass through exactly once") {
+    val streamed = Streams.dedupeStream(spark, sfDir)
+    val batchDistinct = graft.sources.Tables(spark, sfDir, "events")
+      .select("event_id").distinct().count()
+    assert(streamed.count() == batchDistinct)
+    assert(streamed.select("event_id").distinct().count() == batchDistinct)
+  }
+
   test("streaming sessionize: sessions are per-user, ordered, gap-respecting") {
     val sessions = Streams.sessionize(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()
