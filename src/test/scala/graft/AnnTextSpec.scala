@@ -41,6 +41,26 @@ class AnnTextSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.head._2 == 0L && rows.head._3 == 1.0)
   }
 
+  test("l2Normalize yields unit vectors; zero vector unchanged") {
+    val df = Seq(Array(3f, 4f, 0f, 0f), Array(0f, 0f, 0f, 0f)).toDF("v")
+    val norms = df.select(
+      sqrt(aggregate(graft.sim.Vectors.l2Normalize(col("v")),
+        lit(0.0), (s, x) => s + x * x)).as("n")).as[Double].collect()
+    assert(math.abs(norms(0) - 1.0) < 1e-12 && norms(1) == 0.0)
+  }
+
+  test("int8 quantization round-trips within scale/254 per component") {
+    val df = Seq(Array(0.5f, -1.0f, 0.25f, 0.75f)).toDF("v")
+    val got = df.select(
+        graft.sim.Vectors.dequantize(graft.sim.Vectors.quantizeInt8(col("v"))).as("d"),
+        col("v"))
+      .as[(Seq[Double], Seq[Float])].head()
+    val scale = 1.0 / 127.0
+    got._1.zip(got._2).foreach { case (d, f) =>
+      assert(math.abs(d - f) <= scale / 2 + 1e-9, s"$d vs $f")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the hat", "el gato es un gato", "zzz qqq").toDF("text")
     val got = df.select(TextStats.langId(col("text"))).as[String].collect()
