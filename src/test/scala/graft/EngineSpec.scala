@@ -19,6 +19,28 @@ class EngineSpec extends SparkSpec {
       r.getAs[String]("table_type") == "BUILDING"))
   }
 
+  test("numUnique counts distinct catalog values") {
+    val cat = Catalog.catalog(spark, sfDir)
+    assert(Catalog.numUnique(cat, "state") == 25L)
+    assert(Catalog.numUnique(cat, "table_type") == 5L)
+  }
+
+  test("get_count applies the date selector") {
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val n = graft.sources.Sources.count(orders,
+      Some(("o_orderdate", graft.sources.Sources.Year(1996))))
+    val want = orders.filter(year(col("o_orderdate")) === 1996).count()
+    assert(n == want && n > 0)
+  }
+
+  test("json loader round-trips through the registry") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    graft.sources.Tables(spark, sfDir, "region").write.mode("overwrite")
+      .json(s"$tmp/region.json")
+    val back = graft.sources.Loaders("json").load(spark, s"$tmp/region.json")
+    assert(back.count() == 5 && back.columns.contains("r_name"))
+  }
+
   test("queryBy filters on arbitrary catalog columns and rejects unknown ones") {
     val cat = Catalog.catalog(spark, sfDir)
     val got = Catalog.queryBy(cat, Map("state" -> "NATION_3", "year" -> 1997L))
