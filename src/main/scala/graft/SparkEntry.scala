@@ -80,7 +80,7 @@ object SparkEntry {
     "25 - 34", "18-24", "OVER 65", ">40", "65+", "18 PLUS", "60 AND OLDER",
     "UNDER 21", "<18", "BELOW 25", "17 AND YOUNGER", "20S", "30s",
     "B - 18-29", "25", "7", "45", "117", "", "MISSING", "UNKNOWN", null,
-    "ADULT")
+    "ADULT", "JUVENILE")
 
   private val raceEthRaws: Seq[(String, String)] = Seq(
     ("WHITE", "HISPANIC"), ("WHITE", "NON-HISPANIC"), ("BLACK", "HISPANIC OR LATINO"),
@@ -278,11 +278,19 @@ object SparkEntry {
       Binary.withMeta(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_bytes", "sha256", "mime")
         .orderBy("doc_id")),
+    // Rows-only query, but the output must still be SORTABLE by the
+    // driver's pandas canonicalizer — a raw array<float> column crashes
+    // its factorize step, so the feature vector is projected to a
+    // deterministic CSV string (4-decimal fixed point per bin).
     "q_mm_features" -> ((s, dir) =>
       Binary.extractFeatures(s,
           Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "payload")
-        .toDF().orderBy("id")),
+        .toDF()
+        .select(col("id"), col("n_bytes"),
+          array_join(transform(col("features"),
+            f => format_number(f.cast("double"), 4)), ",").as("features_csv"))
+        .orderBy("id")),
 
     // Analytics headliners
     "q1_agg" -> ((s, dir) => Analytics.q1(s, dir)),

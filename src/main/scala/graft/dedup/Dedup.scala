@@ -77,18 +77,29 @@ object Dedup {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.repartition(parts).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.minhashSig(col(textCol), k, numPerms).as("sig"))
+    // Hash-partition the banded table on the bucket key. The self-join
+    // then needs no further exchange, and because both sides are the
+    // SAME repartitioned plan, ReuseExchange computes the signatures
+    // once. No broadcast hint: the banded table is corpus-sized (bands
+    // rows per doc) and an explicit broadcast() is a hard driver-side
+    // collect with an 8 GB cap — a guaranteed failure at 100 TB. AQE may
+    // still *choose* broadcast when the build side is genuinely small,
+    // and splits skewed buckets on the shuffle path.
     val buckets = lshBuckets(sigs, "id", "sig", bands, numPerms / bands)
-    // Bucket join broadcasts the (tiny) banded build side — collision
-    // enumeration stays a local hash probe instead of an SMJ shuffle.
-    val cands = buckets.as("l").join(broadcast(buckets.as("r")),
+      .repartition(col("band_id"), col("band_hash"))
+    val cands = buckets.as("l").join(buckets.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    // Signature re-attach: plain equi-joins on id (shuffle on the id
+    // key; AQE picks broadcast only if the side is actually small).
+    // Re-joining beats carrying the 128-long signature through the
+    // band explode, which would multiply the bucket shuffle by `bands`.
     cands
-      .join(broadcast(sigs.withColumnRenamed("sig", "sig_a")), col("id_a") === col("id"))
+      .join(sigs.withColumnRenamed("sig", "sig_a"), col("id_a") === col("id"))
       .drop("id")
-      .join(broadcast(sigs.withColumnRenamed("sig", "sig_b")), col("id_b") === col("id"))
+      .join(sigs.withColumnRenamed("sig", "sig_b"), col("id_b") === col("id"))
       .drop("id")
       .select(col("id_a"), col("id_b"),
         round(estJaccard(col("sig_a"), col("sig_b"), numPerms), 4).as("est_jaccard"))
@@ -124,12 +135,14 @@ object Dedup {
       graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim"))
     val bandStructs = (0 until 4).map(b => struct(lit(b).as("band_id"),
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val")))
+    // Hash-partition on the band key: the self-join reuses one exchange
+    // (simhash computed once) and shuffles only on (band_id, band_val).
+    // No broadcast hint — the banded table is corpus-sized (4 rows per
+    // doc); see minhashPairs for the 100 TB rationale.
     val banded = sims.select(col("id"), col("sim"),
-      inline(array(bandStructs: _*)))
-    // The banded table is tiny (4 rows per doc) — broadcast the build
-    // side so band-collision enumeration is a local hash probe, not an
-    // SMJ shuffle of every collision.
-    banded.as("l").join(broadcast(banded.as("r")),
+        inline(array(bandStructs: _*)))
+      .repartition(col("band_id"), col("band_val"))
+    banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_val") === col("r.band_val") &&
         col("l.id") < col("r.id"))
@@ -156,7 +169,8 @@ object Dedup {
     * on distinct n-gram sets. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4,
+                        saltBuckets: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // Grams are hashed (xxhash64) and sorted ONCE per doc; the per-pair
     // Jaccard is then a single merge scan over two sorted long arrays
@@ -175,25 +189,37 @@ object Dedup {
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         array_sort(transform(charNgrams(col(textCol), n), g => xxhash64(g))).as("grams"))
       .withColumn("sz", size(col("grams")).cast("double"))
-    // Broadcast the build side: the gram table is tiny relative to the
-    // pair count, and a broadcast hash join keeps the big gram arrays
-    // out of the shuffle entirely (the SMJ alternative shuffles ~1KB of
-    // array per candidate pair). At 100 TB the same plan holds per
-    // block/partition; AQE falls back to shuffle join if the build side
-    // outgrows memory.
+    // Pair enumeration: shuffled equi-join on the block key — NEVER a
+    // broadcast of the corpus-sized gram table (an explicit broadcast()
+    // is a hard driver-side collect with an 8 GB cap; it is not demoted
+    // by AQE and fails outright at scale). Because the block key can be
+    // low-cardinality (e.g. a handful of sources), joining on blk alone
+    // would cap parallelism at the key cardinality, so we salt: the
+    // right side gets ONE deterministic salt per doc, the left side is
+    // replicated across all `saltBuckets` salts — each (a,b) pair meets
+    // exactly once, on b's salt, and parallelism becomes |blk|×salts.
+    // The left-side replication multiplies its shuffle by `saltBuckets`,
+    // a bounded, partition-parallel cost (vs. unbounded driver collect).
     val jac = graft.functions.GraftFunctions.jaccardSorted(col("l.grams"), col("r.grams"))
-    grams.as("l").join(broadcast(grams.as("r")),
-        col("l.blk") === col("r.blk") && col("l.id") < col("r.id") &&
+    val lhs = grams.withColumn("salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
+    val rhs = grams.withColumn("salt",
+      pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).as("r")
+    lhs.join(rhs,
+        col("l.blk") === col("r.blk") && col("l.salt") === col("r.salt") &&
+        col("l.id") < col("r.id") &&
         // Size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
         // size mismatch can never clear the threshold — cheap compares
         // inside the join, before any merge scan runs. Pure optimization:
         // removes only pairs the threshold filter would drop anyway.
         col("l.sz") >= col("r.sz") * threshold &&
         col("r.sz") >= col("l.sz") * threshold)
-      // Filter on the raw expression BEFORE projecting the rounded alias;
-      // filtering the alias would let predicate pushdown duplicate the
-      // merge scan per pair.
-      .where(jac >= threshold)
+      // Filter the ROUNDED value (the same value the oracle filters —
+      // filtering raw here while the oracle filters rounded would drop
+      // pairs whose raw jaccard sits in [t-0.00005, t)). Written as a
+      // raw expression (not the projected alias) so predicate pushdown
+      // can't duplicate the merge scan per pair.
+      .where(round(jac, 4) >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(jac, 4).as("jaccard"))
   }
@@ -205,13 +231,24 @@ object Dedup {
     * assignment comes from a coarse quantizer; here cells are the
     * `label` column. */
   def embedCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
-                       cellCol: String, threshold: Double): DataFrame = {
+                       cellCol: String, threshold: Double,
+                       saltBuckets: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(embs.sparkSession)
     val parts = embs.sparkSession.sparkContext.defaultParallelism
     val v = embs.repartition(parts).select(col(idCol).as("id"), col(cellCol).as("cell"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    v.as("l").join(broadcast(v.as("r")),
-        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+    // Shuffled equi-join on (cell, salt) — no broadcast of the corpus-
+    // sized embedding table (hard 8 GB driver collect, not demoted by
+    // AQE). Cells are low-cardinality, so the same salt-replication as
+    // ngramJaccardPairs restores parallelism: r carries one salt per
+    // vec, l is replicated across all salts, each pair meets once.
+    val lhs = v.withColumn("salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
+    val rhs = v.withColumn("salt",
+      pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).as("r")
+    lhs.join(rhs,
+        col("l.cell") === col("r.cell") && col("l.salt") === col("r.salt") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(graft.functions.GraftFunctions.cosineSim(col("l.vec"), col("r.vec")), 4).as("cos"))
       .filter(col("cos") >= threshold)

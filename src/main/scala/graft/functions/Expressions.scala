@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashImpl {
   /** Deterministic multiply-shift permutation family (seeded, no RNG
     * state at eval time). */
-  private val MaxPerms = 256
+  val MaxPerms = 256
   val A: Array[Long] = {
     val r = new java.util.SplittableRandom(42L)
     Array.fill(MaxPerms)(r.nextLong() | 1L) // odd multipliers
@@ -68,6 +68,11 @@ object MinHashImpl {
 /** minhash_sig(text, k, numPerms) → array<bigint> signature. */
 case class MinHashSig(child: Expression, k: Int, numPerms: Int)
     extends UnaryExpression {
+  // Fail at plan time, not deep inside codegen eval: the permutation
+  // family is fixed-size (MaxPerms).
+  require(k > 0, s"minhash_sig: shingle size k must be > 0, got $k")
+  require(numPerms > 0 && numPerms <= MinHashImpl.MaxPerms,
+    s"minhash_sig: numPerms must be in [1, ${MinHashImpl.MaxPerms}], got $numPerms")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
@@ -230,6 +235,8 @@ object LshImpl {
 /** lsh_sig(array<double>, numPlanes) → bigint sign-bit signature. */
 case class LshSignature(child: Expression, numPlanes: Int)
     extends UnaryExpression {
+  require(numPlanes > 0 && numPlanes <= 64,
+    s"lsh_sig: numPlanes must be in [1, 64] (sign bits pack into a long), got $numPlanes")
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sig"
   override protected def nullSafeEval(input: Any): Any =

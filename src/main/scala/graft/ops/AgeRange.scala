@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   *   "UNDER 21" → "0-21"       (p_under)
   *   "17 AND YOUNGER" → "0-17" (p_under2)
   *   "20S"      → "20-29"      (p_decade)
+  *   "ADULT"    → "18-120", "JUVENILE" → "0-17" (_converters.py:180)
   *   plain age number → bucketed (engine-defined census-style bins)
   *   null/blank/missing → UNSPECIFIED
   * Unrecognized values pass through unchanged (no_id="keep").
+  *
+  * Known scope cut vs the reference: the reference also carries
+  * per-source exceptions and a "1 TO 17"-style `p_range2` spelling;
+  * those spellings don't appear in its own test parametrizations and
+  * are passed through here.
   */
 object AgeRange {
 
@@ -52,6 +58,8 @@ object AgeRange {
             regexp_replace(x, "^(\\d+)\\s*(AND|&)\\s*(UNDER|YOUNGER)$", "0-$1"))
       .when(x.rlike("^\\d+0S$"),
             concat(decade.cast("string"), lit("-"), (decade + 9).cast("string")))
+      .when(x === "ADULT", lit("18-120"))
+      .when(x === "JUVENILE", lit("0-17"))
       .when(x.rlike("^\\d+$"), bucketed)
       .otherwise(x)
   }
@@ -74,6 +82,8 @@ object AgeRange {
        |  WHEN regexp_matches($x, '^(UNDER|<|BELOW)\\s*\\d+$$') THEN regexp_replace($x, '^(UNDER|<|BELOW)\\s*(\\d+)$$', '0-\\2')
        |  WHEN regexp_matches($x, '^\\d+\\s*(AND|&)\\s*(UNDER|YOUNGER)$$') THEN regexp_replace($x, '^(\\d+)\\s*(AND|&)\\s*(UNDER|YOUNGER)$$', '0-\\1')
        |  WHEN regexp_matches($x, '^\\d+0S$$') THEN CAST($decade AS VARCHAR) || '-' || CAST($decade + 9 AS VARCHAR)
+       |  WHEN $x = 'ADULT' THEN '18-120'
+       |  WHEN $x = 'JUVENILE' THEN '0-17'
        |  WHEN regexp_matches($x, '^\\d+$$') THEN $bucketed
        |  ELSE $x
        |END""".stripMargin

@@ -21,7 +21,10 @@ object Identify {
   val fieldPatterns: Seq[(String, (Seq[String], Seq[String]))] = Seq(
     "DATE"      -> (Seq("datetime", "date") -> Seq("birth", "dob", "update")),
     "TIME"      -> (Seq("time", "tm", "toa") -> Seq("datetime", "times")),
-    "RACE"      -> (Seq("race", "ethnicity", "rae_full", "re_grp") -> Seq("ethnicity")),
+    // NB: "ethnicity" is deliberately NOT a RACE match substring — an
+    // ethnicity-named column must bind to ETHNICITY (next entry), never
+    // RACE (pinned by IdentifySpec's binding-order test).
+    "RACE"      -> (Seq("race", "rae_full", "re_grp") -> Seq("ethnicity")),
     "ETHNICITY" -> (Seq("ethnicity", "ethnic", "nationality") -> Nil),
     "AGE_RANGE" -> (Seq("agerange", "age_range", "age range", "agegroup", "age_group") -> Nil),
     "AGE"       -> (Seq("age") -> Seq("agency", "range", "group", "average", "coverage")),

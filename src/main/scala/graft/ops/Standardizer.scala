@@ -52,9 +52,18 @@ object Standardizer {
       val base = f._1.stripSuffix("_SUBJECT").stripSuffix("_OFFICER")
       (Identify.fieldPatterns.indexWhere(_._1 == base), f._1)
     }
+    // Move originals to RAW_ names BEFORE writing standardized columns.
+    // Spark resolves withColumn case-insensitively by default, so a
+    // source column literally named "Date"/"Agency" would otherwise be
+    // REPLACED in place by withColumn("DATE", ...) and the later rename
+    // pass would then strip the standardized column away (leaving the
+    // final select to fail). Renaming first makes the canonical names
+    // always-free and keeps every consumed original under RAW_.
     var out = df
+    colMap.values.toSeq.distinct.foreach(c =>
+      out = out.withColumnRenamed(c, RawPrefix + c))
     stdCols.foreach { case (field, srcName) =>
-      out = out.withColumn(field, convert(field, col(srcName)))
+      out = out.withColumn(field, convert(field, col(RawPrefix + srcName)))
     }
     // DATE+TIME merge when both present (preproc.py:1406 merge_date_time)
     if (colMap.contains("DATE") && colMap.contains("TIME"))
@@ -70,9 +79,7 @@ object Standardizer {
         out = out.withColumn("RE_GROUP" + r, col("RACE" + r))
     }
 
-    // Rename originals to RAW_* and order columns canonically.
-    val renames = colMap.values.toSeq.distinct.filterNot(colMap.keySet.contains)
-    renames.foreach(c => out = out.withColumnRenamed(c, RawPrefix + c))
+    // Order columns canonically (originals already carry RAW_ names).
     val stdNames = stdCols.map(_._1) ++
       Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER").filter(out.columns.contains)
     val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq

@@ -66,6 +66,16 @@ class DedupSpec extends SparkSpec {
 
   // ---- kernel-level checks of the codegen implementations --------------
 
+  test("signature expressions fail fast at construction on invalid arguments") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException](
+      graft.functions.MinHashSig(Literal("x"), 5, 512)) // > MaxPerms
+    intercept[IllegalArgumentException](
+      graft.functions.MinHashSig(Literal("x"), 0, 128)) // k = 0
+    intercept[IllegalArgumentException](
+      graft.functions.LshSignature(Literal.create(Array(1.0)), 65)) // > 64 bits
+  }
+
   test("JaccardImpl merge scan equals set-based jaccard") {
     val a = new GenericArrayData(Array[Long](1, 3, 5, 7))
     val b = new GenericArrayData(Array[Long](3, 5, 9))

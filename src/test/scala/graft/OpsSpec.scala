@@ -101,7 +101,8 @@ class OpsSpec extends SparkSpec {
   test("age range normalization") {
     val cases = Map("25 - 34" -> "25-34", "OVER 65" -> "65-120", "65+" -> "65-120",
       "UNDER 21" -> "0-21", "20S" -> "20-29", "B - 18-29" -> "18-29",
-      "25" -> "25-34", "7" -> "0-17", "" -> "UNSPECIFIED", "ADULT" -> "ADULT")
+      "25" -> "25-34", "7" -> "0-17", "" -> "UNSPECIFIED",
+      "ADULT" -> "18-120", "JUVENILE" -> "0-17")
     cases.foreach { case (k, want) =>
       val got = Seq(k).toDF("raw").select(AgeRange.ageRangeStd(col("raw"))).as[String].head()
       assert(got == want, s"for '$k'")

@@ -50,22 +50,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
-  test("ngram pairs: candidate generation is an equi-join on the block key") {
-    val df = graft.dedup.Dedup.ngramJaccardPairs(
-      Tables(spark, sfDir, "documents"), "doc_id", "text", "source", 3, 0.6)
-    val p = planOf(df)
-    assert(p.contains("BroadcastHashJoin") && p.contains("blk"),
-      s"pair generation must be a bucketed equi-join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"no unblocked cross product allowed:\n$p")
+  /** Run with auto-broadcast disabled: any BroadcastExchange left in the
+    * initial plan can then only come from an explicit broadcast() hint —
+    * exactly what must NOT exist on a corpus-derived side. (AQE may still
+    * freely convert small sides to broadcast at runtime.) */
+  private def withoutAutoBroadcast[T](f: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try f finally spark.conf.set(key, old)
   }
 
-  test("minhash pairs: candidates join on band buckets, never cross product") {
-    val df = graft.dedup.Dedup.minhashPairs(
-      Tables(spark, sfDir, "documents"), "doc_id", "text")
-    val p = planOf(df)
-    assert(p.contains("band_hash"), p)
-    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  test("ngram pairs: salted equi-join on the block key, no corpus-side broadcast") {
+    withoutAutoBroadcast {
+      val df = graft.dedup.Dedup.ngramJaccardPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", "source", 3, 0.6)
+      val p = planOf(df)
+      assert(p.contains("blk") && p.contains("salt"),
+        s"pair generation must be a salted bucketed equi-join:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-derived gram table must never carry a broadcast hint:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"no unblocked cross product allowed:\n$p")
+    }
+  }
+
+  test("minhash pairs: band-bucket join, no corpus-side broadcast, no cross product") {
+    withoutAutoBroadcast {
+      val df = graft.dedup.Dedup.minhashPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text")
+      val p = planOf(df)
+      assert(p.contains("band_hash"), p)
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-derived banded/signature tables must never carry a broadcast hint:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    }
+  }
+
+  test("simhash/embed pairs: no corpus-side broadcast") {
+    withoutAutoBroadcast {
+      val ps = planOf(graft.dedup.Dedup.simhashPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text"))
+      assert(!ps.contains("BroadcastExchange") && !ps.contains("CartesianProduct"), ps)
+      val pe = planOf(graft.dedup.Dedup.embedCosinePairs(
+        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", "label", 0.3))
+      assert(!pe.contains("BroadcastExchange") && !pe.contains("CartesianProduct"), pe)
+    }
   }
 
   test("export writes canonical reference filenames") {

@@ -59,6 +59,37 @@ class StandardizerSpec extends SparkSpec {
     assert(rows(0).getTimestamp(5).toString == "2020-06-01 14:30:00.0")
   }
 
+  test("standardize: source columns literally named like canonical fields survive") {
+    // "Date"/"Time"/"Agency"/"Race" collide case-insensitively with the
+    // canonical names; the RAW_ rename must happen BEFORE the
+    // standardized withColumn or the standardized column is lost.
+    val df = Seq(("2020-06-01", "14:30", "Austin PD", "W", 1L))
+      .toDF("Date", "Time", "Agency", "Race", "case_id")
+    val r = Standardizer.standardize(df)
+    assert(r.colMap("DATE") == "Date")
+    val out = r.df
+    assert(out.columns.contains("DATE") && out.columns.contains("RAW_Date"))
+    val row = out.select("DATE", "TIME", "AGENCY", "RACE_SUBJECT").head()
+    assert(row.getString(0) == "2020-06-01" && row.getString(1) == "14:30:00")
+    assert(row.getString(2) == "Austin PD" && row.getString(3) == "WHITE")
+  }
+
+  test("ethnicity-named columns bind to ETHNICITY, never RACE") {
+    val both = Identify.identifyColumns(
+      Seq(("HISPANIC", "W")).toDF("subject_ethnicity", "subject_race"))
+    assert(both("ETHNICITY_SUBJECT") == "subject_ethnicity")
+    assert(both("RACE_SUBJECT") == "subject_race")
+    val only = Identify.identifyColumns(Seq("HISPANIC").toDF("ethnicity"))
+    assert(only.get("ETHNICITY_SUBJECT").contains("ethnicity"))
+    assert(!only.keys.exists(_.startsWith("RACE")))
+  }
+
+  test("age range maps ADULT/JUVENILE to the reference's full-range buckets") {
+    val got = Seq("ADULT", "JUVENILE", "adult ").toDF("raw")
+      .select(graft.ops.AgeRange.ageRangeStd(col("raw"))).as[String].collect()
+    assert(got.toSeq == Seq("18-120", "0-17", "18-120"))
+  }
+
   test("parseDateFlexible: epochs, int dates, quarters, format list") {
     val df = Seq("1577836800", "1577836800000", "20200601", "2021-Q3",
       "06/15/2020", "garbage").toDF("raw")
