@@ -231,6 +231,47 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")),
+    // SQL-verifiable companion to q_dedup_minhash: re-check the emitted
+    // candidate pairs with EXACT 5-gram Jaccard and keep only >= 0.8 —
+    // the oracle computes the same set over ALL pairs, so the row sets
+    // match iff LSH recall at j >= 0.8 is complete. With 32 bands of 4
+    // rows the per-pair miss probability at j = 0.8 is ~5e-8 (and the
+    // pipeline is fully deterministic on fixed data). Pins signature
+    // determinism, banding, the candidate join, and estimation.
+    "q_dedup_minhash_verify" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 5, numPerms = 128, bands = 32, threshold = 0.5)
+      val g = docs.select(col("doc_id"),
+        array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
+      pairs.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+        .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.GraftFunctions.jaccardSorted(
+            col("ga.grams"), col("gb.grams")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    // SQL-verifiable companion to q_dedup_simhash: SimHash is invariant
+    // under word permutation, so a copy of each doc with its words
+    // sorted has hamming 0 from the original and MUST be found (hamming
+    // 0 shares every band). Union docs with sorted-word copies
+    // (ids + 1e6), run the blocked pipeline, keep pairs whose word
+    // multisets agree — the oracle recomputes that set directly.
+    "q_dedup_simhash_verify" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
+      val perm = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", array_sort(split(col("nt"), " "))).as("nt"))
+      val all = base.unionByName(perm)
+      val pairs = Dedup.simhashPairs(all, "doc_id", "nt", maxHamming = 6)
+      val w = all.select(col("doc_id"), array_sort(split(col("nt"), " ")).as("words"))
+      pairs.join(w.as("wa"), col("id_a") === col("wa.doc_id"))
+        .join(w.as("wb"), col("id_b") === col("wb.doc_id"))
+        .filter(col("wa.words") === col("wb.words"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
           blockCol = "source", n = 3, threshold = 0.6)
@@ -254,6 +295,26 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label", 10)
+        .orderBy("query_id", "rank")
+    }),
+    // SQL-verifiable companion to q_ann_lsh: 16 one-bit bands — a corpus
+    // vector is a candidate unless its signature disagrees with the
+    // query on ALL 16 hyperplanes, so the candidate set covers the true
+    // top-k and the re-ranked result must equal brute force. Exercises
+    // signature computation, banding, the bucket join, and the re-rank.
+    "q_ann_lsh_verify" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10,
+          numPlanes = 16, bands = 16)
+        .orderBy("query_id", "rank")
+    }),
+    // SQL-verifiable companion to q_ann_ivf: nprobe ≥ #cells probes
+    // every cell, so routing + per-cell scoring + global top-k must
+    // reproduce brute force exactly (verifies everything but pruning).
+    "q_ann_ivf_verify" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label", 10,
+          nprobe = 1024)
         .orderBy("query_id", "rank")
     }),
 
@@ -307,6 +368,25 @@ object SparkEntry {
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
+
+  /** Exact cosine top-10 for query vecs vec_id < 5 — the oracle for
+    * q_ann_bruteforce and for the exact-by-construction ANN verify
+    * variants (q_ann_lsh_verify, q_ann_ivf_verify). */
+  private val annExactTopKSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT * FROM v WHERE vec_id < 5),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))) *
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> c.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])))), 4) AS cos
+      |  FROM q CROSS JOIN v c),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_load_year" ->
@@ -463,6 +543,34 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents
         |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_minhash_verify" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS grams
+        |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM documents))
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |    AND len(a.grams) >= 0.8 * len(b.grams) AND len(b.grams) >= 0.8 * len(a.grams))
+        |WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash_verify" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, nt FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_sort(string_split(nt, ' ')), ' ') FROM base),
+        |w AS (SELECT doc_id, list_sort(string_split(nt, ' ')) AS words FROM u)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM w a JOIN w b ON a.words = b.words AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram" ->
       """WITH g AS (
         |  SELECT doc_id, source,
@@ -490,21 +598,12 @@ object SparkEntry {
         |WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_ann_bruteforce" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT * FROM v WHERE vec_id < 5),
-        |s AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(
-        |      list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])) /
-        |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> c.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])))), 4) AS cos
-        |  FROM q CROSS JOIN v c),
-        |r AS (SELECT *, CAST(row_number() OVER
-        |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_bruteforce" -> annExactTopKSql,
+    // lsh_verify (16 one-bit bands → full-recall candidates) and
+    // ivf_verify (nprobe ≥ #cells) are exact by construction — both
+    // must reproduce the brute-force top-k.
+    "q_ann_lsh_verify" -> annExactTopKSql,
+    "q_ann_ivf_verify" -> annExactTopKSql,
 
     "q_lang_id" -> {
       val hits = TextStats.stopwords.map { case (lang, list) =>
