@@ -44,11 +44,26 @@ object Loaders {
       spark.read.json(path)
   }
 
+  /** Excel-backed dataset (reference data_loaders/excel.py `Excel`);
+    * sheet None → single sheet or year-sheet combine, see [[Xlsx]]. */
+  final case class ExcelLoader(sheet: Option[String] = None) extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame =
+      Xlsx.read(spark, path, sheet)
+  }
+
+  /** HTML-table-backed dataset (reference data_loaders/html.py `Html`). */
+  final case class HtmlLoader(tableIndex: Int = 0) extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame =
+      Html.read(spark, path, tableIndex)
+  }
+
   /** Format registry (reference data_loaders/__init__.py exports). */
   val registry: Map[String, Loader] = Map(
     "parquet" -> ParquetLoader,
     "csv" -> CsvLoader(),
-    "json" -> JsonLoader)
+    "json" -> JsonLoader,
+    "excel" -> ExcelLoader(),
+    "html" -> HtmlLoader())
 
   def apply(format: String): Loader =
     registry.getOrElse(format.toLowerCase,

@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.io.{FileOutputStream, InputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Dependency-free xlsx reader/writer — the reference's Excel loader
+  * (openpolicedata/data_loaders/excel.py:24 `class Excel`) re-expressed
+  * for Spark. An xlsx file is a zip of XML parts; only the JDK's
+  * java.util.zip + javax.xml DOM are used (no POI — not on the
+  * classpath, and an agency spreadsheet is a small single-file artifact
+  * that is parsed on the driver and then handed to Spark as rows; the
+  * distributed work happens in the transforms stacked on top).
+  *
+  * Reference semantics carried over:
+  *   - sheet selection by name (excel.py:343, `__check_sheet` :401
+  *     raises on a missing sheet);
+  *   - year-named sheets ("2020", "Data 2021", …) are detected and
+  *     concatenated in ascending year order with column alignment
+  *     (excel.py:215 `__get_sheets`, :289 year-sheet combine);
+  *   - multiple non-year sheets with no selection is an error
+  *     (excel.py:61).
+  *
+  * All cells surface as strings (pandas' dtype inference is the
+  * caller's `cast`); numeric cells keep their literal lexical form.
+  */
+object Xlsx {
+
+  // ---- reading ---------------------------------------------------------
+
+  private def parseXml(is: InputStream): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    // Defensive: no external entity resolution on untrusted files.
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder().parse(is)
+  }
+
+  private def elems(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
+    val nl = doc.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  private def childElems(e: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
+    val nl = e.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  /** "B3" → 0-based column index 1. */
+  private[sources] def colIndex(cellRef: String): Int = {
+    var i = 0
+    var c = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      c = c * 26 + (cellRef.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    c - 1
+  }
+
+  private def withZip[T](path: String)(f: ZipFile => T): T = {
+    val zf = new ZipFile(path)
+    try f(zf) finally zf.close()
+  }
+
+  private def zipDoc(zf: ZipFile, name: String): Option[org.w3c.dom.Document] =
+    Option(zf.getEntry(name)).map { e =>
+      val is = zf.getInputStream(e)
+      try parseXml(is) finally is.close()
+    }
+
+  /** Sheet name → worksheet part path, in workbook order
+    * (xl/workbook.xml sheet r:id resolved through the rels part). */
+  private def sheetParts(zf: ZipFile): Seq[(String, String)] = {
+    val wb = zipDoc(zf, "xl/workbook.xml")
+      .getOrElse(throw new IllegalArgumentException("not an xlsx: missing xl/workbook.xml"))
+    val rels = zipDoc(zf, "xl/_rels/workbook.xml.rels")
+      .map(d => elems(d, "Relationship")
+        .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap)
+      .getOrElse(Map.empty)
+    elems(wb, "sheet").map { s =>
+      val name = s.getAttribute("name")
+      val rid = s.getAttribute("r:id")
+      val target = rels.getOrElse(rid, s"worksheets/sheet${s.getAttribute("sheetId")}.xml")
+      name -> ("xl/" + target.stripPrefix("/xl/").stripPrefix("xl/"))
+    }
+  }
+
+  def sheetNames(path: String): Seq[String] = withZip(path)(sheetParts(_).map(_._1))
+
+  private def sharedStrings(zf: ZipFile): IndexedSeq[String] =
+    zipDoc(zf, "xl/sharedStrings.xml")
+      .map(d => elems(d, "si")
+        .map(si => childElems(si, "t").map(_.getTextContent).mkString).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty)
+
+  /** One sheet → rows of nullable string cells (ragged rows padded by
+    * the caller). */
+  private def sheetRows(zf: ZipFile, part: String,
+                        shared: IndexedSeq[String]): Seq[Array[String]] = {
+    val doc = zipDoc(zf, part)
+      .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $part"))
+    elems(doc, "row").map { row =>
+      val cells = childElems(row, "c")
+      val width = cells.map(c => colIndex(c.getAttribute("r"))).foldLeft(-1)(math.max) + 1
+      val out = new Array[String](math.max(width, 0))
+      cells.foreach { c =>
+        val idx = colIndex(c.getAttribute("r"))
+        val v = c.getAttribute("t") match {
+          case "s" => // shared-string index
+            childElems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt)).orNull
+          case "inlineStr" =>
+            childElems(c, "t").map(_.getTextContent).mkString match {
+              case "" => null; case s => s
+            }
+          case _ => // numeric / str / bool: literal lexical value
+            childElems(c, "v").headOption.map(_.getTextContent).orNull
+        }
+        if (idx >= 0) out(idx) = v
+      }
+      out
+    }
+  }
+
+  private val YearRe = "(?:^|\\D)((?:18|19|20)\\d{2})(?:\\D|$)".r
+
+  /** Year-sheet detection (excel.py:215): every sheet name embeds a
+    * distinct 4-digit year → treat as per-year partitions. */
+  private[sources] def yearSheets(names: Seq[String]): Option[Seq[(Int, String)]] = {
+    val parsed = names.map(n => YearRe.findFirstMatchIn(n).map(_.group(1).toInt) -> n)
+    if (names.size >= 2 && parsed.forall(_._1.isDefined) &&
+        parsed.flatMap(_._1).distinct.size == names.size)
+      Some(parsed.map(p => p._1.get -> p._2).sortBy(_._1))
+    else None
+  }
+
+  private def toDf(spark: SparkSession, rows: Seq[Array[String]]): DataFrame = {
+    val nonEmpty = rows.dropWhile(r => r.forall(_ == null))
+    require(nonEmpty.nonEmpty, "xlsx sheet has no data rows")
+    val header = nonEmpty.head.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.isEmpty) s"_c$i" else h
+    }
+    val width = header.length
+    val data = nonEmpty.tail.map { r =>
+      Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq), schema)
+  }
+
+  /** Load one sheet by name (None → single sheet or year-sheet
+    * combine). First non-empty row is the header. */
+  def read(spark: SparkSession, path: String,
+           sheet: Option[String] = None): DataFrame = withZip(path) { zf =>
+    val parts = sheetParts(zf)
+    val shared = sharedStrings(zf)
+    def one(part: String): DataFrame = toDf(spark, sheetRows(zf, part, shared))
+    sheet match {
+      case Some(s) =>
+        val part = parts.toMap.getOrElse(s,
+          throw new IllegalArgumentException(
+            s"Sheet $s not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+        one(part)
+      case None if parts.size == 1 => one(parts.head._2)
+      case None =>
+        yearSheets(parts.map(_._1)) match {
+          case Some(ys) =>
+            // Ascending year order, columns aligned by name — the
+            // reference's year-sheet concatenation (excel.py:289).
+            val byName = parts.toMap
+            ys.map { case (_, name) => one(byName(name)) }
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+          case None =>
+            throw new IllegalArgumentException(
+              s"Excel file at $path has ${parts.size} sheets and no sheet was " +
+              s"specified (have: ${parts.map(_._1).mkString(", ")})")
+        }
+    }
+  }
+
+  // ---- writing (fixture/export support) --------------------------------
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def sheetXml(rows: Seq[Seq[String]]): String = {
+    def ref(r: Int, c: Int): String = {
+      var n = c + 1
+      val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString + (r + 1)
+    }
+    val body = rows.zipWithIndex.map { case (cells, r) =>
+      val cs = cells.zipWithIndex.collect { case (v, c) if v != null =>
+        s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString
+      s"""<row r="${r + 1}">$cs</row>"""
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""".stripMargin
+  }
+
+  /** Write a minimal multi-sheet xlsx (inline strings only). Used for
+    * loader fixtures and excel export parity. */
+  def write(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    try {
+      val overrides = sheets.indices.map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString
+      put("[Content_Types].xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+           |<Default Extension="xml" ContentType="application/xml"/>
+           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+           |$overrides</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString
+      put("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets>$sheetTags</sheets></workbook>""".stripMargin)
+      val relTags = sheets.indices.map(i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString
+      put("xl/_rels/workbook.xml.rels",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$relTags</Relationships>""".stripMargin)
+      sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows))
+      }
+    } finally zos.close()
+  }
+
+  /** DataFrame → single-sheet xlsx (header + string-rendered cells). */
+  def writeDf(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(r =>
+      (0 until r.length).map(i => Option(r.get(i)).map(_.toString).orNull))
+    write(path, Seq(sheetName -> (header +: rows)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Html, Loaders, Xlsx}
+
+/** Excel + HTML loader coverage — mirrors the reference's
+  * tests/1_unit_data_loaders Excel/Html cases (sheet selection,
+  * year-sheet combine, missing-sheet error, first-table parse). */
+class LoadersSpec extends SparkSpec {
+
+  private def tmpFile(suffix: String): String =
+    java.nio.file.Files.createTempFile("graft_loader", suffix).toString
+
+  test("xlsx: single sheet round-trips header + cells through the registry") {
+    val path = tmpFile(".xlsx")
+    Xlsx.write(path, Seq("Sheet1" -> Seq(
+      Seq("id", "agency", "value"),
+      Seq("1", "Austin PD", "10.5"),
+      Seq("2", "Dallas & Co <PD>", null),
+      Seq("3", "Houston PD", "7"))))
+    val df = Loaders("excel").load(spark, path)
+    assert(df.columns.toSeq == Seq("id", "agency", "value"))
+    assert(df.count() == 3)
+    val rows = df.orderBy("id").collect()
+    assert(rows(1).getString(1) == "Dallas & Co <PD>") // entity escaping round-trip
+    assert(rows(1).isNullAt(2)) // missing cell → null
+    assert(df.select(sum(col("value").cast("double"))).head().getDouble(0) == 17.5)
+  }
+
+  test("xlsx: sheet selection by name; missing sheet raises") {
+    val path = tmpFile(".xlsx")
+    Xlsx.write(path, Seq(
+      "Incidents" -> Seq(Seq("id"), Seq("1")),
+      "Notes" -> Seq(Seq("note"), Seq("x"))))
+    assert(Xlsx.sheetNames(path) == Seq("Incidents", "Notes"))
+    assert(Xlsx.read(spark, path, Some("Notes")).columns.toSeq == Seq("note"))
+    intercept[IllegalArgumentException](Xlsx.read(spark, path, Some("Missing")))
+    // two non-year sheets, no selection → error (excel.py:61)
+    intercept[IllegalArgumentException](Xlsx.read(spark, path, None))
+  }
+
+  test("xlsx: year-named sheets combine in ascending order with column alignment") {
+    val path = tmpFile(".xlsx")
+    Xlsx.write(path, Seq(
+      "Data 2021" -> Seq(Seq("id", "extra"), Seq("3", "e3"), Seq("4", "e4")),
+      "2020" -> Seq(Seq("id"), Seq("1"), Seq("2"))))
+    val df = Xlsx.read(spark, path, None)
+    assert(df.columns.toSeq == Seq("id", "extra")) // aligned by name
+    assert(df.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq.sorted == Seq("1", "2", "3", "4"))
+    // 2020 rows carry null for the missing "extra" column
+    assert(df.filter(col("id") === "1").head().isNullAt(1))
+  }
+
+  test("xlsx: DataFrame export round-trip (writeDf → excel loader)") {
+    val path = tmpFile(".xlsx")
+    Xlsx.writeDf(graft.sources.Tables(spark, sfDir, "region"), path)
+    val back = Loaders("excel").load(spark, path)
+    assert(back.count() == 5)
+    assert(back.columns.contains("r_name"))
+  }
+
+  test("html: first table parses with header, entities, nested tags") {
+    val path = tmpFile(".html")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      """<html><body><p>preamble</p>
+        |<table class="data">
+        |  <tr><th>id</th><th> agency </th></tr>
+        |  <tr><td>1</td><td><b>Austin</b> PD</td></tr>
+        |  <tr><td>2</td><td>Dallas &amp; Co</td></tr>
+        |</table>
+        |<table><tr><th>other</th></tr><tr><td>x</td></tr></table>
+        |</body></html>""".stripMargin.getBytes("UTF-8"))
+    val df = Loaders("html").load(spark, path)
+    assert(df.columns.toSeq == Seq("id", "agency"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "Austin PD") // nested tag stripped
+    assert(rows(1).getString(1) == "Dallas & Co") // entity unescaped
+    // second table addressable by index
+    assert(Html.read(spark, path, tableIndex = 1).columns.toSeq == Seq("other"))
+  }
+
+  test("registry exposes all five formats") {
+    assert(Loaders.registry.keySet == Set("parquet", "csv", "json", "excel", "html"))
+  }
+}
