@@ -86,28 +86,58 @@ object Dates {
       .otherwise(coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*))
   }
 
-  /** Time-of-day parse (datetime_parser.py:382 `parse_time`) to a
-    * canonical "HH:mm:ss" string: 24h "H:mm[:ss]", military "HMM"/
-    * "HHMM" ints, and "h:mm[:ss] AM/PM"; null when unparseable. */
+  /** Time-of-day parse (datetime_parser.py:382 `parse_time` /
+    * :434 `convert_timestr_to_sec`) to a canonical "HH:mm:ss" string;
+    * null when unparseable (the reference's NaT). Long tail carried
+    * over from the reference:
+    *   - error codes 9999/999/99, 'TIME'/'NULL'/'#NAME?'/'#VALUE!'/'-',
+    *     and date-shaped strings in the time column → null;
+    *   - "P M"/"A M" spacing cleanup, then all whitespace removed;
+    *   - dotted "14.30.59" and semicolon-typo "14;30" separators;
+    *   - colon-less AM/PM ints ("130PM" → 1:30 PM);
+    *   - ISO-embedded times ("1899-12-30T21:30:00" → 21:30:00);
+    *   - 1-2-digit ints are minutes ("45" → 00:45:00), 3-4-digit ints
+    *     are military HHMM;
+    *   - 12 AM → 00, 12 PM → 12, and the 24h+PM typo rule (hour > 12
+    *     with a PM marker keeps the 24h hour);
+    *   - fractional seconds drop to :00 (the reference's int() parse
+    *     of "59.123" fails and leaves second unset).
+    * Deviation: text times the reference raises on ("noon") → null. */
   def parseTime(c: Column): Column = {
-    val t = upper(trim(c.cast("string")))
     def two(x: Column): Column = lpad(x.cast("int").cast("string"), 2, "0")
+    val t0 = upper(trim(c.cast("string")))
+    val t1 = regexp_replace(regexp_replace(t0, "P\\s+M", "PM"), "A\\s+M", "AM")
+    val tt = regexp_replace(t1, "\\s+", "")
+    // Canonical substitutions before the main chain.
+    val t = when(tt.rlike("^\\d{2};\\d{2}$"), regexp_replace(tt, ";", ":"))
+      .when(tt.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{1,2}$"), regexp_replace(tt, "\\.", ":"))
+      .when(tt.rlike("T\\d{1,2}:\\d{2}"), regexp_extract(tt, "T(\\d.*)$", 1))
+      .when(tt.rlike("^\\d{3,4}(AM|PM)$"),
+        concat(regexp_extract(tt, "^(\\d{1,2})(\\d{2}(?:AM|PM))$", 1), lit(":"),
+               regexp_extract(tt, "^(\\d{1,2})(\\d{2}(?:AM|PM))$", 2)))
+      .otherwise(tt)
+    val colonRe = "^(\\d{1,2}):(\\d{1,2})(:(\\d{1,2})(\\.\\d+)?)?(AM|PM)?$"
+    val h = regexp_extract(t, colonRe, 1).cast("int")
+    val m = regexp_extract(t, colonRe, 2).cast("int")
+    val sRaw = regexp_extract(t, colonRe, 4)
+    val frac = regexp_extract(t, colonRe, 5)
+    val mark = regexp_extract(t, colonRe, 6)
+    val hAdj = when(mark === "AM", when(h === 12, 0).otherwise(h))
+      .when(mark === "PM", when(h === 12, 12).when(h > 12, h).otherwise(h + 12))
+      .otherwise(h)
+    val sec = when(sRaw === "" || frac =!= "", lit("00"))
+      .otherwise(lpad(sRaw.cast("int").cast("string"), 2, "0"))
     val mil = t.cast("int")
-    val milOk = t.rlike("^\\d{3,4}$") &&
-      (mil.divide(100).cast("int") < 24) && (mil % 100 < 60)
-    val ampmH = regexp_extract(t, "^(\\d{1,2}):(\\d{2})(:(\\d{2}))?\\s*(AM|PM)$", 1).cast("int")
-    val ampmM = regexp_extract(t, "^(\\d{1,2}):(\\d{2})(:(\\d{2}))?\\s*(AM|PM)$", 2)
-    val ampmS = regexp_extract(t, "^(\\d{1,2}):(\\d{2})(:(\\d{2}))?\\s*(AM|PM)$", 4)
-    val ampmMark = regexp_extract(t, "^(\\d{1,2}):(\\d{2})(:(\\d{2}))?\\s*(AM|PM)$", 5)
-    val h24 = when(ampmMark === "AM", when(ampmH === 12, 0).otherwise(ampmH))
-      .otherwise(when(ampmH === 12, 12).otherwise(ampmH + 12))
-    when(t.rlike("^\\d{1,2}:\\d{2}:\\d{2}$"),
-        concat_ws(":", two(split(t, ":").getItem(0)), split(t, ":").getItem(1), split(t, ":").getItem(2)))
-      .when(t.rlike("^\\d{1,2}:\\d{2}$"),
-        concat_ws(":", two(split(t, ":").getItem(0)), split(t, ":").getItem(1), lit("00")))
-      .when(milOk, concat_ws(":", two(mil.divide(100).cast("int")), two(mil % 100), lit("00")))
-      .when(t.rlike("^(\\d{1,2}):(\\d{2})(:(\\d{2}))?\\s*(AM|PM)$"),
-        concat_ws(":", two(h24), ampmM, when(ampmS === "", "00").otherwise(ampmS)))
+    when(t.isin("", "-", "9999", "999", "99", "TIME", "NULL", "#NAME?", "#VALUE!"),
+        lit(null).cast("string"))
+      .when(t.rlike("^\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}"), lit(null).cast("string"))
+      .when(t.rlike(colonRe),
+        when(hAdj < 24 && m <= 59, concat_ws(":", two(hAdj), two(m), sec))
+          .otherwise(lit(null).cast("string")))
+      .when(t.rlike("^\\d{1,4}$"),
+        when((mil.divide(100).cast("int") < 24) && (mil % 100 < 60),
+          concat_ws(":", two(mil.divide(100).cast("int")), two(mil % 100), lit("00")))
+          .otherwise(lit(null).cast("string")))
       .otherwise(lit(null).cast("string"))
   }
 }

@@ -31,18 +31,36 @@ object Streams {
         .parquet(dir))
   }
 
-  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  /** Drive an unbounded DataFrame to a memory sink and return the
+    * result table — the ORACLE/TEST harness path only: a memory sink
+    * materializes in driver heap, so result size is capped there. The
+    * operator APIs below return the pre-sink streaming DataFrame; at
+    * scale attach [[runToFileSink]] (or kafka/foreachBatch) instead. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     df.sparkSession.table(name)
   }
 
-  /** Tumbling-window agg: per (event_type, hour) count + sum(value).
-    * Complete mode → every window, identical to the batch time_bucket. */
-  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val events = readTableStream(spark, dir, "events")
-    val agg = events
+  /** Drive an unbounded DataFrame to a distributed file sink (append
+    * mode — the only mode file sinks support) and return the output
+    * path. Results never pass through the driver. */
+  def runToFileSink(df: DataFrame, outDir: String,
+                    format: String = "parquet"): String = {
+    val q = df.writeStream.format(format)
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s"$outDir/data"
+  }
+
+  /** Tumbling-window agg (pre-sink, unbounded): per (event_type, hour)
+    * count + sum(value). */
+  def windowAggStream(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "events")
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       // Decimal-exact sum: double partial sums are order-dependent across
@@ -51,35 +69,44 @@ object Streams {
         round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("total_value"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
-    runToMemory(agg, s"graft_stream_window_${System.nanoTime()}", OutputMode.Complete())
-  }
 
-  /** Streaming deduplication: drop events whose key was already seen
-    * within the watermark horizon (`dropDuplicatesWithinWatermark` —
-    * state stays bounded by event time, unlike a full-history distinct).
-    * The staple in-flight dedup stage of a streaming ingest pipeline. */
-  def dedupeStream(spark: SparkSession, dir: String,
-                   keyCols: Seq[String] = Seq("event_id"),
-                   watermarkMinutes: Int = 60): DataFrame = {
-    val events = readTableStream(spark, dir, "events")
+  /** Complete-mode memory-sink run of [[windowAggStream]] → every
+    * window, identical to the batch time_bucket (oracle harness). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(windowAggStream(spark, dir),
+      s"graft_stream_window_${System.nanoTime()}", OutputMode.Complete())
+
+  /** Streaming deduplication (pre-sink, unbounded): drop events whose
+    * key was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state stays bounded by event
+    * time, unlike a full-history distinct). The staple in-flight dedup
+    * stage of a streaming ingest pipeline. */
+  def dedupeStreamDf(spark: SparkSession, dir: String,
+                     keyCols: Seq[String] = Seq("event_id"),
+                     watermarkMinutes: Int = 60): DataFrame =
+    readTableStream(spark, dir, "events")
       .withWatermark("ts", s"$watermarkMinutes minutes")
       .dropDuplicatesWithinWatermark(keyCols)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    runToMemory(events, s"graft_stream_dedupe_${System.nanoTime()}", OutputMode.Append())
-  }
+
+  def dedupeStream(spark: SparkSession, dir: String,
+                   keyCols: Seq[String] = Seq("event_id"),
+                   watermarkMinutes: Int = 60): DataFrame =
+    runToMemory(dedupeStreamDf(spark, dir, keyCols, watermarkMinutes),
+      s"graft_stream_dedupe_${System.nanoTime()}", OutputMode.Append())
 
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start_us: Long, end_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  /** Gap-based sessionization via flatMapGroupsWithState with event-time
-    * timeout: a session closes when the next event is > gap after its
-    * last event (emitted immediately) or when the watermark passes
-    * last_event + gap (emitted on timeout). Exactly one open session of
-    * state per user. */
-  def sessionize(spark: SparkSession, dir: String,
-                 gapMinutes: Int = 30): DataFrame = {
+  /** Gap-based sessionization (pre-sink, unbounded) via
+    * flatMapGroupsWithState with event-time timeout: a session closes
+    * when the next event is > gap after its last event (emitted
+    * immediately) or when the watermark passes last_event + gap (emitted
+    * on timeout). Exactly one open session of state per user. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val events = readTableStream(spark, dir, "events")
@@ -117,7 +144,12 @@ object Streams {
             closed.result().iterator
           }
       }
-    runToMemory(sessions.toDF(),
-      s"graft_stream_sessions_${System.nanoTime()}", OutputMode.Append())
+    sessions.toDF()
   }
+
+  /** Memory-sink run of [[sessionizeStream]] (oracle harness). */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame =
+    runToMemory(sessionizeStream(spark, dir, gapMinutes),
+      s"graft_stream_sessions_${System.nanoTime()}", OutputMode.Append())
 }

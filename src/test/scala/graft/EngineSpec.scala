@@ -103,6 +103,14 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sessionize drives a distributed file sink (no driver collect)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val path = Streams.runToFileSink(Streams.sessionizeStream(spark, sfDir), tmp)
+    val back = spark.read.parquet(path)
+    assert(back.count() > 0)
+    assert(back.columns.toSet == Set("user_id", "start_us", "end_us", "n_events"))
+  }
+
   test("streaming dedupe: unique keys pass through exactly once") {
     val streamed = Streams.dedupeStream(spark, sfDir)
     val batchDistinct = graft.sources.Tables(spark, sfDir, "events")

@@ -83,4 +83,27 @@ class LoadersSpec extends SparkSpec {
   test("registry exposes all five formats") {
     assert(Loaders.registry.keySet == Set("parquet", "csv", "json", "excel", "html"))
   }
+
+  test("feather: canonical filename and typed round trip (to_feather/load_feather)") {
+    import graft.sources.Feather
+    assert(Feather.featherFilename("Texas", "Austin", "Austin", "STOPS", Left("2020"))
+      == "Texas_Austin_STOPS_2020.feather")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_feather").toString
+    val df = spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS id, 'alpha' AS name, CAST(1.5 AS DOUBLE) AS score,
+        |  DATE'2020-06-01' AS d, TIMESTAMP'2020-06-01 14:30:00' AS ts, true AS flag
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(NULL AS STRING), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP), CAST(NULL AS BOOLEAN)""".stripMargin)
+    Feather.toFeather(df, tmp, "Texas", "Austin", "Austin", "STOPS", Left("2020"))
+    val back = Feather.loadFeather(spark, tmp, "Texas", "Austin", "Austin", "STOPS", Left("2020"))
+    // everything round-trips nullable; compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val (a, b) = (df.orderBy("id").collect().toSeq, back.orderBy("id").collect().toSeq)
+    assert(a == b, s"round trip mismatch:\n$a\n$b")
+    // region table (strings + longs) through the same path
+    val p2 = Feather.write(graft.sources.Tables(spark, sfDir, "region"), s"$tmp/region.feather")
+    assert(Feather.read(spark, p2).count() == 5)
+  }
 }

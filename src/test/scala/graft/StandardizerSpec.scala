@@ -107,6 +107,28 @@ class StandardizerSpec extends SparkSpec {
       "00:00:00", "12:30:00", "13:05:09", null, null))
   }
 
+  test("parseTime long tail: error codes, separators, typos, fractions") {
+    val cases = Seq(
+      "9999" -> null, "999" -> null, "99" -> null, // error codes
+      "TIME" -> null, "#NAME?" -> null, "-" -> null,
+      "6/1/2020" -> null, // date accidentally in the time column
+      "45" -> "00:45:00", "5" -> "00:05:00", // short ints are minutes
+      "14;30" -> "14:30:00", // semicolon typo
+      "14.30.59" -> "14:30:59", // dotted separators
+      "130PM" -> "13:30:00", "1130AM" -> "11:30:00", // colon-less AM/PM
+      "11:30 P M" -> "23:30:00", // split-PM cleanup
+      "1899-12-30T21:30:00" -> "21:30:00", // ISO-embedded time
+      "14:5" -> "14:05:00", // 1-digit minutes
+      "13:30 PM" -> "13:30:00", // 24h + PM typo keeps 24h hour
+      "14:30:59.123" -> "14:30:00", // fractional secs drop (reference quirk)
+      "23:70" -> null, "24:00" -> null)
+    val got = cases.map(_._1).toDF("raw")
+      .select(Dates.parseTime(col("raw"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"for '$in': got $g want $want")
+    }
+  }
+
   test("ethnicity LUT core vocabulary") {
     val cases = Map("HISPANIC" -> "HISPANIC/LATINO", "H" -> "HISPANIC/LATINO",
       "NON-HISPANIC" -> "NON-HISPANIC/NON-LATINO", "NOT HISPANIC" -> "NON-HISPANIC/NON-LATINO",
