@@ -1,19 +1,24 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Column identification: map a messy per-agency schema onto canonical
-  * fields by name-pattern matching.
+  * fields by name-pattern matching, optionally validated by content
+  * ([[identifyColumnsValidated]]).
   *
   * Reference: openpolicedata/preproc.py:520 `_find_col_matches` and the
   * per-field match substrings at :654 (date), :750 (time), :789 (race),
   * :818 (ethnicity), :835 (age), :856 (age range), :867 (gender),
   * :893 (fatal). Matching is case-insensitive substring over column
-  * names with per-field exclusions; first match wins (the reference
-  * scores multiple candidates — per-source tie-breaking is out of
-  * scope).
+  * names with per-field exclusions; first match wins.
   *
-  * Pure driver-side metadata work — no job is launched.
+  * [[identifyColumns]] is pure driver-side metadata work — no job is
+  * launched. [[identifyColumnsValidated]] additionally runs ONE bounded
+  * aggregate over a row sample to score DATE/TIME candidates by their
+  * content (datetime_parser.py:230 `validate_date`, :275
+  * `validate_time`), so a name-matched column whose values don't parse
+  * is rejected instead of silently bound.
   */
 object Identify {
 
@@ -73,6 +78,94 @@ object Identify {
         }
       } else hits.headOption.foreach { c =>
         if (!out.contains(field)) { out(field) = c; used += c }
+      }
+    }
+    out.toMap
+  }
+
+  /** All name-pattern candidates for one field, in schema order. */
+  private def candidatesFor(df: DataFrame, field: String): Seq[String] = {
+    val (subs, excl) = fieldPatterns.toMap.apply(field)
+    df.columns.toSeq.filter(matches(_, subs, excl))
+  }
+
+  /** Name-pattern identification plus content validation of the
+    * DATE/TIME bindings (datetime_parser.py:230 `validate_date`, :275
+    * `validate_time`; preproc.py validator hooks):
+    *
+    *   - every DATE candidate is scored on a row sample by parse rate
+    *     and variability — minutes varying > hours > day > month >
+    *     constant (the reference's completeness score), columns whose
+    *     content doesn't parse score out entirely;
+    *   - a TIME candidate must parse as a time of day AND not carry a
+    *     varying date (a datetime column is "not a time column");
+    *   - all candidate metrics come from ONE aggregate over
+    *     `df.limit(sampleSize)` (the reference caps validation at 100k
+    *     rows the same way), so validation cost is bounded regardless
+    *     of table size.
+    *
+    * `known` bindings are trusted and never overridden. */
+  def identifyColumnsValidated(df: DataFrame,
+                               known: Map[String, String] = Map.empty,
+                               sampleSize: Int = 1000,
+                               minParseRate: Double = 0.5): Map[String, String] = {
+    val base = identifyColumns(df, known)
+    val dateCands = if (known.contains("DATE")) Nil else candidatesFor(df, "DATE")
+    val timeCands = if (known.contains("TIME")) Nil else candidatesFor(df, "TIME")
+    if (dateCands.isEmpty && timeCands.isEmpty) return base
+
+    val sample = df.limit(sampleSize)
+    def metricsFor(c: String): Seq[Column] = {
+      val parsed = Dates.parseDateFlexible(col(c))
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        count(parsed).as(s"np_$c"),
+        count_distinct(minute(parsed)).as(s"nmin_$c"),
+        count_distinct(hour(parsed)).as(s"nhour_$c"),
+        count_distinct(dayofmonth(parsed)).as(s"nday_$c"),
+        count_distinct(month(parsed)).as(s"nmon_$c"),
+        count(Dates.parseTime(col(c))).as(s"nt_$c"),
+        count_distinct(to_date(parsed)).as(s"ndate_$c"))
+    }
+    val aggCols = (dateCands ++ timeCands).distinct.flatMap(metricsFor)
+    val m = sample.agg(aggCols.head, aggCols.tail: _*).head()
+    def g(name: String): Long = m.getAs[Long](name)
+
+    // validate_date scoring: 5 = minutes vary … 1 = parses but constant.
+    def dateScore(c: String): Int = {
+      val nonNull = g(s"n_$c")
+      if (nonNull == 0 || g(s"np_$c").toDouble / nonNull < minParseRate) 0
+      else if (g(s"nmin_$c") > 1) 5
+      else if (g(s"nhour_$c") > 1) 4
+      else if (g(s"nday_$c") > 1) 3
+      else if (g(s"nmon_$c") > 1) 2
+      else 1
+    }
+    // validate_time: must parse as time-of-day; a varying date part
+    // means the column holds datetimes, not times.
+    def timeOk(c: String): Boolean = {
+      val nonNull = g(s"n_$c")
+      nonNull > 0 && g(s"nt_$c").toDouble / nonNull >= minParseRate &&
+        g(s"ndate_$c") <= 1
+    }
+
+    val out = scala.collection.mutable.Map[String, String]() ++= base
+    val taken = scala.collection.mutable.Set[String]() ++=
+      (base - "DATE" - "TIME").values
+    if (!known.contains("DATE")) {
+      val scored = dateCands.filterNot(taken.contains).map(c => c -> dateScore(c))
+        .filter(_._2 > 0)
+      val best = if (scored.isEmpty) None
+                 else Some(scored.maxBy(_._2)._2).flatMap(s => scored.find(_._2 == s)).map(_._1)
+      best match {
+        case Some(c) => out("DATE") = c; taken += c
+        case None    => out.remove("DATE")
+      }
+    } else taken += known("DATE")
+    if (!known.contains("TIME")) {
+      timeCands.filterNot(taken.contains).find(timeOk) match {
+        case Some(c) => out("TIME") = c; taken += c
+        case None    => out.remove("TIME")
       }
     }
     out.toMap

@@ -25,11 +25,17 @@ object Standardizer {
 
   final case class Result(df: DataFrame, colMap: Map[String, String])
 
-  /** Standardize every identified field. */
+  /** Standardize every identified field. `validateContent` (on by
+    * default, as in the reference) re-scores DATE/TIME bindings against
+    * a row sample so a name-matched column whose values don't parse is
+    * rejected — see [[Identify.identifyColumnsValidated]]. */
   def standardize(df: DataFrame,
                   known: Map[String, String] = Map.empty,
-                  dateFormats: Seq[String] = Dates.defaultFormats): Result = {
-    val colMap = Identify.identifyColumns(df, known)
+                  dateFormats: Seq[String] = Dates.defaultFormats,
+                  validateContent: Boolean = true): Result = {
+    val colMap =
+      if (validateContent) Identify.identifyColumnsValidated(df, known)
+      else Identify.identifyColumns(df, known)
 
     def convert(field: String, src: Column): Column =
       field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {

@@ -74,6 +74,45 @@ class StandardizerSpec extends SparkSpec {
     assert(row.getString(2) == "Austin PD" && row.getString(3) == "WHITE")
   }
 
+  test("content validation rejects name-matched columns that don't parse") {
+    // "status_date" name-matches DATE first but holds garbage;
+    // "time_zone" name-matches TIME but holds zone codes.
+    val df = Seq(
+      ("CLOSED", "2020-06-01", "CST", "14:30"),
+      ("OPEN", "06/02/2020", "CST", "2:15 PM"),
+      ("VOID", "20200603", "MST", "230")
+    ).toDF("status_date", "incident_date", "time_zone", "incident_tm")
+    // name-only binding picks the first match — the wrong column
+    val nameOnly = Identify.identifyColumns(df)
+    assert(nameOnly("DATE") == "status_date" && nameOnly("TIME") == "time_zone")
+    // content validation skips to the parseable candidates
+    val validated = Identify.identifyColumnsValidated(df)
+    assert(validated("DATE") == "incident_date", validated.toString)
+    assert(validated("TIME") == "incident_tm", validated.toString)
+    // and the full pipeline (validateContent on by default) converts them
+    val out = Standardizer.standardize(df).df
+    assert(out.select("DATE").collect().map(_.getString(0)).toSet
+      == Set("2020-06-01", "2020-06-02", "2020-06-03"))
+  }
+
+  test("content validation drops DATE/TIME entirely when nothing parses") {
+    val df = Seq(("x", "garbage", "zone")).toDF("id", "report_date", "time_zone")
+    val validated = Identify.identifyColumnsValidated(df)
+    assert(!validated.contains("DATE") && !validated.contains("TIME"))
+  }
+
+  test("content validation prefers the more complete datetime column") {
+    // Both parse, but only one carries varying time-of-day — the
+    // reference's validate_date completeness score prefers it.
+    val df = Seq(
+      ("2020-06-01", "2020-06-01 14:30:11"),
+      ("2020-06-02", "2020-06-02 09:15:42"),
+      ("2020-06-03", "2020-06-03 22:05:03")
+    ).toDF("posted_date", "occurred_datetime")
+    val validated = Identify.identifyColumnsValidated(df)
+    assert(validated("DATE") == "occurred_datetime", validated.toString)
+  }
+
   test("ethnicity-named columns bind to ETHNICITY, never RACE") {
     val both = Identify.identifyColumns(
       Seq(("HISPANIC", "W")).toDF("subject_ethnicity", "subject_race"))
