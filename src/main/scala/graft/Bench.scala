@@ -4,11 +4,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Failed queries are reported in an "errors" map
   * (and excluded from the total) instead of being silently timed — a
-  * broken query must be distinguishable from a slow one. */
+  * broken query must be distinguishable from a slow one.
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and the PER-QUERY
+  * MINIMUM is reported: this host carries external CPU contention with
+  * a run-to-run spread of up to ~3x, and the minimum is the best
+  * estimator of plan cost under noise. The first rep doubles as the
+  * warmup (JIT + codegen + parquet footer cache); since minima are
+  * taken, warmup cost never leaks into the reported numbers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,17 +26,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup pass: JIT + codegen compilation + parquet footer
-    // caching would otherwise all land on the alphabetically-first query.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val times = Seq.newBuilder[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => err = Some(e.toString.take(200)) }
+        r += 1
+      }
+      val ts = times.result()
+      (name, if (ts.isEmpty) 0.0 else ts.min, err)
     }
     val ok = outcomes.filter(_._3.isEmpty)
     def esc(s: String) = s.flatMap {
@@ -40,7 +49,7 @@ object Bench {
     val errs = outcomes.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min"}""")
     spark.stop()
   }
 }

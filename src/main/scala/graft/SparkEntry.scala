@@ -242,8 +242,12 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         k = 5, numPerms = 128, bands = 32, threshold = 0.5)
-      val g = docs.select(col("doc_id"),
-        array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
+      // Repartition before the gram kernel: the docs scan is one parquet
+      // split and the projection feeds both join probes — unpartitioned
+      // it would run 2x on one core.
+      val g = docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
       pairs.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
         .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
         .select(col("id_a"), col("id_b"),
