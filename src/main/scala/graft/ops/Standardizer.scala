@@ -23,7 +23,21 @@ object Standardizer {
 
   val RawPrefix = "RAW_"
 
-  final case class Result(df: DataFrame, colMap: Map[String, String])
+  /** One applied conversion — the reference's transform record
+    * (data.py:548 `get_transform_map`): which original column became
+    * which standardized column, via which conversion. */
+  final case class Transform(field: String, origColumn: String,
+                             newColumn: String, conversion: String)
+
+  final case class Result(df: DataFrame, colMap: Map[String, String],
+                          transforms: Seq[Transform] = Nil) {
+    /** `get_transform_map(orig=, new=)`: filter the applied-conversion
+      * log by original and/or standardized column name. */
+    def transformMap(orig: Option[String] = None,
+                     newCol: Option[String] = None): Seq[Transform] =
+      transforms.filter(t => orig.forall(_ == t.origColumn) &&
+        newCol.forall(_ == t.newColumn))
+  }
 
   /** Standardize every identified field. `validateContent` (on by
     * default, as in the reference) re-scores DATE/TIME bindings against
@@ -37,21 +51,21 @@ object Standardizer {
       if (validateContent) Identify.identifyColumnsValidated(df, known)
       else Identify.identifyColumns(df, known)
 
-    def convert(field: String, src: Column): Column =
+    def convert(field: String, src: Column): (Column, String) =
       field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {
-        case "RACE"      => Luts.raceStd(src)
-        case "ETHNICITY" => Luts.ethStd(src)
-        case "GENDER"    => Luts.genderStd(src)
-        case "INJURY"    => Luts.injuryStd(src)
-        case "FATAL"     => Luts.fatalStd(src)
-        case "ROLE"      => Luts.roleStd(src)
-        case "AGE_RANGE" => AgeRange.ageRangeStd(src)
-        case "AGE"       => src.cast("string")
+        case "RACE"      => Luts.raceStd(src) -> "race_lut"
+        case "ETHNICITY" => Luts.ethStd(src) -> "ethnicity_lut"
+        case "GENDER"    => Luts.genderStd(src) -> "gender_lut"
+        case "INJURY"    => Luts.injuryStd(src) -> "injury_lut"
+        case "FATAL"     => Luts.fatalStd(src) -> "fatal_lut"
+        case "ROLE"      => Luts.roleStd(src) -> "role_lut"
+        case "AGE_RANGE" => AgeRange.ageRangeStd(src) -> "age_range_lut"
+        case "AGE"       => src.cast("string") -> "cast_string"
         // date-only canonical string ("yyyy-MM-dd") so the DATETIME
         // merge below can re-parse it with the default formats
-        case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string")
-        case "TIME"      => Dates.parseTime(src)
-        case _           => src
+        case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string") -> "date_parse"
+        case "TIME"      => Dates.parseTime(src) -> "time_parse"
+        case _           => src -> "rename"
       }
 
     val stdCols = colMap.toSeq.sortBy { f =>
@@ -68,21 +82,32 @@ object Standardizer {
     var out = df
     colMap.values.toSeq.distinct.foreach(c =>
       out = out.withColumnRenamed(c, RawPrefix + c))
+    val log = Seq.newBuilder[Transform]
     stdCols.foreach { case (field, srcName) =>
-      out = out.withColumn(field, convert(field, col(RawPrefix + srcName)))
+      val (converted, kind) = convert(field, col(RawPrefix + srcName))
+      out = out.withColumn(field, converted)
+      log += Transform(field, srcName, field, kind)
     }
     // DATE+TIME merge when both present (preproc.py:1406 merge_date_time)
-    if (colMap.contains("DATE") && colMap.contains("TIME"))
+    if (colMap.contains("DATE") && colMap.contains("TIME")) {
       out = out.withColumn("DATETIME",
         Dates.mergeDateTime(col("DATE"), col("TIME")))
+      log += Transform("DATETIME", colMap("DATE") + "+" + colMap("TIME"),
+        "DATETIME", "merge_date_time")
+    }
     // RE_GROUP per role: merged race+ethnicity when both present, else
     // race (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
     Seq("_SUBJECT", "_OFFICER").foreach { r =>
-      if (colMap.contains("RACE" + r) && colMap.contains("ETHNICITY" + r))
+      if (colMap.contains("RACE" + r) && colMap.contains("ETHNICITY" + r)) {
         out = out.withColumn("RE_GROUP" + r,
           Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r), "merge"))
-      else if (colMap.contains("RACE" + r))
+        log += Transform("RE_GROUP" + r,
+          colMap("RACE" + r) + "+" + colMap("ETHNICITY" + r),
+          "RE_GROUP" + r, "combine_race_ethnicity")
+      } else if (colMap.contains("RACE" + r)) {
         out = out.withColumn("RE_GROUP" + r, col("RACE" + r))
+        log += Transform("RE_GROUP" + r, colMap("RACE" + r), "RE_GROUP" + r, "alias")
+      }
     }
 
     // Order columns canonically (originals already carry RAW_ names).
@@ -90,6 +115,6 @@ object Standardizer {
       Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER").filter(out.columns.contains)
     val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq
     val passthru = out.columns.filterNot(c => stdNames.contains(c) || rawNames.contains(c)).toSeq
-    Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap)
+    Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap, log.result())
   }
 }

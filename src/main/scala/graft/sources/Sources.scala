@@ -109,6 +109,86 @@ object Sources {
     }
   }
 
+  /** `split_date_range` (datetime_parser.py:759): chop [start, end)
+    * into a leading partial year, whole calendar years, and a trailing
+    * partial year — the chunking the reference's date-based load_iter
+    * walks. Dates are "yyyy-MM-dd" literals; the range is half-open
+    * (the reference's inclusive-to-the-second stop minus one second is
+    * the same boundary). Every chunk compiles to a range predicate on
+    * the raw column via [[dateFilter]], so each iteration is an
+    * independently pruned scan. */
+  def splitDateRange(start: String, endExclusive: String): Seq[DateSel] = {
+    val s = java.time.LocalDate.parse(start)
+    val e = java.time.LocalDate.parse(endExclusive)
+    require(!e.isBefore(s), s"splitDateRange: end $endExclusive before start $start")
+    def jan1(y: Int) = java.time.LocalDate.of(y, 1, 1)
+    val fullYears = (s.getYear to e.getYear).filter(y =>
+      !jan1(y).isBefore(s) && !e.isBefore(jan1(y + 1)))
+    val out = Seq.newBuilder[DateSel]
+    if (fullYears.isEmpty) {
+      if (s != e) out += DateRange(start, endExclusive)
+    } else {
+      if (s.isBefore(jan1(fullYears.head)))
+        out += DateRange(start, jan1(fullYears.head).toString)
+      fullYears.foreach(out += Year(_))
+      if (e.isAfter(jan1(fullYears.last + 1)))
+        out += DateRange(jan1(fullYears.last + 1).toString, endExclusive)
+    }
+    out.result()
+  }
+
+  /** Date-chunked iteration (the reference's load_iter(by date) path):
+    * one lazily-filtered DataFrame per [[splitDateRange]] chunk. */
+  def loadIterByDate(df: DataFrame, dateField: String,
+                     start: String, endExclusive: String): Iterator[(DateSel, DataFrame)] =
+    splitDateRange(start, endExclusive).iterator
+      .map(sel => sel -> df.filter(dateFilter(col(dateField), sel)))
+
+  // ---- dataset disambiguation (data.py:1373 load(url_contains=, id=)) --
+
+  /** One catalog dataset descriptor — the reference's datasets-table row
+    * with a possibly-compound dataset id (dataset_id.py:56 `expand`:
+    * a multi-file dataset is several files combined into one logical
+    * table). */
+  final case class DatasetDesc(url: String, id: Option[String],
+                               tableType: String, year: Option[Int] = None,
+                               format: String = "parquet",
+                               files: Seq[String] = Nil)
+
+  /** Narrow a source's candidate datasets by table type, year,
+    * url substring, and exact dataset id (data.py:1326 `filter`):
+    * exactly one must remain, otherwise the error lists every candidate
+    * in the reference's "(url=…, id=…)" form so the caller can pass a
+    * disambiguator. */
+  def selectDataset(datasets: Seq[DatasetDesc],
+                    tableType: Option[String] = None,
+                    year: Option[Int] = None,
+                    urlContains: Option[String] = None,
+                    id: Option[String] = None): DatasetDesc = {
+    val hits = datasets
+      .filter(d => tableType.forall(_ == d.tableType))
+      .filter(d => year.forall(y => d.year.contains(y)))
+      .filter(d => urlContains.forall(u => d.url.toLowerCase.contains(u.toLowerCase)))
+      .filter(d => id.forall(i => d.id.contains(i)))
+    def render(ds: Seq[DatasetDesc]): String = ds.map(d =>
+      d.id.map(i => s"(url=${d.url}, id=$i)").getOrElse(s"(url=${d.url})")).mkString(", ")
+    hits match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"No matching dataset. Available: ${render(datasets)}")
+      case many => throw new IllegalArgumentException(
+        "Multiple datasets match; pass url_contains= or id= to disambiguate: " + render(many))
+    }
+  }
+
+  /** Load a (possibly multi-file) dataset descriptor through the loader
+    * registry and align the parts (dataset_id.py expand → combine). */
+  def loadDataset(spark: org.apache.spark.sql.SparkSession, d: DatasetDesc): DataFrame = {
+    val loader = Loaders(d.format)
+    val paths = if (d.files.nonEmpty) d.files else Seq(d.url)
+    combine(paths.map(loader.load(spark, _)))
+  }
+
   /** `get_count` (data.py:1056). */
   def count(df: DataFrame, date: Option[(String, DateSel)] = None): Long =
     date.map { case (f, sel) => df.filter(dateFilter(col(f), sel)) }.getOrElse(df).count()

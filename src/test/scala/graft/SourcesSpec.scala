@@ -5,6 +5,62 @@ import graft.sources.{Sources, Tables}
 import graft.sources.Sources._
 
 class SourcesSpec extends SparkSpec {
+
+  test("splitDateRange: partial years, full years, single-year slices") {
+    import graft.sources.Sources._
+    // mid-2020 .. mid-2023: partial + 2021 + 2022 + partial
+    assert(splitDateRange("2020-06-15", "2023-03-01") == Seq(
+      DateRange("2020-06-15", "2021-01-01"), Year(2021), Year(2022),
+      DateRange("2023-01-01", "2023-03-01")))
+    // aligned full years only
+    assert(splitDateRange("2020-01-01", "2022-01-01") == Seq(Year(2020), Year(2021)))
+    // inside one year
+    assert(splitDateRange("2020-03-01", "2020-05-01") ==
+      Seq(DateRange("2020-03-01", "2020-05-01")))
+    // empty range
+    assert(splitDateRange("2020-03-01", "2020-03-01").isEmpty)
+    intercept[IllegalArgumentException](splitDateRange("2021-01-01", "2020-01-01"))
+  }
+
+  test("loadIterByDate chunks cover the range exactly once") {
+    import graft.sources.Sources._
+    val events = graft.sources.Tables(spark, sfDir, "events")
+    val chunks = loadIterByDate(events, "ts", "2024-01-05", "2024-02-01").toSeq
+    val total = chunks.map(_._2.count()).sum
+    val direct = events.filter(
+      dateFilter(org.apache.spark.sql.functions.col("ts"),
+        DateRange("2024-01-05", "2024-02-01"))).count()
+    assert(total == direct && direct > 0)
+  }
+
+  test("selectDataset disambiguates by url_contains and id, errors listing candidates") {
+    import graft.sources.Sources._
+    val ds = Seq(
+      DatasetDesc("https://a.example/stops2020.csv", Some("d1"), "STOPS", Some(2020), "csv"),
+      DatasetDesc("https://b.example/stops2020v2.csv", Some("d2"), "STOPS", Some(2020), "csv"),
+      DatasetDesc("https://a.example/arrests.csv", None, "ARRESTS", None, "csv"))
+    assert(selectDataset(ds, tableType = Some("ARRESTS")).url.contains("arrests"))
+    assert(selectDataset(ds, tableType = Some("STOPS"), urlContains = Some("b.example")).id.contains("d2"))
+    assert(selectDataset(ds, id = Some("d1")).url.contains("stops2020.csv"))
+    val ambiguous = intercept[IllegalArgumentException](
+      selectDataset(ds, tableType = Some("STOPS"), year = Some(2020)))
+    assert(ambiguous.getMessage.contains("id=d1") && ambiguous.getMessage.contains("id=d2"))
+    val none = intercept[IllegalArgumentException](selectDataset(ds, id = Some("nope")))
+    assert(none.getMessage.contains("Available"))
+  }
+
+  test("loadDataset combines a multi-file descriptor through the registry") {
+    import graft.sources.Sources._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    val nation = graft.sources.Tables(spark, sfDir, "nation")
+    nation.filter(org.apache.spark.sql.functions.col("n_nationkey") < 10)
+      .write.mode("overwrite").option("header", "true").csv(s"$tmp/part1.csv")
+    nation.filter(org.apache.spark.sql.functions.col("n_nationkey") >= 10)
+      .write.mode("overwrite").option("header", "true").csv(s"$tmp/part2.csv")
+    val d = DatasetDesc(s"$tmp/part1.csv", Some("multi"), "NATION", None, "csv",
+      files = Seq(s"$tmp/part1.csv", s"$tmp/part2.csv"))
+    assert(loadDataset(spark, d).count() == 25)
+  }
   import spark.implicits._
 
   private def dated = Seq(

@@ -74,6 +74,18 @@ class StandardizerSpec extends SparkSpec {
     assert(row.getString(2) == "Austin PD" && row.getString(3) == "WHITE")
   }
 
+  test("get_transform_map records every applied conversion") {
+    val r = Standardizer.standardize(messy)
+    val byNew = r.transforms.map(t => t.newColumn -> t.conversion).toMap
+    assert(byNew("DATE") == "date_parse" && byNew("TIME") == "time_parse")
+    assert(byNew("RACE_SUBJECT") == "race_lut" && byNew("GENDER_SUBJECT") == "gender_lut")
+    assert(byNew("DATETIME") == "merge_date_time")
+    assert(byNew("RE_GROUP_SUBJECT") == "combine_race_ethnicity")
+    // filter forms (data.py get_transform_map(orig=, new=))
+    assert(r.transformMap(orig = Some("subject_race")).map(_.newColumn) == Seq("RACE_SUBJECT"))
+    assert(r.transformMap(newCol = Some("TIME")).map(_.origColumn) == Seq("incident_tm"))
+  }
+
   test("content validation rejects name-matched columns that don't parse") {
     // "status_date" name-matches DATE first but holds garbage;
     // "time_zone" name-matches TIME but holds zone codes.
