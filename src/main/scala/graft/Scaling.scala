@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling harness (dev tool, like Bench/Verify): times the dedup pair
+  * generators at 1x and 4x corpus volume with auto-broadcast DISABLED,
+  * so the joins take exactly the shuffle path they would take at 100 TB
+  * (where every corpus-derived side exceeds any broadcast threshold).
+  * The 4x corpus is built from near-dup copies (suffix-perturbed text /
+  * id-offset vectors), which also grows the true pair count
+  * quadratically inside dup clusters — the worst case for the pair
+  * join. Asserts no BroadcastExchange appears in any pair plan.
+  * Results recorded in SCALING.md. */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the 100 TB join path
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Tables
+
+    val docs1 = Tables(spark, sfDir, "documents")
+    val embs1 = Tables(spark, sfDir, "embeddings")
+    def scaleDocs(n: Int): DataFrame =
+      (0 until n).map(i => docs1.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text") else concat(col("text"), lit(s" v$i"))).as("text"),
+        col("source"))).reduce(_.unionByName(_))
+    def scaleEmbs(n: Int): DataFrame =
+      (0 until n).map(i => embs1.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_.unionByName(_))
+
+    def time(name: String, df: => DataFrame): Unit = {
+      val d = df
+      val plan = d.queryExecution.executedPlan.toString()
+      require(!plan.contains("BroadcastExchange"),
+        s"$name: corpus-side broadcast found in plan:\n$plan")
+      val t0 = System.nanoTime()
+      val n = d.count()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d pairs  (no broadcast)")
+    }
+
+    Seq(1, 4).foreach { n =>
+      val docs = scaleDocs(n)
+      val embs = scaleEmbs(n)
+      println(s"-- ${n}x corpus (${docs.count()} docs, ${embs.count()} vecs)")
+      time(s"minhash_pairs_${n}x", graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text"))
+      time(s"simhash_pairs_${n}x", graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text"))
+      time(s"ngram_pairs_${n}x", graft.dedup.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", "source", 3, 0.6))
+      time(s"embed_pairs_${n}x", graft.dedup.Dedup.embedCosinePairs(
+        embs, "vec_id", "embedding", "label", 0.3))
+    }
+    spark.stop()
+  }
+}
