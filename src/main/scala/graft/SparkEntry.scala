@@ -338,6 +338,17 @@ object SparkEntry {
           TextStats.bpeTokens(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting):
+    // emit count + CSV of the sorted fingerprint set so the driver can
+    // hash-compare against the oracle's identical polynomial hashes.
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // kernel off the single split
+        .select(col("doc_id"), TextStats.winnowFingerprints(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          concat_ws(",", transform(col("fp"), x => x.cast("string"))).as("fp_csv"))
+        .orderBy("doc_id")),
+
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
       Binary.withMeta(T(s, dir, "documents"), "doc_id", "text")
@@ -362,6 +373,10 @@ object SparkEntry {
     "q3_join" -> ((s, dir) => Analytics.q3(s, dir)),
     "q5_multijoin" -> ((s, dir) => Analytics.q5(s, dir)),
     "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
+    // Same result through the custom bounded-heap TopKLargest aggregate
+    // (map-side partial top-k; shuffle carries ≤ n rows per group per
+    // partition) — oracle identical to q_window_topn.
+    "q_topk_agg" -> ((s, dir) => Analytics.windowTopNAgg(s, dir)),
     "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir).orderBy("l_orderkey")),
 
     // Streaming
@@ -391,6 +406,20 @@ object SparkEntry {
       |      FROM s)
       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Top-3 parts by revenue per brand — the oracle for q_window_topn
+    * and its bounded-heap twin q_topk_agg. */
+  private val topNPerBrandSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |        (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INTEGER) AS rnk
+      |      FROM rev)
+      |SELECT p_brand, p_partkey, revenue, rnk FROM r WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_load_year" ->
@@ -640,6 +669,22 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_winnow" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+        |    i -> (greatest(ord(substr(t, CAST(i AS INT), 1)), 0) * 29791 +
+        |          greatest(ord(substr(t, CAST(i+1 AS INT), 1)), 0) * 961 +
+        |          greatest(ord(substr(t, CAST(i+2 AS INT), 1)), 0) * 31 +
+        |          greatest(ord(substr(t, CAST(i+3 AS INT), 1)), 0)) % 1000000007) AS hs
+        |  FROM n),
+        |w AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+        |    j -> list_min(array_slice(hs, j, j + 4))))) AS fp
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, array_to_string(fp, ',') AS fp_csv
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256, 'text/plain' AS mime
@@ -685,17 +730,9 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
-    "q_window_topn" ->
-      """WITH rev AS (
-        |  SELECT p_brand, p_partkey,
-        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  GROUP BY p_brand, p_partkey),
-        |r AS (SELECT *, CAST(row_number() OVER
-        |        (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INTEGER) AS rnk
-        |      FROM rev)
-        |SELECT p_brand, p_partkey, revenue, rnk FROM r WHERE rnk <= 3
-        |ORDER BY p_brand, rnk""".stripMargin,
+    // q_topk_agg must reproduce the window-based top-N exactly.
+    "q_topk_agg" -> topNPerBrandSql,
+    "q_window_topn" -> topNPerBrandSql,
     "q_skew_agg" ->
       """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,

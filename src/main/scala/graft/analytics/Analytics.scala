@@ -102,6 +102,30 @@ object Analytics {
       .orderBy("p_brand", "rnk")
   }
 
+  /** Same top-N-per-group result as [[windowTopN]] through the custom
+    * bounded-heap aggregate ([[graft.functions.TopKLargest]]): the
+    * shuffle carries at most n rows per brand per partition (map-side
+    * partial top-k) instead of every (brand, part) revenue row followed
+    * by a per-group sort — the form that wins when groups are large at
+    * 100 TB. The ranking is encoded lexicographically in a struct:
+    * revenue asc, then NEGATED partkey (so "largest" = highest revenue,
+    * then smallest partkey — the window's DESC/ASC tiebreak). */
+  def windowTopNAgg(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    rev.groupBy("p_brand")
+      .agg(graft.functions.GraftFunctions.topKLargest(
+        struct(col("revenue"), (-col("p_partkey")).as("neg_key"), col("p_partkey")), n).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("p_brand"), col("t.p_partkey").as("p_partkey"),
+        col("t.revenue").as("revenue"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("p_brand", "rnk")
+  }
+
   /** High-cardinality aggregation (AQE/skew path): per-order rollup over
     * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced
     * shuffle. */

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -247,6 +247,171 @@ case class LshSignature(child: Expression, numPlanes: Int)
     copy(child = newChild)
 }
 
+object WinnowImpl {
+  private final val Mod = 1000000007L
+
+  /** Winnowing fingerprints in one O(n) pass: polynomial k-gram hash
+    * (base 31 mod 1e9+7 — small fixed modulus so the SQL oracle can
+    * reproduce values exactly), monotonic-deque sliding-window minima,
+    * then sort + dedupe. The declarative form
+    * (TextStats.winnowFingerprintsDecl) re-inlines the hash array into
+    * every window slice — O(n²·k) per row — which is why this kernel
+    * exists (same lesson as the MinHash signature). */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = MinHashImpl.normalize(text.toString)
+    val n = s.length
+    val m = math.max(n - (k - 1), 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        // out-of-range chars contribute 0 (mirrors substr-past-end in
+        // the SQL rendering, guarded to 0 on both sides)
+        val c: Long = if (i + j < n) s.charAt(i + j).toLong else 0L
+        h = h * 31L + c
+        j += 1
+      }
+      hs(i) = h % Mod
+      i += 1
+    }
+    val wm = math.max(m - (w - 1), 1)
+    val mins = new Array[Long](wm)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - (w - 1)) = hs(deque(head))
+      i += 1
+    }
+    if (m < w) mins(0) = hs(deque(head))
+    java.util.Arrays.sort(mins)
+    var distinct = if (wm > 0) 1 else 0
+    i = 1
+    while (i < wm) { if (mins(i) != mins(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Long](distinct)
+    var o = 0
+    i = 0
+    while (i < wm) {
+      if (i == 0 || mins(i) != mins(i - 1)) { out(o) = mins(i); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** winnow_fp(text, k, w) → sorted distinct array<bigint> of winnowing
+  * fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03). */
+case class WinnowFp(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && k <= 64 && w >= 1 && w <= 4096,
+    s"winnow_fp: bad k=$k / w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowImpl.compute(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.compute($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+}
+
+/** topk_largest(expr, k) → array of the k LARGEST values of `expr`
+  * (any orderable type — typically a struct whose lexicographic order
+  * encodes the ranking), sorted descending.
+  *
+  * A bounded-heap TypedImperativeAggregate: each partition keeps at
+  * most k values (min-heap, evict-smallest), partial states merge
+  * heap-into-heap, so the shuffle carries ≤ k rows per group per
+  * partition — the scale-safe replacement for the
+  * row_number-over-window top-N pattern, which must shuffle and SORT
+  * every row of every group. Serialization mirrors Spark's own Collect
+  * aggregate (UnsafeProjection row framing). */
+case class TopKLargest(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[Any]] {
+
+  require(k > 0 && k <= (1 << 20), s"topk_largest: k must be in [1, 2^20], got $k")
+
+  @transient private lazy val ord: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val projection =
+    UnsafeProjection.create(Array[DataType](child.dataType))
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLargest = copy(child = newChildren.head)
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_largest"
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLargest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLargest =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
+    new java.util.PriorityQueue[Any](math.min(k + 1, 64), ord)
+
+  private def add(buf: java.util.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < k) buf.add(v)
+    else if (ord.compare(v, buf.peek) > 0) { buf.poll(); buf.add(v) }
+
+  override def update(buf: java.util.PriorityQueue[Any], input: InternalRow): java.util.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    if (v != null &&
+        (buf.size < k || ord.compare(v, buf.peek) > 0))
+      add(buf, InternalRow.copyValue(v)) // copy only when it will be kept
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[Any], b2: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Any]): Any = {
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, ord.reverse.asInstanceOf[java.util.Comparator[AnyRef]])
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val row = projection.apply(InternalRow(it.next()))
+      dos.writeInt(row.getSizeInBytes)
+      row.writeToStream(dos, null)
+    }
+    dos.writeInt(-1)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Any] = {
+    val buf = createAggregationBuffer()
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    var sz = dis.readInt()
+    while (sz >= 0) {
+      val arr = new Array[Byte](sz)
+      dis.readFully(arr)
+      val row = new UnsafeRow(1)
+      row.pointTo(arr, sz)
+      buf.add(InternalRow.copyValue(row.get(0, child.dataType)))
+      sz = dis.readInt()
+    }
+    buf
+  }
+}
+
 /** Registration: via SparkSessionExtensions (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or at runtime
   * with `ensureRegistered(spark)`. */
@@ -263,7 +428,12 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
     "lsh_sig" -> (es => LshSignature(es.head,
-      es(1).eval().asInstanceOf[Number].intValue()))
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "topk_largest" -> (es => TopKLargest(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "winnow_fp" -> (es => WinnowFp(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue()))
   )
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -286,6 +456,11 @@ object GraftFunctions {
   def jaccardSorted(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
   def lshSig(c: Column, numPlanes: Int): Column =
     call_function("lsh_sig", c, org.apache.spark.sql.functions.lit(numPlanes))
+  def topKLargest(c: Column, k: Int): Column =
+    call_function("topk_largest", c, org.apache.spark.sql.functions.lit(k))
+  def winnowFp(c: Column, k: Int, w: Int): Column =
+    call_function("winnow_fp", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 }
 
 /** Entry point for spark.sql.extensions. */

@@ -64,4 +64,38 @@ object TextStats {
     * normalized form — stable, collision-resistant, cheap). */
   def fingerprint(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the standard rolling-hash fingerprinting for local
+    * plagiarism/near-dup detection): polynomial hash of every k-gram of
+    * the normalized text (base 31, mod 1e9+7 — fixed small modulus so a
+    * SQL oracle can reproduce the values bit-for-bit), sliding-window
+    * (w) minima, then distinct + sorted. Two documents sharing any
+    * substring of length >= k + w - 1 share at least one fingerprint
+    * (the winnowing guarantee). Codegen kernel (one O(n) pass per row —
+    * `graft.functions.WinnowFp`); requires GraftFunctions registration,
+    * which this call performs lazily when a session is active. */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 5): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    graft.functions.GraftFunctions.winnowFp(text, k, w)
+  }
+
+  /** Declarative reference form of [[winnowFingerprints]], kept as the
+    * cross-check for KernelPropertySpec-style equivalence tests. DO NOT
+    * use on real data: CollapseProject re-inlines the k-gram hash array
+    * into every window slice, making it O(n²·k) per row (the same
+    * reason the MinHash signature has a codegen kernel). */
+  def winnowFingerprintsDecl(text: Column, k: Int = 4, w: Int = 5): Column = {
+    require(k >= 2 && k <= 8 && w >= 1, s"winnow: bad k=$k / w=$w")
+    val t = lower(trim(regexp_replace(text, "\\s+", " ")))
+    val pows = (0 until k).map(j => math.pow(31.0, (k - 1 - j).toDouble).toLong)
+    val hs = transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => pows.zipWithIndex.map { case (p, j) =>
+        ascii(t.substr(i + j, lit(1))).cast("long") * lit(p)
+      }.reduce(_ + _) % lit(1000000007L))
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w))))))
+  }
 }

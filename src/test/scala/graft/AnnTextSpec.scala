@@ -88,4 +88,28 @@ class AnnTextSpec extends SparkSpec {
       .as[Boolean].head()
     assert(got)
   }
+
+  test("winnowing fingerprints: deterministic, shared-substring guarantee, normalization") {
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "a cat sat here but the quick brown fox jumps over the lazy dog indeed"
+    val c = "completely different words without any overlap whatsoever present"
+    val df = Seq((a, a.toUpperCase.replace(" ", "  "), b, c)).toDF("a", "a2", "b", "c")
+    val row = df.select(
+      TextStats.winnowFingerprints(col("a")), TextStats.winnowFingerprints(col("a2")),
+      TextStats.winnowFingerprints(col("b")), TextStats.winnowFingerprints(col("c"))).head()
+    val (fa, fa2, fb, fc) = (row.getSeq[Long](0), row.getSeq[Long](1),
+      row.getSeq[Long](2), row.getSeq[Long](3))
+    assert(fa == fa2) // case/whitespace normalization
+    // codegen kernel equals the declarative reference form
+    val decl = df.select(TextStats.winnowFingerprintsDecl(col("a"))).head().getSeq[Long](0)
+    assert(fa == decl, s"kernel $fa != declarative $decl")
+    assert(fa == fa.sorted && fa.distinct == fa) // sorted, distinct
+    // winnowing guarantee: docs sharing a substring >= k+w-1 chars share
+    // at least one fingerprint; a and b share a long clause
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty)
+    // unrelated docs overlap far less than near-dups
+    val simAB = fa.toSet.intersect(fb.toSet).size.toDouble / fa.toSet.union(fb.toSet).size
+    val simAC = fa.toSet.intersect(fc.toSet).size.toDouble / fa.toSet.union(fc.toSet).size
+    assert(simAB > simAC)
+  }
 }

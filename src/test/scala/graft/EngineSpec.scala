@@ -103,6 +103,21 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("topKLargest: bounded heap across partitions, short groups, ordering") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("a", 4L), ("b", 2L))
+      .toDF("g", "v").repartition(4) // force partial-buffer serialize + merge
+    val got = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.topKLargest(col("v"), 2).as("t"))
+      .orderBy("g").collect()
+    assert(got(0).getSeq[Long](1) == Seq(5L, 4L)) // top-2, descending
+    assert(got(1).getSeq[Long](1) == Seq(2L))     // group smaller than k
+    // agg variant reproduces the window-based top-N exactly
+    val viaAgg = Analytics.windowTopNAgg(spark, sfDir).collect().toSeq
+    val viaWin = Analytics.windowTopN(spark, sfDir).collect().toSeq
+    assert(viaAgg == viaWin)
+  }
+
   test("streaming sessionize drives a distributed file sink (no driver collect)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val path = Streams.runToFileSink(Streams.sessionizeStream(spark, sfDir), tmp)
