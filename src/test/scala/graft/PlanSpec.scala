@@ -98,6 +98,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("topk_agg: bounded-heap aggregate partial-aggregates before the shuffle") {
+    val p = planOf(graft.analytics.Analytics.windowTopNAgg(spark, sfDir))
+    // partial_topk_largest under ObjectHashAggregate BEFORE the exchange
+    // = the shuffle carries at most k rows per group per partition.
+    assert(p.contains("partial_topk_largest"),
+      s"expected map-side partial top-k:\n$p")
+    assert(p.indexOf("partial_topk_largest") > p.indexOf("Exchange"), p)
+  }
+
   test("export writes canonical reference filenames") {
     assert(Export.csvFilename("Texas", "Austin", "Austin", "STOPS", Left("2020"))
       == "Texas_Austin_STOPS_2020.csv")
