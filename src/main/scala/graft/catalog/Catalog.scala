@@ -102,4 +102,62 @@ object Catalog {
     contains.map(s => base.filter(lower(col("table_type")).contains(s.toLowerCase)))
       .getOrElse(base)
   }
+
+  // ---- related-table discovery (data.py:1629 find_related_tables) ------
+
+  /** Wildcard year markers (defs.py:290 MULTI / :291 NA). */
+  val YearMulti = "MULTIPLE"
+  val YearNa = "NONE"
+
+  /** The sub-table suffixes the reference recognizes in
+    * "BASE - SUBTYPE"-shaped table types (find_related_tables doc). */
+  val relatedSubtypes: Seq[String] = Seq(
+    "INCIDENTS", "SUBJECTS", "OFFICERS", "SUBJECTS/OFFICERS",
+    "PENALTIES", "ALLEGATIONS", "NONMOTORIST", "BACKGROUND", "VEHICLES")
+
+  private val subtypeAlt = relatedSubtypes.map(java.util.regex.Pattern.quote).mkString("|")
+  private val splitRe = ("(?i)^(.+) - (" + subtypeAlt + ")$").r
+
+  /** `find_related_tables` discovery half: given the catalog's
+    * (table_type, year) entries and a "BASE - SUBTYPE" table type,
+    * return the sibling sub-tables of the same BASE ("USE OF FORCE -
+    * INCIDENTS" → SUBJECTS/OFFICERS/…). `subType` narrows to one
+    * subtype (substring match unless `exactMatch`); `year` keeps
+    * entries of that year or the MULTI/NA wildcards; with no year and
+    * ambiguous duplicates the call fails (the reference raises). A
+    * table type with no subtype suffix has no related tables (note the
+    * reference's (?!INVOLVED) guard: "OFFICER-INVOLVED SHOOTINGS" is a
+    * BASE, not a subtype split — our fixed subtype alternation gives
+    * the same behavior). Driver-side metadata work over the (small)
+    * catalog listing. */
+  def findRelatedTables(entries: Seq[(String, String)], tableType: String,
+                        year: Option[String] = None,
+                        subType: Option[String] = None,
+                        exactMatch: Boolean = false): Seq[(String, String)] =
+    tableType match {
+      case splitRe(base, _) =>
+        val sibling = ("(?i)^" + java.util.regex.Pattern.quote(base) + " - (" + subtypeAlt + ")$").r
+        var related = entries.filter { case (t, _) =>
+          t != tableType && sibling.pattern.matcher(t).matches()
+        }
+        subType.foreach { st =>
+          related = related.filter { case (t, _) =>
+            val m = sibling.pattern.matcher(t); m.matches()
+            val sub = m.group(1).toUpperCase
+            if (exactMatch) sub == st.toUpperCase else sub.contains(st.toUpperCase)
+          }
+        }
+        year match {
+          case Some(y) =>
+            related.filter { case (_, ey) =>
+              ey == y || ey == YearMulti || ey == YearNa ||
+                y == YearMulti || y == YearNa
+            }
+          case None =>
+            require(related.map(_._1).distinct.size == related.size,
+              "Multiple possible years found for related tables. Please specify year.")
+            related
+        }
+      case _ => Nil
+    }
 }

@@ -37,6 +37,16 @@ object Standardizer {
                      newCol: Option[String] = None): Seq[Transform] =
       transforms.filter(t => orig.forall(_ == t.origColumn) &&
         newCol.forall(_ == t.newColumn))
+
+    /** `Table.get_race_col`/`get_gender_col`/`get_age_col` (data.py):
+      * the standardized column name for a demographic field, preferring
+      * the requested role ("SUBJECT"/"OFFICER"). */
+    def stdCol(field: String, role: String = "SUBJECT"): Option[String] =
+      Seq(s"${field}_$role", field).find(colMap.contains)
+    def raceCol(role: String = "SUBJECT"): Option[String] = stdCol("RACE", role)
+    def genderCol(role: String = "SUBJECT"): Option[String] = stdCol("GENDER", role)
+    def ageCol(role: String = "SUBJECT"): Option[String] =
+      stdCol("AGE", role).orElse(stdCol("AGE_RANGE", role))
   }
 
   /** Standardize every identified field. `validateContent` (on by

@@ -74,6 +74,42 @@ class StandardizerSpec extends SparkSpec {
     assert(row.getString(2) == "Austin PD" && row.getString(3) == "WHITE")
   }
 
+  test("find_related_tables discovers sibling sub-tables with year rules") {
+    import graft.catalog.Catalog
+    val entries = Seq(
+      ("USE OF FORCE - INCIDENTS", "2020"),
+      ("USE OF FORCE - SUBJECTS", "2020"),
+      ("USE OF FORCE - OFFICERS", "2020"),
+      ("USE OF FORCE - SUBJECTS/OFFICERS", "MULTIPLE"),
+      ("OFFICER-INVOLVED SHOOTINGS", "2020"),
+      ("STOPS", "2020"))
+    val rel = Catalog.findRelatedTables(entries, "USE OF FORCE - INCIDENTS", Some("2020"))
+    assert(rel.map(_._1).toSet == Set("USE OF FORCE - SUBJECTS",
+      "USE OF FORCE - OFFICERS", "USE OF FORCE - SUBJECTS/OFFICERS"))
+    // sub_type substring vs exact match (the reference's exact_match flag)
+    assert(Catalog.findRelatedTables(entries, "USE OF FORCE - INCIDENTS",
+      Some("2020"), subType = Some("SUBJECTS")).map(_._1).toSet ==
+      Set("USE OF FORCE - SUBJECTS", "USE OF FORCE - SUBJECTS/OFFICERS"))
+    assert(Catalog.findRelatedTables(entries, "USE OF FORCE - INCIDENTS",
+      Some("2020"), subType = Some("SUBJECTS"), exactMatch = true).map(_._1) ==
+      Seq("USE OF FORCE - SUBJECTS"))
+    // no subtype suffix → no related tables (incl. the -INVOLVED guard)
+    assert(Catalog.findRelatedTables(entries, "OFFICER-INVOLVED SHOOTINGS", Some("2020")).isEmpty)
+    assert(Catalog.findRelatedTables(entries, "STOPS", Some("2020")).isEmpty)
+    // ambiguous years without a year argument must fail
+    val dup = entries :+ ("USE OF FORCE - SUBJECTS", "2021")
+    intercept[IllegalArgumentException](
+      Catalog.findRelatedTables(dup, "USE OF FORCE - INCIDENTS"))
+  }
+
+  test("demographic column accessors prefer the requested role") {
+    val r = Standardizer.standardize(messy)
+    assert(r.raceCol().contains("RACE_SUBJECT"))
+    assert(r.genderCol().contains("GENDER_SUBJECT"))
+    assert(r.ageCol().contains("AGE_SUBJECT"))
+    assert(r.raceCol("OFFICER").isEmpty)
+  }
+
   test("get_transform_map records every applied conversion") {
     val r = Standardizer.standardize(messy)
     val byNew = r.transforms.map(t => t.newColumn -> t.conversion).toMap
