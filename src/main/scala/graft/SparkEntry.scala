@@ -57,7 +57,9 @@ object SparkEntry {
     "U", "UK", "UNKNOWN", "UNK", "OTH/UNK",
     "O", "OTHER", "OTH", "OTHER RACE",
     "MISSING", "NOT SPECIFIED", "N/A", "NONE", "", "   ", null, "ZEBRA",
-    "CHINESE", "SAMOAN", "WHITE HISPANIC", "MEXICAN", "BOSNIAN", "FILIPINO")
+    "CHINESE", "SAMOAN", "WHITE HISPANIC", "MEXICAN", "BOSNIAN", "FILIPINO",
+    "BLACK/AFRICAN AMERICAN", "WHITE,OTHER", "WHITE, NON-HISPANIC",
+    "BLACK NON-HISPANIC", "W - WHITE", "BLAC")
 
   private val genderRaws: Seq[String] = Seq(
     "M", "MALE", "Male", "MAN", "MLE", "MALE/MAN", "MAN/BOY",

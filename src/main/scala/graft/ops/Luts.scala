@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   *
   * Vocabulary provenance (re-expressed, not copied):
   *   race     — openpolicedata/_converters.py:293 `_create_race_lut`
-  *              (generic string vocabulary at :480-545; per-source letter
-  *              codes are out of scope)
+  *              (generic string vocabulary at :480-545 incl. the BLACK
+  *              regex, non-Latino suffix strip, and abbrev-code
+  *              expansion; per-source letter/numeric codes in
+  *              sourceRaceCodes). Explicit scope cuts vs the reference:
+  *              delimited multi-race values recurse to a LIST there —
+  *              a single-valued Column cannot; use Standardize.stdMulti
+  *              to standardize each person of a delimited cell. The
+  *              agg_cat census-aggregation flag and custom race_cats
+  *              dictionaries are likewise not parameterized.
   *   gender   — openpolicedata/_converters.py:620 `_create_gender_lut`
   *   injury   — openpolicedata/_converters.py:773 `_create_injury_lut`
   *   fatal    — openpolicedata/_converters.py:853 `_create_fatal_lut`
@@ -33,6 +40,9 @@ object Luts {
   final case class InSet(vals: Seq[String], noSpace: Boolean = false) extends Matcher
   final case class ContainsAny(subs: Seq[String], noSpace: Boolean = false) extends Matcher
   final case class StartsWithAny(prefixes: Seq[String]) extends Matcher
+  /** Unanchored regex search; pattern must be RE2-safe (no lookaround)
+    * so the same literal renders on both Spark and DuckDB. */
+  final case class MatchesRegex(re: String) extends Matcher
 
   /** Fires when any of `anyOf` matches, every `allOf` matches, and none
     * of `butNot` does. */
@@ -46,6 +56,7 @@ object Luts {
     case ContainsAny(subs, ns) =>
       subs.map(s => (if (ns) xns else x).contains(s)).reduce(_ || _)
     case StartsWithAny(ps)     => ps.map(p => x.startsWith(p)).reduce(_ || _)
+    case MatchesRegex(re)      => x.rlike(re)
   }
 
   /** Render rules as a when-chain over pre-cleaned `x`; falls back to
@@ -71,6 +82,7 @@ object Luts {
       subs.map(s => s"contains(${if (ns) xns else x}, ${sqlLit(s)})").mkString("(", " OR ", ")")
     case StartsWithAny(ps) =>
       ps.map(p => s"starts_with($x, ${sqlLit(p)})").mkString("(", " OR ", ")")
+    case MatchesRegex(re) => s"regexp_matches($x, ${sqlLit(re)})"
   }
 
   /** Render rules as a SQL CASE over the cleaned expression `x`
@@ -93,6 +105,42 @@ object Luts {
     trim(regexp_replace(regexp_replace(upper(c), "_", " "), "[*.-]", ""))
   val cleanRaceSql: String =
     "trim(regexp_replace(replace(upper(raw), '_', ' '), '[*.-]', '', 'g'))"
+
+  /** The reference's non-Latino suffix pattern (_converters.py:27
+    * `_p_nonlatino`) — RE2-safe, identical literal on both renderers. */
+  private val NonLatinoRe = "[\\s,]*NON\\-?(HISPANIC|LATINO)(\\s|$)+"
+  /** "{abbrev} {- or =} {full name}" code form (_converters.py:425). */
+  private val AbbrevFullRe = "^([\\w\\s/\\.]+)\\s?[-=]\\s?([\\w\\s/\\.]+)$"
+
+  /** Full race-column cleaning — [[cleanRace]] plus two reference
+    * behaviors that must NOT apply to the ethnicity column:
+    *   1. strip a NON-HISPANIC / NON-LATINO qualifier when a non-empty
+    *      remainder survives ("WHITE, NON-HISPANIC" → "WHITE";
+    *      _converters.py:420);
+    *   2. expand "{abbrev} - {full name}" codes to the full name
+    *      ("W - WHITE" → "WHITE"; _converters.py:425). */
+  def cleanRaceFull(c: Column): Column = {
+    val up = upper(c)
+    val stripped = regexp_replace(up, NonLatinoRe, "")
+    val base = when(length(trim(stripped)) > 0, trim(stripped)).otherwise(trim(up))
+    val g1 = trim(regexp_extract(base, AbbrevFullRe, 1))
+    val g2 = trim(regexp_extract(base, AbbrevFullRe, 2))
+    val expanded = when(base.rlike(AbbrevFullRe) && length(g1) === 1 && length(g2) > 1, g2)
+      .when(base.rlike(AbbrevFullRe) && length(g2) === 1 && length(g1) > 1, g1)
+      .otherwise(base)
+    cleanRace(expanded)
+  }
+  val cleanRaceFullSql: String = {
+    val nl = "'[\\s,]*NON\\-?(HISPANIC|LATINO)(\\s|$)+'"
+    val af = "'^([\\w\\s/\\.]+)\\s?[-=]\\s?([\\w\\s/\\.]+)$'"
+    val stripped = s"regexp_replace(upper(raw), $nl, '', 'g')"
+    val base = s"(CASE WHEN length(trim($stripped)) > 0 THEN trim($stripped) ELSE trim(upper(raw)) END)"
+    val g1 = s"trim(regexp_extract($base, $af, 1))"
+    val g2 = s"trim(regexp_extract($base, $af, 2))"
+    val expanded = s"(CASE WHEN regexp_matches($base, $af) AND length($g1) = 1 AND length($g2) > 1 THEN $g2 " +
+      s"WHEN regexp_matches($base, $af) AND length($g2) = 1 AND length($g1) > 1 THEN $g1 ELSE $base END)"
+    s"trim(regexp_replace(replace($expanded, '_', ' '), '[*.-]', '', 'g'))"
+  }
 
   /** Gender-style cleaning: upper, drop '-' '_' ' ' '''. */
   def cleanGender(c: Column): Column =
@@ -125,11 +173,16 @@ object Luts {
     Rule(Seq(InSet(Seq("MISSING", "NOT SPECIFIED", "", "NOT RECORDED", "N/A",
                        "NOT REPORTED", "NONE", "BLANK", "NOT SPECIF")),
              ContainsAny(Seq("NO DATA", "NO RACE", "NULL"))), UNSPECIFIED),
-    Rule(Seq(InSet(Seq("W", "CAUCASIAN", "WN", "WHITE", "WHTE", "WHT"), noSpace = true)),
+    Rule(Seq(InSet(Seq("W", "CAUCASIAN", "WN", "WHITE", "WHTE", "WHT",
+                       "WHITE,OTHER"), noSpace = true)),
          "WHITE"),
     Rule(Seq(InSet(Seq("B", "AFRICAN AMERICAN", "BLCK", "BLK", "BLACE",
                        "AFR AMERICAN", "AFR AM", "BLK/AFR AM")),
-             InSet(Seq("AFRICANAMERICAN", "BLACK"), noSpace = true)),
+             InSet(Seq("AFRICANAMERICAN"), noSpace = true),
+             // the reference's BLACK?($|[^A-Za-z]) search (e.g.
+             // "BLACK/AFRICAN AMERICAN", "BLAC "); the is_latino guard
+             // below keeps "BLACK HISPANIC" flowing to the Latino rule
+             MatchesRegex("BLACK?($|[^A-Za-z])")),
          "BLACK",
          butNot = Seq(ContainsAny(Seq("HISPANIC", "LATINO")))),
     Rule(Seq(InSet(Seq("SOUTH ASIAN", "EAST INDIAN", "ASIAN INDIAN"))),
@@ -375,7 +428,7 @@ object Luts {
   /** raw → standardized race category (null → UNSPECIFIED). */
   def raceStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(raceRules, cleanRace(raw), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumn(raceRules, cleanRaceFull(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized gender category (null → UNSPECIFIED). */
   def genderStd(raw: Column, noId: String = "keep"): Column =
@@ -400,7 +453,7 @@ object Luts {
   /** Matching oracle SQL expressions over a column literally named `raw`. */
   def raceStdSql: String =
     s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
-      rulesToSql(raceRules, cleanRaceSql, "trim(upper(raw))") + " END"
+      rulesToSql(raceRules, cleanRaceFullSql, "trim(upper(raw))") + " END"
   def genderStdSql: String =
     s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
       rulesToSql(genderRules, cleanGenderSql, "trim(upper(raw))") + " END"
