@@ -82,7 +82,7 @@ object SparkEntry {
     "25 - 34", "18-24", "OVER 65", ">40", "65+", "18 PLUS", "60 AND OLDER",
     "UNDER 21", "<18", "BELOW 25", "17 AND YOUNGER", "20S", "30s",
     "B - 18-29", "25", "7", "45", "117", "", "MISSING", "UNKNOWN", null,
-    "ADULT", "JUVENILE")
+    "ADULT", "JUVENILE", "1 TO 17", "18 to 24")
 
   private val raceEthRaws: Seq[(String, String)] = Seq(
     ("WHITE", "HISPANIC"), ("WHITE", "NON-HISPANIC"), ("BLACK", "HISPANIC OR LATINO"),

@@ -7,8 +7,11 @@ import graft.sources.Tables
 
 /** TPC-H-shaped benchmark headliners — the perf-graded core of the
   * engine. Every query is declarative (Catalyst pushes filters/prunes
-  * columns), dims are broadcast() explicitly, and aggregations partial-
-  * aggregate map-side before their single shuffle.
+  * columns) and aggregations partial-aggregate map-side before their
+  * single shuffle. Broadcast hints appear ONLY on fixed-size dims
+  * (region/nation); any side that grows with the dataset (customer,
+  * supplier, part) is left to stats/AQE — broadcast while it fits,
+  * shuffled join once it doesn't.
   */
 object Analytics {
 
@@ -39,9 +42,11 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** q3: shipping priority — filtered customer (broadcastable after the
-    * segment filter at this scale; at 100 TB it shuffles on the join key
-    * with AQE choosing the strategy) ⋈ orders ⋈ lineitem, top-10 revenue. */
+  /** q3: shipping priority — filtered customer ⋈ orders ⋈ lineitem,
+    * top-10 revenue. The customer side carries NO broadcast hint:
+    * filtered customers grow with the dataset (30M rows at true 100 TB,
+    * past any broadcast limit), so the strategy is left to stats/AQE —
+    * broadcast while it fits, shuffled hash join once it doesn't. */
   def q3(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-03-15").cast("timestamp")
     val cust = Tables(spark, dir, "customer")
@@ -54,7 +59,7 @@ object Analytics {
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
@@ -63,8 +68,10 @@ object Analytics {
       .limit(10)
   }
 
-  /** q5: 6-table multijoin with broadcast dims (region, nation,
-    * supplier) — local-supplier revenue per nation for one region+year. */
+  /** q5: 6-table multijoin — local-supplier revenue per nation for one
+    * region+year. Only the FIXED-SIZE dims (region: 5 rows, nation: 25)
+    * carry broadcast hints; supplier grows with scale (10M rows at true
+    * 100 TB), so its strategy is left to stats/AQE. */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     val nation = Tables(spark, dir, "nation")
@@ -77,7 +84,7 @@ object Analytics {
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -91,7 +98,7 @@ object Analytics {
   def windowTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val rev = li.join(part, col("l_partkey") === col("p_partkey")) // part grows with SF: stats/AQE pick the strategy
       .groupBy("p_brand", "p_partkey")
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     val w = Window.partitionBy("p_brand")
@@ -114,7 +121,7 @@ object Analytics {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val li = Tables(spark, dir, "lineitem")
     val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val rev = li.join(part, col("l_partkey") === col("p_partkey")) // part grows with SF: stats/AQE pick the strategy
       .groupBy("p_brand", "p_partkey")
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     rev.groupBy("p_brand")

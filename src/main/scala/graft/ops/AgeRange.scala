@@ -20,11 +20,10 @@ import org.apache.spark.sql.functions._
   *   plain age number → bucketed (engine-defined census-style bins)
   *   null/blank/missing → UNSPECIFIED
   * Unrecognized values pass through unchanged (no_id="keep").
+  *   "1 TO 17"  → "1-17"       (p_range2)
   *
-  * Known scope cut vs the reference: the reference also carries
-  * per-source exceptions and a "1 TO 17"-style `p_range2` spelling;
-  * those spellings don't appear in its own test parametrizations and
-  * are passed through here.
+  * Known scope cut vs the reference: per-source exception tables are
+  * not carried (no live per-agency datasets in this build).
   */
 object AgeRange {
 
@@ -46,6 +45,8 @@ object AgeRange {
       .when(x.isin("", "MISSING", "N/A", "NA", "UNKNOWN", "NOT SPECIFIED"), lit(Luts.UNSPECIFIED))
       .when(x.rlike("^\\d+\\s*-\\s*\\d+$"),
             regexp_replace(x, "^(\\d+)\\s*-\\s*(\\d+)$", "$1-$2"))
+      .when(x.rlike("^\\d+\\s*TO\\s*\\d+$"),
+            regexp_replace(x, "^(\\d+)\\s*TO\\s*(\\d+)$", "$1-$2"))
       .when(x.rlike("^(OVER|>)\\s*\\d+$"),
             regexp_replace(x, "^(OVER|>)\\s*(\\d+)$", "$2-120"))
       .when(x.rlike("^\\d+\\s*(\\+|PLUS)$"),
@@ -76,6 +77,7 @@ object AgeRange {
        |  WHEN raw IS NULL THEN '${Luts.UNSPECIFIED}'
        |  WHEN $x IN ('', 'MISSING', 'N/A', 'NA', 'UNKNOWN', 'NOT SPECIFIED') THEN '${Luts.UNSPECIFIED}'
        |  WHEN regexp_matches($x, '^\\d+\\s*-\\s*\\d+$$') THEN regexp_replace($x, '^(\\d+)\\s*-\\s*(\\d+)$$', '\\1-\\2')
+       |  WHEN regexp_matches($x, '^\\d+\\s*TO\\s*\\d+$$') THEN regexp_replace($x, '^(\\d+)\\s*TO\\s*(\\d+)$$', '\\1-\\2')
        |  WHEN regexp_matches($x, '^(OVER|>)\\s*\\d+$$') THEN regexp_replace($x, '^(OVER|>)\\s*(\\d+)$$', '\\2-120')
        |  WHEN regexp_matches($x, '^\\d+\\s*(\\+|PLUS)$$') THEN regexp_replace($x, '^(\\d+)\\s*(\\+|PLUS)$$', '\\1-120')
        |  WHEN regexp_matches($x, '^\\d+\\s*(AND|&)\\s*(ABOVE|OLDER)$$') THEN regexp_replace($x, '^(\\d+)\\s*(AND|&)\\s*(ABOVE|OLDER)$$', '\\1-120')
