@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""DuckDB in-process proxy baseline (dev-only): times the oracle SQL of
+the headline queries in DuckDB against the same parquet, n reps, minima.
+No pandas-reference numbers exist for TPC-H-shaped queries, so this is
+the "fast single-node engine" yardstick for BENCH comparisons; note
+local-mode Spark carries ~0.3-1s fixed scheduling/codegen overhead per
+query that a real cluster amortizes.
+
+Usage: python3 tools/proxy.py [sfdir] [reps]
+"""
+import json, sys, time
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
+              "q_topk_agg", "q_skew_agg", "q_dedup_exact", "q_lang_id",
+              "q_token_count", "q_fingerprint_winnow"]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    import subprocess, glob, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # oracle_sql.json from the last Verify run (or regenerate)
+    path = "/tmp/graft_verify/oracle_sql.json"
+    if not os.path.exists(path):
+        sys.exit("run graft.Verify first (oracle_sql.json missing)")
+    oracle = json.load(open(path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    out = {}
+    for q in HEADLINERS:
+        if q not in oracle:
+            continue
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            con.sql(oracle[q]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[q] = round(best, 3)
+    print(json.dumps({"metric": "duckdb_proxy", "unit": "sec", "sf": SF,
+                      "reps": REPS, "stat": "min", "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
