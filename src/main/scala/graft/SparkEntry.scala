@@ -356,6 +356,17 @@ object SparkEntry {
       Binary.withMeta(T(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_bytes", "sha256", "mime")
         .orderBy("doc_id")),
+    // Image-header metadata over the (textual) payloads: REAL PNG/GIF/
+    // JPEG header parsing; on this corpus every payload is text, so the
+    // oracle pins that the parser never false-positives on arbitrary
+    // bytes (format null, dims -1). BinarySpec covers the positive
+    // cases with crafted headers.
+    "q_mm_imagemeta" -> ((s, dir) =>
+      Binary.withImageMeta(s,
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload")
+        .orderBy("id")),
+
     // Rows-only query, but the output must still be SORTABLE by the
     // driver's pandas canonicalizer — a raw array<float> column crashes
     // its factorize step, so the feature vector is projected to a
@@ -687,6 +698,11 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, array_to_string(fp, ',') AS fp_csv
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q_mm_imagemeta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(NULL AS VARCHAR) AS format,
+        |  CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height
+        |FROM documents ORDER BY id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256, 'text/plain' AS mime

@@ -54,4 +54,108 @@ object Binary {
         }
       }
   }
+
+  // ---- image header metadata (REAL parsing — headers need no codec) ----
+
+  final case class ImageMeta(format: String, width: Int, height: Int)
+
+  /** Parse image dimensions from the container header bytes. PNG IHDR,
+    * GIF logical-screen descriptor, and JPEG SOF0/1/2 markers carry the
+    * dimensions in the first bytes of the file — no decoder library is
+    * required, so unlike the pixel pipeline this is NOT a stub. Returns
+    * null for non-image/unknown payloads. */
+  def imageMeta(payload: Array[Byte]): ImageMeta = {
+    def u8(i: Int): Int = payload(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+    if (payload.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      ImageMeta("png", be32(16), be32(20))
+    else if (payload.length >= 10 &&
+        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      // GIF is little-endian
+      ImageMeta("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
+    else if (payload.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk the marker segments to the first SOF0/1/2
+      var i = 2
+      while (i + 9 < payload.length) {
+        if (u8(i) != 0xFF) return null
+        val marker = u8(i + 1)
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
+          return ImageMeta("jpeg", be16(i + 7), be16(i + 5))
+        // skip standalone markers (D0-D9 have no length field)
+        if (marker >= 0xD0 && marker <= 0xD9) i += 2
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return null // corrupt segment — refuse to loop
+          i += 2 + len
+        }
+      }
+      null
+    } else null
+  }
+
+  /** Image metadata stage: header-parsed format/width/height beside the
+    * byte-level metadata. Per-row work in the scan stage (mapPartitions
+    * over the typed rows — same shape as extractFeatures). */
+  def withImageMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .map { rec =>
+        val m = Option(imageMeta(rec.payload))
+        (rec.id, rec.payload.length.toLong,
+          m.map(_.format).orNull,
+          m.map(_.width).getOrElse(-1), m.map(_.height).getOrElse(-1))
+      }
+      .toDF("id", "n_bytes", "format", "width", "height")
+  }
+
+  final case class Resized(id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** STUB resize: a real implementation would decode, scale, re-encode
+    * here. The Spark-side shape is real — typed mapPartitions keeping
+    * partitioning, fixed output schema; the deterministic fake keeps
+    * every `stride`-th byte so output size tracks the scale factor. */
+  def resizeStub(spark: SparkSession, df: DataFrame, idCol: String,
+                 payloadCol: String, targetW: Int, targetH: Int): Dataset[Resized] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0)
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val stride = math.max(rec.payload.length / math.max(targetW * targetH, 1), 1)
+          val thumb = rec.payload.indices.collect {
+            case i if i % stride == 0 => rec.payload(i)
+          }.toArray
+          Resized(rec.id, targetW, targetH, thumb)
+        }
+      }
+  }
+
+  final case class Frame(id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** STUB frame sampling (video → n frames): splits the payload into n
+    * equal byte ranges — one output row per "frame", the row-explosion
+    * shape a real demuxer produces. flatMap keeps the work distributed
+    * and the output schema fixed. */
+  def frameSampleStub(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, nFrames: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(nFrames > 0)
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .flatMap { rec =>
+        val n = math.min(nFrames, math.max(rec.payload.length, 1))
+        val step = math.max(rec.payload.length / n, 1)
+        (0 until n).iterator.map { f =>
+          val from = f * step
+          val until = if (f == n - 1) rec.payload.length else math.min((f + 1) * step, rec.payload.length)
+          Frame(rec.id, f, from.toLong,
+            java.util.Arrays.copyOfRange(rec.payload, from, math.max(until, from)))
+        }
+      }
+  }
 }

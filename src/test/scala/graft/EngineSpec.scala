@@ -103,6 +103,47 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("image header metadata parses PNG/GIF/JPEG dims without a codec") {
+    import graft.multimodal.Binary
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR chunk; width=640 height=480 big-endian
+    val png = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xE0)
+    assert(Binary.imageMeta(png) == Binary.ImageMeta("png", 640, 480))
+    // GIF89a: little-endian 320x200
+    val gif = "GIF89a".getBytes ++ b(0x40, 0x01, 0xC8, 0x00)
+    assert(Binary.imageMeta(gif) == Binary.ImageMeta("gif", 320, 200))
+    // JPEG: SOI, APP0 (skipped), SOF0 with height=600 width=800
+    val jpg = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x0B, 8, 0x02, 0x58, 0x03, 0x20, 1, 0x11, 0, 0)
+    assert(Binary.imageMeta(jpg) == Binary.ImageMeta("jpeg", 800, 600))
+    assert(Binary.imageMeta("not an image".getBytes) == null)
+    // the Spark stage surfaces dims per row (text payloads → non-image)
+    val metaDf = Binary.withImageMeta(spark,
+      graft.multimodal.Binary.withMeta(
+        graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text"),
+      "doc_id", "payload")
+    assert(metaDf.filter(col("format").isNull).count() == metaDf.count())
+  }
+
+  test("resize and frame-sample stubs keep real batch shapes") {
+    import graft.multimodal.Binary
+    val docs = graft.multimodal.Binary.withMeta(
+      graft.sources.Tables(spark, sfDir, "documents").limit(20), "doc_id", "text")
+    val resized = Binary.resizeStub(spark, docs, "doc_id", "payload", 8, 8).collect()
+    assert(resized.length == 20)
+    assert(resized.forall(r => r.thumb.nonEmpty && r.width == 8 && r.height == 8))
+    val frames = Binary.frameSampleStub(spark, docs, "doc_id", "payload", 4)
+    val counts = frames.groupBy("id").count().collect()
+    assert(counts.forall(_.getLong(1) == 4)) // one row per sampled frame
+    // frames reassemble to the original payload (deterministic split)
+    val one = frames.filter(col("id") === counts.head.getLong(0))
+      .orderBy("frame_idx").collect().flatMap(_.frame)
+    val orig = docs.filter(col("doc_id") === counts.head.getLong(0))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(one.sameElements(orig))
+  }
+
   test("topKLargest: bounded heap across partitions, short groups, ordering") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val df = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("a", 4L), ("b", 2L))
