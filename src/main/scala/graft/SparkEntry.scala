@@ -396,7 +396,13 @@ object SparkEntry {
     "q_stream_window" -> ((s, dir) =>
       Streams.windowAgg(s, dir).orderBy("window_start_us", "event_type")),
     "q_stream_sessions" -> ((s, dir) =>
-      Streams.sessionize(s, dir).orderBy("user_id", "start_us"))
+      Streams.sessionize(s, dir).orderBy("user_id", "start_us")),
+    // Watermark-bounded streaming dedup: event_id is unique in the
+    // corpus, so every event passes exactly once and the oracle is the
+    // full table — pinning that the stateful pipeline neither drops nor
+    // duplicates (DedupSpec covers the duplicate-dropping case).
+    "q_stream_dedupe" -> ((s, dir) =>
+      Streams.dedupeStream(s, dir).orderBy("event_id"))
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
@@ -766,6 +772,9 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "q_stream_dedupe" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT max(t) AS mx FROM e),
