@@ -87,4 +87,55 @@ class KernelPropertySpec extends AnyFunSuite {
         SimHashImpl.compute(UTF8String.fromString(shuffled)), t)
     }
   }
+
+  test("WinnowImpl equals a naive per-window recompute for any input") {
+    def naive(text: String, k: Int, w: Int): Seq[Long] = {
+      val s = MinHashImpl.normalize(text)
+      val n = s.length
+      val m = math.max(n - (k - 1), 1)
+      val hs = (0 until m).map { i =>
+        (0 until k).foldLeft(0L)((h, j) =>
+          h * 31L + (if (i + j < n) s.charAt(i + j).toLong else 0L)) % 1000000007L
+      }
+      val wm = math.max(m - (w - 1), 1)
+      (0 until wm).map(j => hs.slice(j, j + w).min).distinct.sorted
+    }
+    (1 to Trials).foreach { _ =>
+      val t = randomText()
+      val (k, w) = (2 + rng.nextInt(5), 1 + rng.nextInt(8))
+      val got = graft.functions.WinnowImpl
+        .compute(UTF8String.fromString(t), k, w).toLongArray().toSeq
+      assert(got == naive(t, k, w), s"t='$t' k=$k w=$w")
+    }
+    // degenerate inputs: shorter than k, shorter than w
+    Seq("", "a", "ab").foreach { t =>
+      val got = graft.functions.WinnowImpl
+        .compute(UTF8String.fromString(t), 4, 5).toLongArray().toSeq
+      assert(got == naive(t, 4, 5), s"t='$t'")
+    }
+  }
+
+  test("TopKLargest heap semantics equal sort-and-take for any stream split") {
+    val agg = graft.functions.TopKLargest(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 5)
+    (1 to Trials).foreach { _ =>
+      val values = Seq.fill(1 + rng.nextInt(40))(rng.nextLong() % 1000)
+      // split the stream arbitrarily into partial buffers, then merge
+      val cut = rng.nextInt(values.size + 1)
+      val (p1, p2) = values.splitAt(cut)
+      def fill(vs: Seq[Long]) = {
+        val b = agg.createAggregationBuffer()
+        vs.foreach { v =>
+          b.add(v)
+          if (b.size > 5) b.poll()
+        }
+        b
+      }
+      // round-trip one side through serialize/deserialize (the shuffle path)
+      val merged = agg.merge(fill(p1), agg.deserialize(agg.serialize(fill(p2))))
+      val got = agg.eval(merged)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+      assert(got == values.sorted.reverse.take(5), s"values=$values cut=$cut")
+    }
+  }
 }
