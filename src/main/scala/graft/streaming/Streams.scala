@@ -96,6 +96,67 @@ object Streams {
     runToMemory(dedupeStreamDf(spark, dir, keyCols, watermarkMinutes),
       s"graft_stream_dedupe_${System.nanoTime()}", OutputMode.Append())
 
+  final case class SimDoc(band_id: Int, band_val: Long, doc_id: Long,
+                          sim: Long, ts_us: Long)
+  final case class NearDup(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming near-duplicate CANDIDATE generation (pre-sink,
+    * unbounded) — the in-flight twin of [[graft.dedup.Dedup.simhashPairs]]:
+    * each document fans out to its 4×16-bit SimHash bands; per band
+    * bucket, flatMapGroupsWithState keeps the docs seen within the
+    * watermark horizon and emits a pair for every arriving doc whose
+    * hamming distance to a stored doc is ≤ maxHamming. A pair sharing
+    * several bands is emitted once per shared band (candidates are
+    * candidates — exact downstream dedup is one `distinct()`); state is
+    * evicted by event-time timeout, so memory is bounded by the
+    * watermark horizon per bucket, never the corpus.
+    *
+    * Input contract: a streaming DataFrame with (idCol: long,
+    * textCol: string, tsCol: timestamp). */
+  def simhashCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
+                              tsCol: String, maxHamming: Int = 6,
+                              watermarkMinutes: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val gapMs = watermarkMinutes * 60L * 1000L
+    val banded = docs
+      .withWatermark(tsCol, s"$watermarkMinutes minutes")
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("ts"))
+      .select(inline(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)),
+        col("doc_id"), col("sim"), col("ts_us"), col("ts"))
+      .as[(Int, Long, Long, Long, Long, java.sql.Timestamp)]
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = Seq.newBuilder[NearDup]
+            var maxTs = 0L
+            rows.toSeq.sortBy(_._5).foreach { case (_, _, id, sim, tsUs, ts) =>
+              seen.foreach { case (id0, sim0, _) =>
+                val h = java.lang.Long.bitCount(sim0 ^ sim)
+                if (h <= maxHamming && id0 != id)
+                  out += NearDup(math.min(id0, id), math.max(id0, id), h)
+              }
+              seen = (id, sim, tsUs) :: seen
+              maxTs = math.max(maxTs, ts.getTime)
+            }
+            state.update(seen)
+            // bucket state dies once no doc can still pair with it
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start_us: Long, end_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

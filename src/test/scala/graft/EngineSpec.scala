@@ -159,6 +159,30 @@ class EngineSpec extends SparkSpec {
     assert(viaAgg == viaWin)
   }
 
+  test("streaming simhash candidates equal the batch pair generator") {
+    // Stream the documents table with a synthetic event time (doc_id
+    // seconds — all inside one watermark horizon, so nothing evicts and
+    // the streaming candidate set must equal the batch one).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_docs").toString
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    val schema = spark.read.parquet(s"$tmp/docs").schema
+    // offset past epoch: a doc at exactly ts=0 would sit on the initial
+    // watermark and be dropped as late
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/docs")
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val cands = Streams.simhashCandidatesStream(stream, "doc_id", "text", "ts")
+    val got = Streams.runToMemory(cands,
+        s"graft_stream_simhash_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("id_a", "id_b", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == batch, s"stream=${got.size} batch=${batch.size}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drives a distributed file sink (no driver collect)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val path = Streams.runToFileSink(Streams.sessionizeStream(spark, sfDir), tmp)
