@@ -189,9 +189,11 @@ object Sources {
     combine(paths.map(loader.load(spark, _)))
   }
 
-  /** `get_count` (data.py:1056). */
-  def count(df: DataFrame, date: Option[(String, DateSel)] = None): Long =
-    date.map { case (f, sel) => df.filter(dateFilter(col(f), sel)) }.getOrElse(df).count()
+  /** `get_count(date=, agency=)` (data.py:1056): count after the same
+    * pushed-down filters load applies. */
+  def count(df: DataFrame, date: Option[(String, DateSel)] = None,
+            agency: Option[(String, String)] = None): Long =
+    load(df, date, agency).count()
 
   /** Distinct years of the date field, sorted (data.py:885 get_years). */
   def getYears(df: DataFrame, dateField: String): DataFrame =
