@@ -44,14 +44,20 @@ object Sources {
   def agencyFilter(field: Column, agency: String): Column =
     lower(field).contains(agency.toLowerCase)
 
-  /** `Source.load`: date filter + agency filter + column selection. */
+  /** `Source.load`: date filter + agency filter + column selection +
+    * optional row cap (the reference's nrows quick-subset; for
+    * DETERMINISTIC paging use [[page]]/[[pageAfter]] — an unordered
+    * limit takes whatever rows arrive first, exactly like pandas
+    * nrows). */
   def load(df: DataFrame,
            date: Option[(String, DateSel)] = None,
            agency: Option[(String, String)] = None,
-           select: Seq[String] = Nil): DataFrame = {
+           select: Seq[String] = Nil,
+           nrows: Option[Int] = None): DataFrame = {
     val d = date.map { case (f, sel) => df.filter(dateFilter(col(f), sel)) }.getOrElse(df)
     val a = agency.map { case (f, v) => d.filter(agencyFilter(col(f), v)) }.getOrElse(d)
-    if (select.nonEmpty) a.select(select.map(col): _*) else a
+    val s = if (select.nonEmpty) a.select(select.map(col): _*) else a
+    nrows.map(s.limit).getOrElse(s)
   }
 
   /** Deterministic paging over a unique sort key (data_loader.py:321
