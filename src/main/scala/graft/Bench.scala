@@ -26,6 +26,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Single-rep runs keep the old untimed warmup pass (JIT + codegen +
+    // parquet footers); with reps > 1 the first rep plays that role and
+    // the minimum strips it.
+    if (reps == 1 && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var err: Option[String] = None

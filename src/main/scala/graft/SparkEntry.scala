@@ -304,10 +304,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // SQL-verifiable companion to q_ann_lsh: 16 one-bit bands — a corpus
-    // vector is a candidate unless its signature disagrees with the
-    // query on ALL 16 hyperplanes, so the candidate set covers the true
-    // top-k and the re-ranked result must equal brute force. Exercises
-    // signature computation, banding, the bucket join, and the re-rank.
+    // vector is excluded only if its signature disagrees with the query
+    // on ALL 16 hyperplanes (probability ~(θ/π)^16; for actual top-k
+    // neighbors, vanishingly small). Not exact BY CONSTRUCTION like
+    // ivf_verify, but deterministic on the fixed corpus and verified to
+    // reproduce brute force at sf0.01 and sf0.1. Exercises signature
+    // computation, banding, the bucket join, and the re-rank.
     "q_ann_lsh_verify" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       Ann.lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10,

@@ -210,10 +210,12 @@ object Dedup {
         col("l.id") < col("r.id") &&
         // Size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
         // size mismatch can never clear the threshold — cheap compares
-        // inside the join, before any merge scan runs. Pure optimization:
-        // removes only pairs the threshold filter would drop anyway.
-        col("l.sz") >= col("r.sz") * threshold &&
-        col("r.sz") >= col("l.sz") * threshold)
+        // inside the join, before any merge scan runs. The margin keeps
+        // the prune strictly weaker than the ROUNDED output filter
+        // (a raw jaccard in [t-0.00005, t) rounds up to t and must
+        // survive), so it stays a pure optimization.
+        col("l.sz") >= col("r.sz") * (threshold - 0.00005) &&
+        col("r.sz") >= col("l.sz") * (threshold - 0.00005))
       // Filter the ROUNDED value (the same value the oracle filters —
       // filtering raw here while the oracle filters rounded would drop
       // pairs whose raw jaccard sits in [t-0.00005, t)). Written as a

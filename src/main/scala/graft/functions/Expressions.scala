@@ -268,12 +268,15 @@ object WinnowImpl {
       var j = 0
       while (j < k) {
         // out-of-range chars contribute 0 (mirrors substr-past-end in
-        // the SQL rendering, guarded to 0 on both sides)
+        // the SQL rendering, guarded to 0 on both sides). Mod at every
+        // Horner step — a ring homomorphism, so identical to the
+        // unrolled no-intermediate-mod SQL form for small k, but safe
+        // from long overflow up to the k=64 arity bound.
         val c: Long = if (i + j < n) s.charAt(i + j).toLong else 0L
-        h = h * 31L + c
+        h = (h * 31L + c) % Mod
         j += 1
       }
-      hs(i) = h % Mod
+      hs(i) = h
       i += 1
     }
     val wm = math.max(m - (w - 1), 1)

@@ -125,7 +125,9 @@ object Dates {
     val hAdj = when(mark === "AM", when(h === 12, 0).otherwise(h))
       .when(mark === "PM", when(h === 12, 12).when(h > 12, h).otherwise(h + 12))
       .otherwise(h)
-    val sec = when(sRaw === "" || frac =!= "", lit("00"))
+    // invalid (> 59) or fractional seconds drop to :00 — the reference's
+    // dt.time.replace(second=...) raises for both and leaves second unset
+    val sec = when(sRaw === "" || frac =!= "" || sRaw.cast("int") > 59, lit("00"))
       .otherwise(lpad(sRaw.cast("int").cast("string"), 2, "0"))
     val mil = t.cast("int")
     when(t.isin("", "-", "9999", "999", "99", "TIME", "NULL", "#NAME?", "#VALUE!"),

@@ -155,8 +155,9 @@ object Identify {
     if (!known.contains("DATE")) {
       val scored = dateCands.filterNot(taken.contains).map(c => c -> dateScore(c))
         .filter(_._2 > 0)
-      val best = if (scored.isEmpty) None
-                 else Some(scored.maxBy(_._2)._2).flatMap(s => scored.find(_._2 == s)).map(_._1)
+      // maxBy keeps the FIRST candidate at the maximal score — the
+      // schema-order tie-break.
+      val best = if (scored.isEmpty) None else Some(scored.maxBy(_._2)._1)
       best match {
         case Some(c) => out("DATE") = c; taken += c
         case None    => out.remove("DATE")

@@ -32,12 +32,14 @@ object Html {
     * its first row; `<th>` cells anywhere mark that row as header-like
     * but position wins (pandas' default). */
   private[sources] def parseTables(html: String): Seq[(Seq[String], Seq[Seq[String]])] =
-    TableRe.findAllMatchIn(html).map { t =>
+    TableRe.findAllMatchIn(html).flatMap { t =>
       val rows = RowRe.findAllMatchIn(t.group(1)).map { r =>
         CellRe.findAllMatchIn(r.group(1)).map(m => cellText(m.group(2))).toSeq
       }.toSeq.filter(_.nonEmpty)
-      require(rows.nonEmpty, "HTML table has no rows")
-      (rows.head, rows.tail)
+      // Empty layout/spacer tables are omitted from the result list —
+      // pandas read_html does the same, so tableIndex matches its
+      // numbering and a stray <table></table> can't fail the parse.
+      if (rows.isEmpty) None else Some((rows.head, rows.tail))
     }.toSeq
 
   /** Parse the index-th `<table>` of the file into a string-typed

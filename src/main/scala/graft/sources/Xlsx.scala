@@ -104,10 +104,18 @@ object Xlsx {
       .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $part"))
     elems(doc, "row").map { row =>
       val cells = childElems(row, "c")
-      val width = cells.map(c => colIndex(c.getAttribute("r"))).foldLeft(-1)(math.max) + 1
+      // Column index from the `r` cell reference; the attribute is
+      // OPTIONAL per ECMA-376 (streaming writers omit it), in which
+      // case position is sequential after the previous cell.
+      val indices = cells.foldLeft(List.empty[Int]) { (acc, c) =>
+        val ref = c.getAttribute("r")
+        val idx = if (ref.nonEmpty && ref.head.isLetter) colIndex(ref)
+                  else acc.headOption.map(_ + 1).getOrElse(0)
+        idx :: acc
+      }.reverse
+      val width = indices.foldLeft(-1)(math.max) + 1
       val out = new Array[String](math.max(width, 0))
-      cells.foreach { c =>
-        val idx = colIndex(c.getAttribute("r"))
+      cells.zip(indices).foreach { case (c, idx) =>
         val v = c.getAttribute("t") match {
           case "s" => // shared-string index
             childElems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt)).orNull

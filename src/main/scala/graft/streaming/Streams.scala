@@ -136,20 +136,29 @@ object Streams {
         case (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(Nil)
+            val gapUs = gapMs * 1000L
+            // Evict entries that can no longer pair with any admissible
+            // row: a future row's event time exceeds the watermark, so
+            // anything older than watermark − gap is dead. This is what
+            // actually bounds a hot bucket's state (the timeout below
+            // only reaps fully-idle buckets, since every arrival
+            // re-arms it).
+            val horizonUs = state.getCurrentWatermarkMs() * 1000L - gapUs
+            var seen = state.getOption.getOrElse(Nil).filter(_._3 >= horizonUs)
             val out = Seq.newBuilder[NearDup]
             var maxTs = 0L
             rows.toSeq.sortBy(_._5).foreach { case (_, _, id, sim, tsUs, ts) =>
-              seen.foreach { case (id0, sim0, _) =>
+              seen.foreach { case (id0, sim0, ts0) =>
                 val h = java.lang.Long.bitCount(sim0 ^ sim)
-                if (h <= maxHamming && id0 != id)
+                if (h <= maxHamming && id0 != id && math.abs(tsUs - ts0) <= gapUs)
                   out += NearDup(math.min(id0, id), math.max(id0, id), h)
               }
               seen = (id, sim, tsUs) :: seen
               maxTs = math.max(maxTs, ts.getTime)
             }
             state.update(seen)
-            // bucket state dies once no doc can still pair with it
+            // idle-bucket reaper; hot buckets are bounded by the
+            // horizon eviction above
             state.setTimeoutTimestamp(maxTs + gapMs)
             out.result().iterator
           }

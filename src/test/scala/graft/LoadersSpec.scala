@@ -52,6 +52,44 @@ class LoadersSpec extends SparkSpec {
     assert(df.filter(col("id") === "1").head().isNullAt(1))
   }
 
+  test("xlsx: cells without r attributes fall back to sequential position") {
+    // ECMA-376 makes the `r` cell reference optional; streaming writers
+    // omit it. Assemble such a file by hand.
+    val path = tmpFile(".xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // NO r attributes on rows/cells
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c t="inlineStr"><is><t>id</t></is></c><c t="inlineStr"><is><t>name</t></is></c></row>
+        |<row><c t="inlineStr"><is><t>1</t></is></c><c t="inlineStr"><is><t>alpha</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = Xlsx.read(spark, path, None)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    val row = df.head()
+    assert(row.getString(0) == "1" && row.getString(1) == "alpha")
+  }
+
   test("xlsx: DataFrame export round-trip (writeDf → excel loader)") {
     val path = tmpFile(".xlsx")
     Xlsx.writeDf(graft.sources.Tables(spark, sfDir, "region"), path)
@@ -64,6 +102,7 @@ class LoadersSpec extends SparkSpec {
     val path = tmpFile(".html")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       """<html><body><p>preamble</p>
+        |<table class="spacer"></table>
         |<table class="data">
         |  <tr><th>id</th><th> agency </th></tr>
         |  <tr><td>1</td><td><b>Austin</b> PD</td></tr>

@@ -208,6 +208,7 @@ class StandardizerSpec extends SparkSpec {
       "14:5" -> "14:05:00", // 1-digit minutes
       "13:30 PM" -> "13:30:00", // 24h + PM typo keeps 24h hour
       "14:30:59.123" -> "14:30:00", // fractional secs drop (reference quirk)
+      "14:30:99" -> "14:30:00", // invalid seconds also drop, not null
       "23:70" -> null, "24:00" -> null)
     val got = cases.map(_._1).toDF("raw")
       .select(Dates.parseTime(col("raw"))).as[String].collect()

@@ -24,9 +24,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    import subprocess, glob, os
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # oracle_sql.json from the last Verify run (or regenerate)
+    import os
+    # oracle_sql.json from the last Verify run
     path = "/tmp/graft_verify/oracle_sql.json"
     if not os.path.exists(path):
         sys.exit("run graft.Verify first (oracle_sql.json missing)")
