@@ -325,6 +325,15 @@ object SparkEntry {
           nprobe = 1024)
         .orderBy("query_id", "rank")
     }),
+    // Learned-quantizer IVF (seeded MLlib k-means): full probe → exact
+    // by construction, so the brute-force oracle verifies the fit +
+    // assignment + routing + re-rank pipeline end-to-end.
+    "q_ann_ivf_learned" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.ivfLearnedTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10,
+          nCells = 8, nprobe = 1024)
+        .orderBy("query_id", "rank")
+    }),
 
     // Text analysis
     "q_lang_id" -> ((s, dir) =>
@@ -658,6 +667,7 @@ object SparkEntry {
     // must reproduce the brute-force top-k.
     "q_ann_lsh_verify" -> annExactTopKSql,
     "q_ann_ivf_verify" -> annExactTopKSql,
+    "q_ann_ivf_learned" -> annExactTopKSql,
 
     "q_lang_id" -> {
       val hits = TextStats.stopwords.map { case (lang, list) =>

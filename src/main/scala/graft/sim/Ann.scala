@@ -112,6 +112,57 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF with LEARNED centroids — the real coarse quantizer: seeded
+    * k-means (Spark MLlib) over a bounded corpus sample learns `nCells`
+    * centroids, every corpus vector routes to its nearest centroid in
+    * one scan (the model's assignment is a broadcast of nCells × dim
+    * doubles), and queries probe their `nprobe` closest cells exactly
+    * like [[ivfTopK]]. Deterministic: fixed seed + id-ordered sample.
+    * At 100 TB the fit runs on the sample only; assignment and probing
+    * stay scan-parallel with no corpus-sized shuffle beyond the
+    * candidate join. `nprobe >= nCells` probes everything → exact
+    * brute-force result (the verify contract). */
+  def ivfLearnedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCells: Int = 16,
+                     nprobe: Int = 4, sampleSize: Int = 10000,
+                     seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val parts = spark.sparkContext.defaultParallelism
+    val featurize = array_to_vector(asDouble(col(vecCol))).as("features")
+    // id-ordered bounded sample → deterministic fit input
+    val train = corpus.orderBy(col(idCol)).limit(sampleSize).select(featurize)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
+    val c = model.transform(
+        corpus.repartition(parts).select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("cv"), featurize))
+      .withColumnRenamed("prediction", "cell")
+      .select("neighbor_id", "cv", "cell")
+    // learned centroids as a tiny DataFrame (nCells rows) for routing
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val routed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("ccos"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = routed.withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe).select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-cell centroids (IVF coarse quantizer): avg of each dimension.
     * Tiny result (cells × dim) — always broadcastable. */
   def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =

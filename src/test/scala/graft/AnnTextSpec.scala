@@ -34,6 +34,21 @@ class AnnTextSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("ivfLearnedTopK: full probe equals brute force; pruned probe finds top-1") {
+    val q = embs.filter(col("vec_id") === 0)
+    val bf = Ann.bruteForceTopK(q, embs, "vec_id", "embedding", 5)
+      .select("neighbor_id", "cos", "rank").as[(Long, Double, Int)].collect().toSeq
+    // probing every learned cell must reproduce brute force exactly
+    val full = Ann.ivfLearnedTopK(q, embs, "vec_id", "embedding", 5,
+        nCells = 4, nprobe = 4)
+      .select("neighbor_id", "cos", "rank").as[(Long, Double, Int)].collect().toSeq
+    assert(full == bf)
+    // the pruned scale path still finds the true nearest neighbor
+    val pruned = Ann.ivfLearnedTopK(q, embs, "vec_id", "embedding", 1,
+        nCells = 4, nprobe = 1).select("neighbor_id").as[Long].head()
+    assert(pruned == bf.head._1)
+  }
+
   test("lshTopK returns ranked candidates including the query itself") {
     val got = Ann.lshTopK(embs.filter(col("vec_id") === 0), embs,
       "vec_id", "embedding", 3)
