@@ -49,26 +49,42 @@ object Standardizer {
       stdCol("AGE", role).orElse(stdCol("AGE_RANGE", role))
   }
 
-  /** Standardize every identified field. `validateContent` (on by
-    * default, as in the reference) re-scores DATE/TIME bindings against
-    * a row sample so a name-matched column whose values don't parse is
-    * rejected — see [[Identify.identifyColumnsValidated]]. */
+  /** Standardize every identified field, with the reference's option
+    * surface (exercised by its tests/test_preproc.py):
+    *   - `validateContent` (on by default) re-scores DATE/TIME bindings
+    *     against a row sample — see
+    *     [[Identify.identifyColumnsValidated]];
+    *   - `keepRaw` (preproc keep_raw): false drops the RAW_ originals
+    *     from the output;
+    *   - `mergeDatetime` (merge_datetime): false skips the DATE+TIME →
+    *     DATETIME merge;
+    *   - `raceEthCombo` (race_eth_combo): "merge" | "concat" build
+    *     RE_GROUP via [[Standardize.combineRaceEth]]; "false" emits no
+    *     combined column;
+    *   - `noId` (no_id): "keep" | "null" | "error" for unrecognized
+    *     categorical values, passed to every LUT. */
   def standardize(df: DataFrame,
                   known: Map[String, String] = Map.empty,
                   dateFormats: Seq[String] = Dates.defaultFormats,
-                  validateContent: Boolean = true): Result = {
+                  validateContent: Boolean = true,
+                  keepRaw: Boolean = true,
+                  mergeDatetime: Boolean = true,
+                  raceEthCombo: String = "merge",
+                  noId: String = "keep"): Result = {
+    require(Seq("merge", "concat", "false").contains(raceEthCombo),
+      s"raceEthCombo must be merge|concat|false, got $raceEthCombo")
     val colMap =
       if (validateContent) Identify.identifyColumnsValidated(df, known)
       else Identify.identifyColumns(df, known)
 
     def convert(field: String, src: Column): (Column, String) =
       field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {
-        case "RACE"      => Luts.raceStd(src) -> "race_lut"
+        case "RACE"      => Luts.raceStd(src, noId) -> "race_lut"
         case "ETHNICITY" => Luts.ethStd(src) -> "ethnicity_lut"
-        case "GENDER"    => Luts.genderStd(src) -> "gender_lut"
-        case "INJURY"    => Luts.injuryStd(src) -> "injury_lut"
-        case "FATAL"     => Luts.fatalStd(src) -> "fatal_lut"
-        case "ROLE"      => Luts.roleStd(src) -> "role_lut"
+        case "GENDER"    => Luts.genderStd(src, noId) -> "gender_lut"
+        case "INJURY"    => Luts.injuryStd(src, noId) -> "injury_lut"
+        case "FATAL"     => Luts.fatalStd(src, noId) -> "fatal_lut"
+        case "ROLE"      => Luts.roleStd(src, noId) -> "role_lut"
         case "AGE_RANGE" => AgeRange.ageRangeStd(src) -> "age_range_lut"
         case "AGE"       => src.cast("string") -> "cast_string"
         // date-only canonical string ("yyyy-MM-dd") so the DATETIME
@@ -99,18 +115,18 @@ object Standardizer {
       log += Transform(field, srcName, field, kind)
     }
     // DATE+TIME merge when both present (preproc.py:1406 merge_date_time)
-    if (colMap.contains("DATE") && colMap.contains("TIME")) {
+    if (mergeDatetime && colMap.contains("DATE") && colMap.contains("TIME")) {
       out = out.withColumn("DATETIME",
         Dates.mergeDateTime(col("DATE"), col("TIME")))
       log += Transform("DATETIME", colMap("DATE") + "+" + colMap("TIME"),
         "DATETIME", "merge_date_time")
     }
-    // RE_GROUP per role: merged race+ethnicity when both present, else
+    // RE_GROUP per role: combined race+ethnicity when both present, else
     // race (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
-    Seq("_SUBJECT", "_OFFICER").foreach { r =>
+    if (raceEthCombo != "false") Seq("_SUBJECT", "_OFFICER").foreach { r =>
       if (colMap.contains("RACE" + r) && colMap.contains("ETHNICITY" + r)) {
         out = out.withColumn("RE_GROUP" + r,
-          Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r), "merge"))
+          Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r), raceEthCombo))
         log += Transform("RE_GROUP" + r,
           colMap("RACE" + r) + "+" + colMap("ETHNICITY" + r),
           "RE_GROUP" + r, "combine_race_ethnicity")
@@ -120,11 +136,13 @@ object Standardizer {
       }
     }
 
-    // Order columns canonically (originals already carry RAW_ names).
+    // Order columns canonically (originals already carry RAW_ names;
+    // keepRaw=false drops them, the reference's keep_raw=False).
     val stdNames = stdCols.map(_._1) ++
       Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER").filter(out.columns.contains)
-    val rawNames = out.columns.filter(_.startsWith(RawPrefix)).toSeq
-    val passthru = out.columns.filterNot(c => stdNames.contains(c) || rawNames.contains(c)).toSeq
+    val rawNames = if (keepRaw) out.columns.filter(_.startsWith(RawPrefix)).toSeq else Nil
+    val passthru = out.columns.filterNot(c => stdNames.contains(c) ||
+      c.startsWith(RawPrefix)).toSeq
     Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap, log.result())
   }
 }

@@ -110,6 +110,29 @@ class StandardizerSpec extends SparkSpec {
     assert(r.raceCol("OFFICER").isEmpty)
   }
 
+  test("standardize option surface: keep_raw, merge_datetime, combo, no_id") {
+    // keep_raw=False drops the RAW_ originals (test_not_keep_raw)
+    val noRaw = Standardizer.standardize(messy, keepRaw = false).df
+    assert(!noRaw.columns.exists(_.startsWith(Standardizer.RawPrefix)))
+    assert(noRaw.columns.contains("DATE") && noRaw.columns.contains("case_id"))
+    // merge_datetime=False skips DATETIME (test_merge_datetime_false)
+    val noDt = Standardizer.standardize(messy, mergeDatetime = false).df
+    assert(!noDt.columns.contains("DATETIME"))
+    // race_eth_combo=False emits no RE_GROUP (test_race_eth_combo_false)
+    val noCombo = Standardizer.standardize(messy, raceEthCombo = "false").df
+    assert(!noCombo.columns.exists(_.startsWith("RE_GROUP")))
+    // concat mode uses the concatenating combiner (test_race_eth_combo_concat)
+    val cat = Standardizer.standardize(messy, raceEthCombo = "concat").df
+    val v = cat.filter(col("case_id") === 1).select("RE_GROUP_SUBJECT").head().getString(0)
+    assert(v.contains("WHITE") && v.contains("HISPANIC"), v)
+    // no_id="null" blanks unrecognized categorical values (test_no_id_null)
+    val df = Seq(("ZEBRA", 1L)).toDF("subject_race", "id")
+    val nulled = Standardizer.standardize(df, noId = "null").df
+    assert(nulled.select("RACE_SUBJECT").head().getString(0) == "")
+    intercept[IllegalArgumentException](
+      Standardizer.standardize(messy, raceEthCombo = "bogus"))
+  }
+
   test("get_transform_map records every applied conversion") {
     val r = Standardizer.standardize(messy)
     val byNew = r.transforms.map(t => t.newColumn -> t.conversion).toMap
