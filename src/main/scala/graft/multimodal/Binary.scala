@@ -72,23 +72,29 @@ object Binary {
         u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
       ImageMeta("png", be32(16), be32(20))
     else if (payload.length >= 10 &&
-        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
-      // GIF is little-endian
+        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      // Full 6-byte signature (GIF87a/GIF89a) — a bare 'GIF' prefix
+      // also matches text payloads. GIF is little-endian.
       ImageMeta("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
     else if (payload.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk the marker segments to the first SOF0/1/2
       var i = 2
       while (i + 9 < payload.length) {
         if (u8(i) != 0xFF) return null
-        val marker = u8(i + 1)
+        // 0xFF bytes may repeat as fill/padding before the marker byte
+        var j = i + 1
+        while (j < payload.length && u8(j) == 0xFF) j += 1
+        if (j + 8 >= payload.length) return null
+        val marker = u8(j)
         if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
-          return ImageMeta("jpeg", be16(i + 7), be16(i + 5))
+          return ImageMeta("jpeg", be16(j + 6), be16(j + 4))
         // skip standalone markers (D0-D9 have no length field)
-        if (marker >= 0xD0 && marker <= 0xD9) i += 2
+        if (marker >= 0xD0 && marker <= 0xD9) i = j + 1
         else {
-          val len = be16(i + 2)
+          val len = be16(j + 1)
           if (len < 2) return null // corrupt segment — refuse to loop
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       null

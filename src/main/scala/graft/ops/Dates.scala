@@ -130,7 +130,10 @@ object Dates {
     val sec = when(sRaw === "" || frac =!= "" || sRaw.cast("int") > 59, lit("00"))
       .otherwise(lpad(sRaw.cast("int").cast("string"), 2, "0"))
     val mil = t.cast("int")
-    when(t.isin("", "-", "9999", "999", "99", "TIME", "NULL", "#NAME?", "#VALUE!"),
+    // the reference's midnight fix (time_col[time_col==2400]=0) runs
+    // before its hour<24 validity check — 2400 means 00:00, not invalid
+    when(t.isin("2400", "24:00", "24:00:00"), lit("00:00:00"))
+      .when(t.isin("", "-", "9999", "999", "99", "TIME", "NULL", "#NAME?", "#VALUE!"),
         lit(null).cast("string"))
       .when(t.rlike("^\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}"), lit(null).cast("string"))
       .when(t.rlike(colonRe),

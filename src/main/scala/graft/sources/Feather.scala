@@ -108,6 +108,7 @@ object Feather {
     try {
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields
+      val arrowTypes = (0 until fields.size()).map(c => fields.get(c).getType)
       val sparkFields = (0 until fields.size()).map { c =>
         val f = fields.get(c)
         val dt = f.getType match {
@@ -138,10 +139,27 @@ object Feather {
               case DoubleType    => v.asInstanceOf[Float8Vector].get(i)
               case StringType    => new String(v.asInstanceOf[VarCharVector].get(i), "UTF-8")
               case BooleanType   => v.asInstanceOf[BitVector].get(i) == 1
-              case DateType      => java.sql.Date.valueOf(
-                java.time.LocalDate.ofEpochDay(v.asInstanceOf[DateDayVector].get(i).toLong))
+              case DateType =>
+                // pandas/pyarrow may emit date32 (days) or date64 (millis);
+                // dispatch on the declared unit instead of assuming date32.
+                val days = arrowTypes(c).asInstanceOf[ArrowType.Date].getUnit match {
+                  case DateUnit.DAY => v.asInstanceOf[DateDayVector].get(i).toLong
+                  case DateUnit.MILLISECOND =>
+                    Math.floorDiv(v.asInstanceOf[DateMilliVector].get(i), 86400000L)
+                }
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days))
               case TimestampType =>
-                val us = v.asInstanceOf[TimeStampMicroTZVector].get(i)
+                // pandas defaults to tz-naive timestamp[ns]; accept any unit
+                // and tz-ness. All TimeStamp*Vector classes share the raw
+                // epoch-relative long accessor via TimeStampVector; tz-naive
+                // values are interpreted as UTC (the session timezone).
+                val raw = v.asInstanceOf[TimeStampVector].get(i)
+                val us = arrowTypes(c).asInstanceOf[ArrowType.Timestamp].getUnit match {
+                  case TimeUnit.SECOND      => Math.multiplyExact(raw, 1000000L)
+                  case TimeUnit.MILLISECOND => Math.multiplyExact(raw, 1000L)
+                  case TimeUnit.MICROSECOND => raw
+                  case TimeUnit.NANOSECOND  => Math.floorDiv(raw, 1000L)
+                }
                 java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
               case other => throw new IllegalArgumentException(s"unsupported $other")
             }

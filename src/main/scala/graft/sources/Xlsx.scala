@@ -190,8 +190,11 @@ object Xlsx {
 
   // ---- writing (fixture/export support) --------------------------------
 
+  // quote/apos escaped too: esc is interpolated into attribute values
+  // (sheet name="...") as well as element text
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
 
   private def sheetXml(rows: Seq[Seq[String]]): String = {
     def ref(r: Int, c: Int): String = {

@@ -118,6 +118,13 @@ class EngineSpec extends SparkSpec {
       0xFF, 0xC0, 0x00, 0x0B, 8, 0x02, 0x58, 0x03, 0x20, 1, 0x11, 0, 0)
     assert(Binary.imageMeta(jpg) == Binary.ImageMeta("jpeg", 800, 600))
     assert(Binary.imageMeta("not an image".getBytes) == null)
+    // a text payload starting with 'GIF' is NOT a gif (full signature req'd)
+    assert(Binary.imageMeta("GIF exports disabled".getBytes) == null)
+    assert(Binary.imageMeta("GIF88a?????????".getBytes) == null)
+    // JPEG with 0xFF fill/padding bytes between segments still parses
+    val jpgPad = b(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xFF, 0xC0, 0x00, 0x0B, 8, 0x02, 0x58, 0x03, 0x20, 1, 0x11, 0, 0)
+    assert(Binary.imageMeta(jpgPad) == Binary.ImageMeta("jpeg", 800, 600))
     // the Spark stage surfaces dims per row (text payloads → non-image)
     val metaDf = Binary.withImageMeta(spark,
       graft.multimodal.Binary.withMeta(

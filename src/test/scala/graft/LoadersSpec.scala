@@ -90,6 +90,13 @@ class LoadersSpec extends SparkSpec {
     assert(row.getString(0) == "1" && row.getString(1) == "alpha")
   }
 
+  test("xlsx: sheet names with quotes/apostrophes survive attribute escaping") {
+    val path = tmpFile(".xlsx")
+    Xlsx.write(path, Seq("""Chief's "Q1" <Data> & Notes""" -> Seq(Seq("id"), Seq("1"))))
+    assert(Xlsx.sheetNames(path) == Seq("""Chief's "Q1" <Data> & Notes"""))
+    assert(Xlsx.read(spark, path, Some("""Chief's "Q1" <Data> & Notes""")).count() == 1)
+  }
+
   test("xlsx: DataFrame export round-trip (writeDf → excel loader)") {
     val path = tmpFile(".xlsx")
     Xlsx.writeDf(graft.sources.Tables(spark, sfDir, "region"), path)
@@ -144,5 +151,48 @@ class LoadersSpec extends SparkSpec {
     // region table (strings + longs) through the same path
     val p2 = Feather.write(graft.sources.Tables(spark, sfDir, "region"), s"$tmp/region.feather")
     assert(Feather.read(spark, p2).count() == 5)
+  }
+
+  test("feather: reads pandas-shaped files (tz-naive ns timestamps, date64, ms)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema => ArrowSchema}
+    // pandas.to_feather defaults: timestamp[ns] with NO timezone, and
+    // pyarrow may emit date64[ms]. Assemble such a file with Arrow
+    // directly — Feather.write always emits micro/UTC, so this is the
+    // interop path Feather.read must handle.
+    val path = tmpFile(".feather")
+    val alloc = new RootAllocator()
+    val fields = java.util.Arrays.asList(
+      Field.nullable("ts_ns", new ArrowType.Timestamp(TimeUnit.NANOSECOND, null)),
+      Field.nullable("ts_ms", new ArrowType.Timestamp(TimeUnit.MILLISECOND, null)),
+      Field.nullable("ts_s", new ArrowType.Timestamp(TimeUnit.SECOND, "UTC")),
+      Field.nullable("d64", new ArrowType.Date(DateUnit.MILLISECOND)))
+    val root = VectorSchemaRoot.create(new ArrowSchema(fields), alloc)
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val writer = new ArrowFileWriter(root, null, ch)
+    try {
+      root.allocateNew()
+      // 2020-06-01 14:30:00.123456789 UTC
+      val epochSec = java.time.Instant.parse("2020-06-01T14:30:00Z").getEpochSecond
+      root.getVector(0).asInstanceOf[TimeStampNanoVector].setSafe(0, epochSec * 1000000000L + 123456789L)
+      root.getVector(1).asInstanceOf[TimeStampMilliVector].setSafe(0, epochSec * 1000L + 123L)
+      root.getVector(2).asInstanceOf[TimeStampSecTZVector].setSafe(0, epochSec)
+      root.getVector(3).asInstanceOf[DateMilliVector].setSafe(0,
+        java.time.LocalDate.of(2020, 6, 1).toEpochDay * 86400000L)
+      root.setRowCount(1)
+      writer.start(); writer.writeBatch(); writer.end()
+    } finally { writer.close(); root.close(); alloc.close(); ch.close() }
+    val back = graft.sources.Feather.read(spark, path)
+    val row = back.selectExpr("CAST(ts_ns AS STRING)", "CAST(ts_ms AS STRING)",
+      "CAST(ts_s AS STRING)", "CAST(d64 AS STRING)").head()
+    assert(row.getString(0) == "2020-06-01 14:30:00.123456") // ns floor to micros
+    assert(row.getString(1) == "2020-06-01 14:30:00.123")
+    assert(row.getString(2) == "2020-06-01 14:30:00")
+    assert(row.getString(3) == "2020-06-01")
   }
 }

@@ -232,7 +232,9 @@ class StandardizerSpec extends SparkSpec {
       "13:30 PM" -> "13:30:00", // 24h + PM typo keeps 24h hour
       "14:30:59.123" -> "14:30:00", // fractional secs drop (reference quirk)
       "14:30:99" -> "14:30:00", // invalid seconds also drop, not null
-      "23:70" -> null, "24:00" -> null)
+      // the reference maps 2400 to midnight BEFORE the hour<24 check
+      "2400" -> "00:00:00", "24:00" -> "00:00:00",
+      "23:70" -> null, "24:30" -> null)
     val got = cases.map(_._1).toDF("raw")
       .select(Dates.parseTime(col("raw"))).as[String].collect()
     cases.zip(got).foreach { case ((in, want), g) =>
