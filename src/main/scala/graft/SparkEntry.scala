@@ -84,6 +84,27 @@ object SparkEntry {
     "B - 18-29", "25", "7", "45", "117", "", "MISSING", "UNKNOWN", null,
     "ADULT", "JUVENILE", "1 TO 17", "18 to 24")
 
+  private val fatalRaws: Seq[String] = Seq(
+    null, "", "   ", "FATAL", "Yes", "Y", "DECEASED", "1",
+    "Non-Fatal", "NON FATAL", "No", "N", "NO CONTACT", "0",
+    "SELF-INFLICTED", "UNRESOLVED")
+
+  private val firearmRaws: Seq[String] = Seq(
+    null, "", "YES", "y", "TRUE", "FIREARM", "1",
+    "NO", "n", "FALSE", "PHYSICAL FORCE", "ELECTRICAL WEAPON", "OC SPRAY",
+    "IMPACT WEAPON", "NO FORCE", "0", "CANINE BITE", "BLANKET HOLD",
+    "DISPLAYED WEAPON", "CUTTING INSTRUMENT", "VEHICLE")
+
+  private val ethRaws: Seq[String] = Seq(
+    null, "", "MISSING", "NOT SPECIFIED", "NOT RECORDED", "N/A", "NONE",
+    "BLANK", "NO DATA AVAILABLE", "(NULL)",
+    "N", "NH", "NON HISPANIC", "NON-HISPANIC", "NOT HISPANIC",
+    "NON-LATINO", "NONHISPANIC",
+    "H", "L", "HISP", "HIS", "HISPANIC", "LATINO", "HISPANIC OR LATINO",
+    "WHITE HISPANIC",
+    "ME", "ARABIC", "MIDDLE EASTERN", "MIDDLE EAST",
+    "U", "UK", "UNK", "UNKNOWN", "ZEBRA")
+
   private val raceEthRaws: Seq[(String, String)] = Seq(
     ("WHITE", "HISPANIC"), ("WHITE", "NON-HISPANIC"), ("BLACK", "HISPANIC OR LATINO"),
     ("BLACK", null), ("ASIAN", "NOT HISPANIC"), (null, "HISPANIC"),
@@ -177,6 +198,18 @@ object SparkEntry {
     "q_std_injury" -> ((s, dir) =>
       rawsDf(s, injuryRaws)
         .select(col("id"), col("raw"), Luts.injuryStd(col("raw")).as("injury_std"))
+        .orderBy("id")),
+    "q_std_fatal" -> ((s, dir) =>
+      rawsDf(s, fatalRaws)
+        .select(col("id"), col("raw"), Luts.fatalStd(col("raw")).as("fatal_std"))
+        .orderBy("id")),
+    "q_std_firearm" -> ((s, dir) =>
+      rawsDf(s, firearmRaws)
+        .select(col("id"), col("raw"), Luts.firearmStd(col("raw")).as("firearm_std"))
+        .orderBy("id")),
+    "q_std_eth" -> ((s, dir) =>
+      rawsDf(s, ethRaws)
+        .select(col("id"), col("raw"), Luts.ethStd(col("raw")).as("eth_std"))
         .orderBy("id")),
     "q_combine_race_eth" -> ((s, dir) => {
       import s.implicits._
@@ -552,6 +585,18 @@ object SparkEntry {
     "q_std_injury" ->
       s"""SELECT id, raw, ${Luts.injuryStdSql} AS injury_std
          |FROM (VALUES ${valuesSql(injuryRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_fatal" ->
+      s"""SELECT id, raw, ${Luts.fatalStdSql} AS fatal_std
+         |FROM (VALUES ${valuesSql(fatalRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_firearm" ->
+      s"""SELECT id, raw, ${Luts.firearmStdSql} AS firearm_std
+         |FROM (VALUES ${valuesSql(firearmRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_eth" ->
+      s"""SELECT id, raw, ${Luts.ethStdSql} AS eth_std
+         |FROM (VALUES ${valuesSql(ethRaws)}) AS t(id, raw)
          |ORDER BY id""".stripMargin,
     "q_combine_race_eth" -> {
       val rows = raceEthRaws.zipWithIndex.map { case ((r, e), i) =>

@@ -463,4 +463,10 @@ object Luts {
   def ethStdSql: String =
     s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
       rulesToSql(ethRules, cleanRaceSql, "trim(upper(raw))") + " END"
+  def fatalStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(fatalRules, "trim(upper(raw))", "trim(upper(raw))") + " END"
+  def firearmStdSql: String =
+    s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
+      rulesToSql(firearmRules, "trim(upper(raw))", "trim(upper(raw))") + " END"
 }

@@ -242,6 +242,24 @@ class StandardizerSpec extends SparkSpec {
     }
   }
 
+  test("fatal and firearm LUT core vocabulary") {
+    val fatal = Map("FATAL" -> "YES", "Deceased" -> "YES", "1" -> "YES",
+      "NON-FATAL" -> "NO", "No Contact" -> "NO", "0" -> "NO",
+      "SELF-INFLICTED" -> "SELF-INFLICTED FATAL", "" -> "UNSPECIFIED",
+      "UNRESOLVED" -> "UNRESOLVED") // keep mode passes unknowns through
+    fatal.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.fatalStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+    val firearm = Map("FIREARM" -> "YES", "TRUE" -> "YES", "1" -> "YES",
+      "OC SPRAY" -> "NO", "canine bite" -> "NO", "DISPLAYED WEAPON" -> "NO",
+      "NO FORCE" -> "NO", "0" -> "NO", "" -> "UNSPECIFIED")
+    firearm.foreach { case (k, want) =>
+      val got = Seq(k).toDF("raw").select(Luts.firearmStd(col("raw"))).as[String].head()
+      assert(got == want, s"for '$k'")
+    }
+  }
+
   test("ethnicity LUT core vocabulary") {
     val cases = Map("HISPANIC" -> "HISPANIC/LATINO", "H" -> "HISPANIC/LATINO",
       "NON-HISPANIC" -> "NON-HISPANIC/NON-LATINO", "NOT HISPANIC" -> "NON-HISPANIC/NON-LATINO",
