@@ -8,7 +8,7 @@ import graft.ops.{AgeRange, Dates, Expand, Luts, Standardize}
 import graft.catalog.Catalog
 import graft.dedup.Dedup
 import graft.sim.Ann
-import graft.text.TextStats
+import graft.text.{Curation, TextStats}
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.analytics.Analytics
@@ -395,6 +395,39 @@ object SparkEntry {
           concat_ws(",", transform(col("fp"), x => x.cast("string"))).as("fp_csv"))
         .orderBy("doc_id")),
 
+    // Corpus curation (training-data pipeline ops beyond the reference)
+    "q_sample_split" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Curation.splitLabel(col("text"),
+            Seq("train" -> 0.8, "val" -> 0.1), "test").as("split"))
+        .orderBy("doc_id")),
+    // Deterministic PII is injected first (the synthetic corpus has
+    // none), then counted and scrubbed — email/SSN/phone in that order.
+    "q_pii_scrub" -> ((s, dir) => {
+      val injected = concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("123-45-6789")).otherwise(lit("na")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("555.867.5309")).otherwise(lit("na")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"), Curation.piiCount(col("t")).as("n_pii"),
+          Curation.scrubPii(col("t")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+    // Word 3-grams (the synthetic ~30-word vocabulary makes real 8/13-
+    // gram overlap vanishingly rare; the operator takes n as a param).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Curation.contamination(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q_distinct_kmv" -> ((s, dir) =>
+      Curation.kmvDistinct(T(s, dir, "orders"), col("o_custkey"), k = 256)),
+
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
       Binary.withMeta(T(s, dir, "documents"), "doc_id", "text")
@@ -761,6 +794,50 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, array_to_string(fp, ',') AS fp_csv
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q_sample_split" ->
+      s"""SELECT doc_id, ${Curation.splitLabelSql("text",
+             Seq("train" -> 0.8, "val" -> 0.1), "test")} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" -> {
+      val inj = """concat_ws(' ', text, 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        | CASE WHEN doc_id % 3 = 0 THEN '123-45-6789' ELSE 'na' END,
+        | CASE WHEN doc_id % 2 = 0 THEN '555.867.5309' ELSE 'na' END)""".stripMargin.replace("\n", "")
+      s"""WITH t AS (SELECT doc_id, $inj AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Curation.EmailRe}')) +
+         |       len(regexp_extract_all(t, '${Curation.SsnRe}')) +
+         |       len(regexp_extract_all(regexp_replace(t, '${Curation.SsnRe}', '<SSN>', 'g'),
+         |           '${Curation.PhoneRe}')) AS BIGINT) AS n_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Curation.SsnRe}', '<SSN>', 'g'),
+         |    '${Curation.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram FROM g),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM corp JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT AS h
+        |  FROM orders),
+        |stats AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_distinct,
+        |    (SELECT max(h) FROM (SELECT h FROM h ORDER BY h LIMIT 256) q) AS hk),
+        |est AS (SELECT n_distinct,
+        |    CASE WHEN n_distinct <= 256 THEN CAST(n_distinct AS DOUBLE)
+        |         ELSE CAST(round(255 * 4294967296.0 / hk, 1) AS DOUBLE) END AS estimate
+        |  FROM stats)
+        |SELECT estimate, n_distinct AS exact,
+        |  CAST(round(abs(estimate - n_distinct) * 100.0 / n_distinct, 1) AS DOUBLE) AS err_pct
+        |FROM est""".stripMargin,
     "q_mm_imagemeta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(NULL AS VARCHAR) AS format,

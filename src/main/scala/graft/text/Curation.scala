@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Corpus-curation operators for a training-data pipeline: deterministic
+  * train/val/test splitting, PII scrubbing, benchmark decontamination,
+  * and a KMV (k-minimum-values) distinct-count sketch. These go beyond
+  * the reference's own surface (SURVEY.md §2 "LLM-pipeline") but follow
+  * the same design rules: declarative Column expressions in the scan
+  * stage wherever possible, candidate generation always blocked/keyed,
+  * no driver-side collects.
+  *
+  * Everything here is content-addressed via md5 so the DuckDB oracle can
+  * recompute byte-identical results (md5 hex is lowercase in both
+  * engines, so lexicographic threshold compares agree).
+  */
+object Curation {
+
+  // ---- deterministic content split -------------------------------------
+
+  /** Threshold hex literal for a cumulative fraction of the 32-bit hash
+    * space: f=0.8 → "cccccccc" (0.8 * 2^32, floor, zero-padded). */
+  private[graft] def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f")
+    "%08x".format(math.floor(f * 4294967296.0).toLong min 0xFFFFFFFFL)
+  }
+
+  /** Content-addressed split label. Hashing the CONTENT (not the id)
+    * keeps assignment stable under re-ingestion, re-partitioning, and
+    * id re-assignment — the property a training pipeline needs so that
+    * val/test never leak into train across dataset versions. Pure
+    * scan-stage expression: no shuffle, no state.
+    *
+    * fracs are (label, fraction) with fractions summing to <= 1; rows
+    * past the last cumulative threshold get `lastLabel`. */
+  def splitLabel(content: Column, fracs: Seq[(String, Double)],
+                 lastLabel: String): Column = {
+    val h = substring(md5(content), 1, 8)
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    require(cum.last <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    fracs.zip(cum).foldRight(lit(lastLabel): Column) { case (((label, _), c), rest) =>
+      when(h < lit(hexThreshold(c)), lit(label)).otherwise(rest)
+    }
+  }
+
+  /** The matching DuckDB oracle expression over a column expr `content`. */
+  def splitLabelSql(content: String, fracs: Seq[(String, Double)],
+                    lastLabel: String): String = {
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    val whens = fracs.zip(cum).map { case ((label, _), c) =>
+      s"WHEN substr(md5($content), 1, 8) < '${hexThreshold(c)}' THEN '$label'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '$lastLabel' END"
+  }
+
+  // ---- PII scrubbing ----------------------------------------------------
+
+  /** Shared regex subset: no lookarounds, no backrefs — valid in both
+    * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails, SSNs, then phone numbers (order matters: the SSN
+    * 3-2-4 shape must not see phone fragments already rewritten; the
+    * oracle applies the same order). Pure scan-stage expressions that
+    * stay inside WholeStageCodegen. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+
+  /** Number of PII spans found (before scrubbing). */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(SsnRe), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, SsnRe, "<SSN>"),
+        lit(PhoneRe), lit(0)))).cast("long")
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Distinct word n-grams of a words ARRAY column. The lambda only
+    * references `words` as a bound attribute (evaluated once per row) —
+    * callers must materialize the split() behind a projection barrier
+    * (e.g. a repartition) so CollapseProject cannot inline the split
+    * into the per-element lambda (O(len²) blowup otherwise). Documents
+    * shorter than n words contribute one truncated gram, matching
+    * DuckDB's clamped list slice. */
+  def wordNgrams(words: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => array_join(slice(words, i, lit(n)), " ")))
+
+  /** Contamination check: which corpus documents share any word n-gram
+    * with a benchmark (eval-set) document — the standard pre-training
+    * hygiene sweep. Returns (id, n_hits = #distinct shared n-grams).
+    *
+    * Scale shape: both sides explode to (gram) rows and meet in an
+    * equi-join keyed on the gram — a hash shuffle, never a cross join.
+    * The benchmark side is small by contract but is NOT explicitly
+    * broadcast: AQE picks broadcast when it truly fits (corpus-derived
+    * build sides killed us in round 2). countDistinct is two-phase
+    * (partial per partition). At 100 TB the gram strings would be
+    * xxhash64'd before the shuffle; kept as strings here so the DuckDB
+    * oracle can join on the same key. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+ split(col(textCol), " ").as("w")): _*)
+        // round-robin exchange: spreads the per-row gram work off the
+        // single parquet split AND acts as the projection barrier that
+        // keeps `w` an attribute inside the n-gram lambda
+        .repartition(parts)
+        .select((cols :+ explode(wordNgrams(col("w"), n)).as("gram")): _*)
+    val benchGrams = grams(benchmark).distinct()
+    grams(corpus, col(idCol))
+      .join(benchGrams, "gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  // ---- KMV distinct-count sketch ---------------------------------------
+
+  /** K-minimum-values distinct-count estimate (Bar-Yossef et al. 2002):
+    * keep the k smallest 32-bit hashes of the value set; the k-th
+    * smallest, as a fraction of the hash space, estimates density →
+    * distinct ≈ (k-1) / (h_k / 2^32).
+    *
+    * Scale shape: hash + partial-distinct aggregation map-side, then the
+    * bounded-heap [[graft.functions.TopKLargest]] aggregate (negated
+    * input → k smallest) so each partition ships at most k longs — the
+    * same partial-top-k path as q_topk_agg, no global sort. Unlike
+    * HLL-style sketches this one is exactly reproducible in SQL (ORDER
+    * BY hash LIMIT k), so the oracle pins it bit-for-bit.
+    *
+    * Returns one row: (estimate, exact, err_pct). `exact` is computed
+    * alongside to demonstrate accuracy; a production sweep would drop it.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10).cast("long")
+    val hashes = df.select(h.as("h")).distinct()
+    val raw = lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")
+    // fewer distinct values than k → the sketch holds the whole set;
+    // report the exact cardinality instead of a bogus density estimate
+    val est = when(col("n_distinct") <= k, col("n_distinct").cast("double"))
+      .otherwise(round(raw, 1).cast("double"))
+    hashes.agg(
+        (-array_min(GraftFunctions.topKLargest(-col("h"), k))).as("hk"),
+        count(lit(1)).as("n_distinct"))
+      .select(
+        est.as("estimate"),
+        col("n_distinct").cast("long").as("exact"),
+        round(abs(est - col("n_distinct")) * lit(100.0) / col("n_distinct"), 1)
+          .cast("double").as("err_pct"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+/** Corpus-curation operators: deterministic content split, PII scrub,
+  * benchmark decontamination, KMV distinct sketch. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitLabel: deterministic, content-addressed, fractions roughly hold") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val split = docs.select(col("doc_id"),
+      Curation.splitLabel(col("text"), Seq("train" -> 0.8, "val" -> 0.1), "test")
+        .as("split"))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+    // determinism: same content → same label, independent of row order
+    val again = docs.orderBy(desc("doc_id")).select(col("doc_id"),
+      Curation.splitLabel(col("text"), Seq("train" -> 0.8, "val" -> 0.1), "test")
+        .as("split"))
+    assert(split.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // id re-assignment does not move content across splits (content hash)
+    val renumbered = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      .select(Curation.splitLabel(col("text"), Seq("train" -> 0.8, "val" -> 0.1), "test")
+        .as("split"))
+    assert(renumbered.groupBy("split").count().as[(String, Long)].collect().toMap == counts)
+  }
+
+  test("hexThreshold boundaries") {
+    assert(Curation.hexThreshold(0.0) == "00000000")
+    assert(Curation.hexThreshold(0.5) == "80000000")
+    assert(Curation.hexThreshold(1.0) == "ffffffff")
+  }
+
+  test("scrubPii redacts email, ssn, phone; count matches") {
+    val df = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "ssn 123-45-6789 phone 555-867-5309 and 555.867.5309",
+      "no pii here 1234 5-12-3456",
+      "edge 999-99-9999").toDF("t")
+      .select(col("t"), Curation.scrubPii(col("t")).as("s"),
+        Curation.piiCount(col("t")).as("n"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "mail me at <EMAIL> today" && rows(0).getLong(2) == 1)
+    assert(rows(1).getString(1) == "ssn <SSN> phone <PHONE> and <PHONE>" && rows(1).getLong(2) == 3)
+    assert(rows(2).getString(1) == rows(2).getString(0) && rows(2).getLong(2) == 0)
+    assert(rows(3).getString(1) == "edge <SSN>" && rows(3).getLong(2) == 1)
+  }
+
+  test("wordNgrams: sliding, distinct, short-doc truncation") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(split(col("text"), " ").as("w"))
+      .repartition(2)
+      .select(Curation.wordNgrams(col("w"), 3).as("g"))
+    val got = df.as[Seq[String]].collect().toSet
+    assert(got == Set(Seq("a b c", "b c d"), Seq("a b")))
+  }
+
+  test("contamination finds planted overlap and nothing else") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i"),      // shares "x y z" 3-gram? no
+      (2L, "p l a n t e d m a r k er"), // no overlap
+      (3L, "z z top x y z here now")   // contains "x y z"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the bench set has x y z inside")).toDF("doc_id", "text")
+    val hits = Curation.contamination(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(3L -> 1L))
+  }
+
+  test("contamination plan: equi-join on gram, no cartesian, no corpus broadcast") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val plan = Curation.contamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // with AQE the join strategy is runtime-chosen; statically we pin
+    // that the only join is keyed on the gram column
+    assert(plan.contains("gram"), plan)
+  }
+
+  test("kmv estimate within 25% of exact on order keys; exact when k >= n") {
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val r = Curation.kmvDistinct(orders, col("o_orderkey"), 256).head()
+    val (est, exact) = (r.getDouble(0), r.getLong(1))
+    assert(exact > 256, s"fixture too small: $exact")
+    assert(math.abs(est - exact) / exact < 0.25, s"est $est vs exact $exact")
+    // k >= distinct count → exact by construction
+    val r2 = Curation.kmvDistinct(orders, col("o_orderkey"), 1 << 20).head()
+    assert(r2.getDouble(0) == r2.getLong(1).toDouble && r2.getDouble(2) == 0.0)
+  }
+}
