@@ -427,6 +427,24 @@ object SparkEntry {
     }),
     "q_distinct_kmv" -> ((s, dir) =>
       Curation.kmvDistinct(T(s, dir, "orders"), col("o_custkey"), k = 256)),
+    // Incremental dedup demo: the delta is exact copies of the %7 docs
+    // (re-idd — must be dropped) plus modified copies of the %11 docs
+    // (new content — must be kept).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dupes = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val novel = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" novel suffix")).as("text"))
+      Dedup.incremental(dupes.unionByName(novel), docs, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    "q_pack_chunks" -> ((s, dir) =>
+      Curation.packChunks(T(s, dir, "documents"), "doc_id", "text",
+          shardCol = "source", contextLen = 256)
+        .orderBy("source", "doc_id")),
 
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
@@ -838,6 +856,29 @@ object SparkEntry {
         |SELECT estimate, n_distinct AS exact,
         |  CAST(round(abs(estimate - n_distinct) * 100.0 / n_distinct, 1) AS DOUBLE) AS err_pct
         |FROM est""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH known AS (SELECT DISTINCT
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' novel suffix' FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id FROM delta
+        |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN
+        |  (SELECT fp FROM known)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS tok_end
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  tok_end - n_tokens AS tok_offset,
+        |  CAST(floor((tok_end - n_tokens) / 256) AS BIGINT) AS first_chunk,
+        |  CAST(floor((tok_end - 1) / 256) AS BIGINT) AS last_chunk
+        |FROM t ORDER BY source, doc_id""".stripMargin,
     "q_mm_imagemeta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(NULL AS VARCHAR) AS format,

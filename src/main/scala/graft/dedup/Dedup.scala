@@ -32,6 +32,21 @@ object Dedup {
     docs.groupBy(md5(normText(col(textCol))).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental dedup: keep only the rows of a new `delta` batch whose
+    * normalized-text fingerprint is not already present in the reference
+    * `corpus` — the "dedup the nightly crawl against the existing
+    * dataset" shape. The corpus side is reduced to DISTINCT fingerprints
+    * first (partial agg map-side), then a left-anti equi-join keyed on
+    * the 32-char fingerprint; both sides shuffle on the key and AQE
+    * picks broadcast only if the distinct-fingerprint set truly fits.
+    * No corpus-sized broadcast hint (the round-2 scale-killer). */
+  def incremental(delta: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val known = corpus.select(md5(normText(col(textCol))).as("fingerprint")).distinct()
+    delta.select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
+      .join(known, Seq("fingerprint"), "left_anti")
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash signature, declarative reference form (numPerms nested

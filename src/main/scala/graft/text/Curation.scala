@@ -125,6 +125,33 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_hits"))
   }
 
+  // ---- sequence packing -------------------------------------------------
+
+  /** GPT-style sequence packing: per shard, documents are concatenated
+    * into one token stream and sliced into fixed-length context windows;
+    * a document may straddle a window boundary. Returns each document's
+    * token offset in its shard stream and the [first_chunk, last_chunk]
+    * window range it occupies.
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY the shard
+    * column — one global ordering would funnel 100 TB through a single
+    * window partition, while per-shard packing gives one independent
+    * running sum per shard (the way training shards are actually
+    * packed). Requires a unique idCol per shard for determinism. */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+                 shardCol: String, contextLen: Int): DataFrame = {
+    require(contextLen > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.select(col(shardCol), col(idCol),
+        graft.text.TextStats.wsTokens(col(textCol)).as("n_tokens"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_offset"),
+        floor((col("tok_end") - col("n_tokens")) / contextLen).cast("long").as("first_chunk"),
+        floor((col("tok_end") - 1) / contextLen).cast("long").as("last_chunk"))
+  }
+
   // ---- KMV distinct-count sketch ---------------------------------------
 
   /** K-minimum-values distinct-count estimate (Bar-Yossef et al. 2002):

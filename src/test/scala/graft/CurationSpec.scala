@@ -84,6 +84,24 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("gram"), plan)
   }
 
+  test("packChunks: per-shard running offsets, boundary straddling") {
+    val df = Seq(
+      ("s1", 1L, "a b c"),          // 3 tokens: offset 0, chunks 0..0
+      ("s1", 2L, "d e f g"),        // 4 tokens: offset 3, ends at 7 → 0..1 (cap 4)
+      ("s1", 3L, "h"),              // offset 7, ends 8 → chunk 1..1
+      ("s2", 9L, "x y z w v")       // separate shard: offset 0, 5 toks → 0..1
+    ).toDF("source", "doc_id", "text")
+    val got = Curation.packChunks(df, "doc_id", "text", "source", contextLen = 4)
+      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, 3L, 0L, 0L, 0L),
+      ("s1", 2L, 4L, 3L, 0L, 1L),
+      ("s1", 3L, 1L, 7L, 1L, 1L),
+      ("s2", 9L, 5L, 0L, 0L, 1L)))
+  }
+
   test("kmv estimate within 25% of exact on order keys; exact when k >= n") {
     val orders = graft.sources.Tables(spark, sfDir, "orders")
     val r = Curation.kmvDistinct(orders, col("o_orderkey"), 256).head()

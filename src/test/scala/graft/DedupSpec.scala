@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
       graft.functions.LshSignature(Literal.create(Array(1.0)), 65)) // > 64 bits
   }
 
+  test("incremental dedup drops known content, keeps novel, no broadcast hint") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "ALPHA  beta"),       // normalizes to known content → dropped
+      (11L, "gamma delta"),       // exact known → dropped
+      (12L, "epsilon zeta")       // novel → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(delta, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(12L))
+    // scale audit: with auto-broadcast off the anti-join must run on the
+    // pure shuffle path (the corpus fingerprint set grows with the corpus)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.incremental(delta, corpus, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("JaccardImpl merge scan equals set-based jaccard") {
     val a = new GenericArrayData(Array[Long](1, 3, 5, 7))
     val b = new GenericArrayData(Array[Long](3, 5, 9))
