@@ -47,7 +47,7 @@ object Scaling {
         s"$name: corpus-side broadcast found in plan:\n$plan")
       val t0 = System.nanoTime()
       val n = d.count()
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d pairs  (no broadcast)")
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  (no broadcast)")
     }
 
     Seq(1, 4).foreach { n =>
@@ -60,6 +60,13 @@ object Scaling {
         docs, "doc_id", "text", "source", 3, 0.6))
       time(s"embed_pairs_${n}x", graft.dedup.Dedup.embedCosinePairs(
         embs, "vec_id", "embedding", "label", 0.3))
+      time(s"contamination_${n}x", graft.text.Curation.contamination(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", 3))
+      time(s"incremental_${n}x", graft.dedup.Dedup.incremental(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
+        docs, "doc_id", "text"))
     }
     spark.stop()
   }

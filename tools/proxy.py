@@ -17,7 +17,9 @@ REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
 HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
               "q_topk_agg", "q_skew_agg", "q_dedup_exact", "q_lang_id",
-              "q_token_count", "q_fingerprint_winnow"]
+              "q_token_count", "q_fingerprint_winnow",
+              "q_sample_split", "q_pii_scrub", "q_decontaminate",
+              "q_distinct_kmv", "q_pack_chunks"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
