@@ -823,8 +823,11 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $inj AS t FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${Curation.EmailRe}')) +
-         |       len(regexp_extract_all(t, '${Curation.SsnRe}')) +
-         |       len(regexp_extract_all(regexp_replace(t, '${Curation.SsnRe}', '<SSN>', 'g'),
+         |       len(regexp_extract_all(regexp_replace(t, '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |           '${Curation.SsnRe}')) +
+         |       len(regexp_extract_all(regexp_replace(regexp_replace(t,
+         |             '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |             '${Curation.SsnRe}', '<SSN>', 'g'),
          |           '${Curation.PhoneRe}')) AS BIGINT) AS n_pii,
          |  regexp_replace(regexp_replace(regexp_replace(t,
          |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
@@ -865,8 +868,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 2000000, text || ' novel suffix' FROM documents WHERE doc_id % 11 = 0)
         |SELECT doc_id FROM delta
-        |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN
-        |  (SELECT fp FROM known)
+        |WHERE NOT EXISTS (SELECT 1 FROM known
+        |  WHERE known.fp = md5(lower(trim(regexp_replace(delta.text, '\s+', ' ', 'g')))))
         |ORDER BY doc_id""".stripMargin,
     "q_pack_chunks" ->
       """WITH t AS (SELECT source, doc_id,

@@ -415,6 +415,75 @@ case class TopKLargest(child: Expression, k: Int,
   }
 }
 
+/** kmv_sketch(hash, k) → array<bigint>: the k SMALLEST DISTINCT values
+  * of a long hash column, ascending — the KMV distinct-count sketch
+  * state (Bar-Yossef et al. 2002). A bounded DEDUPLICATING heap
+  * (TreeSet capped at k) per partition: unlike `distinct()` + top-k,
+  * the full distinct hash set is never shuffled — every partition ships
+  * at most k longs regardless of input cardinality, which is the whole
+  * point of the sketch at 100 TB. */
+case class KmvSketch(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_sketch: k must be in [2, 2^20], got $k")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch = copy(child = newChildren.head)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v) && buf.size > k) { buf.pollLast(); () } }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long], b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var n = bb.getInt
+    while (n > 0) { buf.add(bb.getLong); n -= 1 }
+    buf
+  }
+}
+
 /** Registration: via SparkSessionExtensions (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or at runtime
   * with `ensureRegistered(spark)`. */
@@ -436,7 +505,9 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     "winnow_fp" -> (es => WinnowFp(es.head,
       es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].intValue()))
+      es(2).eval().asInstanceOf[Number].intValue())),
+    "kmv_sketch" -> (es => KmvSketch(es.head,
+      es(1).eval().asInstanceOf[Number].intValue()))
   )
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -464,6 +535,8 @@ object GraftFunctions {
   def winnowFp(c: Column, k: Int, w: Int): Column =
     call_function("winnow_fp", c,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  def kmvSketch(c: Column, k: Int): Column =
+    call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Entry point for spark.sql.extensions. */

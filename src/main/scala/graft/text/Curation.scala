@@ -42,7 +42,10 @@ object Curation {
     val cum = fracs.scanLeft(0.0)(_ + _._2).tail
     require(cum.last <= 1.0 + 1e-9, "fractions must sum to <= 1")
     fracs.zip(cum).foldRight(lit(lastLabel): Column) { case (((label, _), c), rest) =>
-      when(h < lit(hexThreshold(c)), lit(label)).otherwise(rest)
+      // a cumulative fraction of 1.0 must capture EVERY hash — the
+      // clamped "ffffffff" threshold would strand the top hash value
+      if (c >= 1.0) lit(label)
+      else when(h < lit(hexThreshold(c)), lit(label)).otherwise(rest)
     }
   }
 
@@ -51,7 +54,8 @@ object Curation {
                     lastLabel: String): String = {
     val cum = fracs.scanLeft(0.0)(_ + _._2).tail
     val whens = fracs.zip(cum).map { case ((label, _), c) =>
-      s"WHEN substr(md5($content), 1, 8) < '${hexThreshold(c)}' THEN '$label'"
+      if (c >= 1.0) s"WHEN TRUE THEN '$label'"
+      else s"WHEN substr(md5($content), 1, 8) < '${hexThreshold(c)}' THEN '$label'"
     }.mkString(" ")
     s"CASE $whens ELSE '$lastLabel' END"
   }
@@ -75,12 +79,17 @@ object Curation {
         SsnRe, "<SSN>"),
       PhoneRe, "<PHONE>")
 
-  /** Number of PII spans found (before scrubbing). */
-  def piiCount(text: Column): Column =
+  /** Number of PII spans scrubPii redacts: each pattern is counted on
+    * the same progressively-scrubbed text the replacement chain sees,
+    * so overlapping spans (an SSN-shaped email local part, say) count
+    * once, exactly like they are replaced once. */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "<SSN>")
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(SsnRe), lit(0))) +
-      size(regexp_extract_all(regexp_replace(text, SsnRe, "<SSN>"),
-        lit(PhoneRe), lit(0)))).cast("long")
+      size(regexp_extract_all(afterEmail, lit(SsnRe), lit(0))) +
+      size(regexp_extract_all(afterSsn, lit(PhoneRe), lit(0)))).cast("long")
+  }
 
   // ---- benchmark decontamination ---------------------------------------
 
@@ -154,33 +163,52 @@ object Curation {
 
   // ---- KMV distinct-count sketch ---------------------------------------
 
+  /** 32-bit content hash for the KMV sketch: both engines compute
+    * md5 → first 8 hex chars → integer identically. */
+  private def kmvHash(valueCol: Column): Column =
+    conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** K-minimum-values distinct-count estimate (Bar-Yossef et al. 2002):
-    * keep the k smallest 32-bit hashes of the value set; the k-th
-    * smallest, as a fraction of the hash space, estimates density →
-    * distinct ≈ (k-1) / (h_k / 2^32).
+    * keep the k smallest DISTINCT 32-bit hashes of the value column;
+    * the k-th smallest, as a fraction of the hash space, estimates
+    * density → distinct ≈ (k-1) / (h_k / 2^32).
     *
-    * Scale shape: hash + partial-distinct aggregation map-side, then the
-    * bounded-heap [[graft.functions.TopKLargest]] aggregate (negated
-    * input → k smallest) so each partition ships at most k longs — the
-    * same partial-top-k path as q_topk_agg, no global sort. Unlike
-    * HLL-style sketches this one is exactly reproducible in SQL (ORDER
-    * BY hash LIMIT k), so the oracle pins it bit-for-bit.
+    * Scale shape: the [[graft.functions.KmvSketch]] aggregate is a
+    * bounded DEDUPLICATING heap, so the raw rows feed the partial
+    * aggregate directly — no `distinct()` anywhere, each partition
+    * ships at most k longs to the single final reducer. Unlike
+    * HLL-style sketches this one is exactly reproducible in SQL
+    * (ORDER BY hash LIMIT k over the distinct hashes), so an oracle
+    * can pin it bit-for-bit.
     *
-    * Returns one row: (estimate, exact, err_pct). `exact` is computed
-    * alongside to demonstrate accuracy; a production sweep would drop it.
-    */
+    * Returns one row: (estimate, n_kept). When fewer than k distinct
+    * values exist the sketch holds the whole set and the estimate IS
+    * the exact count. */
+  def kmvEstimate(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    df.agg(GraftFunctions.kmvSketch(kmvHash(valueCol), k).as("ks"))
+      .select(
+        when(size(col("ks")) < k, size(col("ks")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("ks"), size(col("ks"))), 1))
+          .cast("double").as("estimate"),
+        size(col("ks")).cast("long").as("n_kept"))
+  }
+
+  /** Demo/verification form of [[kmvEstimate]]: computes the exact
+    * cardinality alongside (a full distinct aggregation — fine for a
+    * verification query, exactly what the sketch avoids in production)
+    * and reports the estimation error. Returns (estimate, exact,
+    * err_pct). */
   def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
-    val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10).cast("long")
-    val hashes = df.select(h.as("h")).distinct()
-    val raw = lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")
-    // fewer distinct values than k → the sketch holds the whole set;
-    // report the exact cardinality instead of a bogus density estimate
+    val h = kmvHash(valueCol)
     val est = when(col("n_distinct") <= k, col("n_distinct").cast("double"))
-      .otherwise(round(raw, 1).cast("double"))
-    hashes.agg(
-        (-array_min(GraftFunctions.topKLargest(-col("h"), k))).as("hk"),
-        count(lit(1)).as("n_distinct"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
+        element_at(col("ks"), size(col("ks"))), 1).cast("double"))
+    df.agg(
+        GraftFunctions.kmvSketch(h, k).as("ks"),
+        countDistinct(h).as("n_distinct"))
       .select(
         est.as("estimate"),
         col("n_distinct").cast("long").as("exact"),

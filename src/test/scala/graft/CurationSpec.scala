@@ -41,7 +41,8 @@ class CurationSpec extends SparkSpec {
       "mail me at jane.doe+x@example.co.uk today",
       "ssn 123-45-6789 phone 555-867-5309 and 555.867.5309",
       "no pii here 1234 5-12-3456",
-      "edge 999-99-9999").toDF("t")
+      "edge 999-99-9999",
+      "overlap 123-45-6789@example.com end").toDF("t")
       .select(col("t"), Curation.scrubPii(col("t")).as("s"),
         Curation.piiCount(col("t")).as("n"))
     val rows = df.collect()
@@ -49,6 +50,8 @@ class CurationSpec extends SparkSpec {
     assert(rows(1).getString(1) == "ssn <SSN> phone <PHONE> and <PHONE>" && rows(1).getLong(2) == 3)
     assert(rows(2).getString(1) == rows(2).getString(0) && rows(2).getLong(2) == 0)
     assert(rows(3).getString(1) == "edge <SSN>" && rows(3).getLong(2) == 1)
+    // overlapping spans count once — exactly as many as are redacted
+    assert(rows(4).getString(1) == "overlap <EMAIL> end" && rows(4).getLong(2) == 1)
   }
 
   test("wordNgrams: sliding, distinct, short-doc truncation") {
@@ -100,6 +103,31 @@ class CurationSpec extends SparkSpec {
       ("s1", 2L, 4L, 3L, 0L, 1L),
       ("s1", 3L, 1L, 7L, 1L, 1L),
       ("s2", 9L, 5L, 0L, 0L, 1L)))
+  }
+
+  test("kmv_sketch aggregate: k smallest distinct values, duplicate-proof") {
+    val vals = Seq(50L, 10L, 30L, 10L, 10L, 20L, 40L, 30L, 60L, 20L)
+    val got = vals.toDF("h")
+      .repartition(3) // exercise partial merge across partitions
+      .agg(graft.functions.GraftFunctions.kmvSketch(col("h"), 4))
+      .head().getSeq[Long](0)
+    assert(got == Seq(10L, 20L, 30L, 40L)) // distinct, ascending, capped at k
+    // fewer distinct than k → whole set
+    val small = Seq(7L, 7L, 3L).toDF("h")
+      .agg(graft.functions.GraftFunctions.kmvSketch(col("h"), 10))
+      .head().getSeq[Long](0)
+    assert(small == Seq(3L, 7L))
+  }
+
+  test("kmvEstimate plan has no distinct expansion — pure partial-sketch path") {
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val plan = Curation.kmvEstimate(orders, col("o_orderkey"), 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // sketch estimate equals the distinct-based demo form's estimate
+    val e1 = Curation.kmvEstimate(orders, col("o_orderkey"), 64).head().getDouble(0)
+    val e2 = Curation.kmvDistinct(orders, col("o_orderkey"), 64).head().getDouble(0)
+    assert(e1 == e2)
   }
 
   test("kmv estimate within 25% of exact on order keys; exact when k >= n") {
