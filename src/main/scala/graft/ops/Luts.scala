@@ -469,4 +469,24 @@ object Luts {
   def firearmStdSql: String =
     s"CASE WHEN raw IS NULL THEN '$UNSPECIFIED' ELSE " +
       rulesToSql(firearmRules, "trim(upper(raw))", "trim(upper(raw))") + " END"
+
+  // ---- custom output vocabularies --------------------------------------
+
+  /** The standard output categories a rule set can emit (the keys a
+    * caller may remap via race_cats/eth_cats/gender_cats). */
+  def catValues(rules: Seq[Rule]): Set[String] = rules.map(_.out).toSet + UNSPECIFIED
+
+  /** The reference's custom-category support (`standardize(race_cats=…)`,
+    * defs.get_race_cats / tests/test_preproc.py:152): substitute
+    * caller-supplied labels for standard category values AFTER the LUT.
+    * Unknown keys are rejected up front, mirroring the reference's
+    * ValueError (test_race_cats_bad_input). */
+  def remapCats(std: Column, overrides: Map[String, String],
+                valid: Set[String], what: String): Column = {
+    val bad = overrides.keySet -- valid
+    require(bad.isEmpty,
+      s"Invalid $what categories: ${bad.toSeq.sorted.mkString(", ")}")
+    if (overrides.isEmpty) std
+    else coalesce(element_at(typedLit(overrides), std), std)
+  }
 }

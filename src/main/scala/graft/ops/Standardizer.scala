@@ -62,7 +62,10 @@ object Standardizer {
     *     RE_GROUP via [[Standardize.combineRaceEth]]; "false" emits no
     *     combined column;
     *   - `noId` (no_id): "keep" | "null" | "error" for unrecognized
-    *     categorical values, passed to every LUT. */
+    *     categorical values, passed to every LUT;
+    *   - `raceCats` / `ethCats` / `genderCats` (race_cats/eth_cats/
+    *     gender_cats): caller-supplied output labels for standard
+    *     categories, unknown keys rejected — see [[Luts.remapCats]]. */
   def standardize(df: DataFrame,
                   known: Map[String, String] = Map.empty,
                   dateFormats: Seq[String] = Dates.defaultFormats,
@@ -70,7 +73,10 @@ object Standardizer {
                   keepRaw: Boolean = true,
                   mergeDatetime: Boolean = true,
                   raceEthCombo: String = "merge",
-                  noId: String = "keep"): Result = {
+                  noId: String = "keep",
+                  raceCats: Map[String, String] = Map.empty,
+                  ethCats: Map[String, String] = Map.empty,
+                  genderCats: Map[String, String] = Map.empty): Result = {
     require(Seq("merge", "concat", "false").contains(raceEthCombo),
       s"raceEthCombo must be merge|concat|false, got $raceEthCombo")
     val colMap =
@@ -79,9 +85,12 @@ object Standardizer {
 
     def convert(field: String, src: Column): (Column, String) =
       field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {
-        case "RACE"      => Luts.raceStd(src, noId) -> "race_lut"
-        case "ETHNICITY" => Luts.ethStd(src) -> "ethnicity_lut"
-        case "GENDER"    => Luts.genderStd(src, noId) -> "gender_lut"
+        case "RACE"      => Luts.remapCats(Luts.raceStd(src, noId), raceCats,
+          Luts.catValues(Luts.raceRules), "race") -> "race_lut"
+        case "ETHNICITY" => Luts.remapCats(Luts.ethStd(src), ethCats,
+          Luts.catValues(Luts.ethRules), "ethnicity") -> "ethnicity_lut"
+        case "GENDER"    => Luts.remapCats(Luts.genderStd(src, noId), genderCats,
+          Luts.catValues(Luts.genderRules), "gender") -> "gender_lut"
         case "INJURY"    => Luts.injuryStd(src, noId) -> "injury_lut"
         case "FATAL"     => Luts.fatalStd(src, noId) -> "fatal_lut"
         case "ROLE"      => Luts.roleStd(src, noId) -> "role_lut"

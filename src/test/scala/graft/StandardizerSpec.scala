@@ -133,6 +133,28 @@ class StandardizerSpec extends SparkSpec {
       Standardizer.standardize(messy, raceEthCombo = "bogus"))
   }
 
+  test("custom race/gender cats remap standard labels; bad keys rejected") {
+    // test_preproc.py:152 test_race_cats — WHITE remapped to TEST moves
+    // exactly the rows the standard LUT mapped to WHITE
+    val df = Seq(("W", 1L), ("CAUCASIAN", 2L), ("B", 3L), ("ZEBRA", 4L))
+      .toDF("subject_race", "id")
+    val std = Standardizer.standardize(df).df
+      .select("id", "RACE_SUBJECT").as[(Long, String)].collect().toMap
+    val custom = Standardizer.standardize(df, raceCats = Map("WHITE" -> "TEST")).df
+      .select("id", "RACE_SUBJECT").as[(Long, String)].collect().toMap
+    std.foreach { case (id, v) =>
+      assert(custom(id) == (if (v == "WHITE") "TEST" else v), s"id=$id")
+    }
+    assert(custom(4L) == "ZEBRA") // keep-mode passthrough untouched by remap
+    // gender_cats on the same surface
+    val g = Seq(("F", 1L)).toDF("subject_gender", "id")
+    assert(Standardizer.standardize(g, genderCats = Map("FEMALE" -> "F_"))
+      .df.select("GENDER_SUBJECT").head().getString(0) == "F_")
+    // test_race_cats_bad_input — unknown category key raises
+    intercept[IllegalArgumentException](
+      Standardizer.standardize(df, raceCats = Map("NOT_A_CAT" -> "X")))
+  }
+
   test("get_transform_map records every applied conversion") {
     val r = Standardizer.standardize(messy)
     val byNew = r.transforms.map(t => t.newColumn -> t.conversion).toMap
