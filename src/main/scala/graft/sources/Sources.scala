@@ -40,6 +40,49 @@ object Sources {
     case DateRange(s, e)  => field >= to_timestamp(lit(s)) && field < to_timestamp(lit(e))
   }
 
+  /** The reference's `_clean_date_input` (data_loaders/data_loader.py:69):
+    * the string/number front door to [[DateSel]]. Accepts one element
+    * (a year or a date) or a [start, stop] pair; stop is INCLUSIVE like
+    * the reference (converted to our half-open DateRange by advancing
+    * one day). Validation mirrors the reference's errors: a number must
+    * be a 4-digit year (999 < y < 10000), the list must have length
+    * <= 2, start must not exceed stop; times in inputs are ignored
+    * (floored to the day, the reference warns and floors). */
+  def cleanDateInput(parts: Seq[String]): DateSel = {
+    require(parts.nonEmpty && parts.size <= 2,
+      "List of start/stop dates is not length 2")
+    def asYear(s: String): Option[Int] =
+      if (s.forall(_.isDigit) && s.nonEmpty) {
+        val n = s.toLong
+        require(999 < n && n < 10000, s"Unable to parse number $s as a year")
+        Some(n.toInt)
+      } else None
+    def asDate(s: String): java.time.LocalDate = {
+      val datePart = s.trim.split("[T ]")(0) // times ignored (floor to day)
+      try java.time.LocalDate.parse(datePart)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"Unable to parse date input '$s'") }
+    }
+    parts.map(p => asYear(p).toLeft(p)) match {
+      case Seq(Left(y)) => Year(y)
+      case Seq(Left(a), Left(b)) =>
+        require(a <= b, s"Start date must be less than stop date. Invalid input: $parts")
+        YearRange(a, b)
+      case _ =>
+        // mixed or date-string bounds → concrete [start, stop] dates;
+        // a year start means Jan 1, a year stop means Dec 31 (:88)
+        val Seq(s0, s1) =
+          (if (parts.size == 1) Seq(parts.head, parts.head) else parts)
+            .zipWithIndex.map {
+              case (p, 0) => asYear(p).map(y => java.time.LocalDate.of(y, 1, 1)).getOrElse(asDate(p))
+              case (p, _) => asYear(p).map(y => java.time.LocalDate.of(y, 12, 31)).getOrElse(asDate(p))
+            }
+        require(!s0.isAfter(s1),
+          s"Start date must be less than stop date. Invalid input: $parts")
+        DateRange(s0.toString, s1.plusDays(1).toString) // inclusive stop → half-open
+    }
+  }
+
   /** Case-insensitive substring agency match (data.py:1372). */
   def agencyFilter(field: Column, agency: String): Column =
     lower(field).contains(agency.toLowerCase)

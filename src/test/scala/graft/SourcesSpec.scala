@@ -70,6 +70,39 @@ class SourcesSpec extends SparkSpec {
     (4L, "2022-03-01", "Houston PD")
   ).toDF("id", "d", "agency").withColumn("d", col("d").cast("timestamp"))
 
+  test("cleanDateInput mirrors the reference's _clean_date_input") {
+    // single year, as int-string (test_clean_date_input_year)
+    assert(Sources.cleanDateInput(Seq("2020")) == Year(2020))
+    // year pair → inclusive year range (test_clean_date_input_list)
+    assert(Sources.cleanDateInput(Seq("2019", "2021")) == YearRange(2019, 2021))
+    // date strings: inclusive stop converted to half-open range
+    assert(Sources.cleanDateInput(Seq("2020-02-01", "2020-03-05"))
+      == DateRange("2020-02-01", "2020-03-06"))
+    // single date → that one day
+    assert(Sources.cleanDateInput(Seq("2020-02-01"))
+      == DateRange("2020-02-01", "2020-02-02"))
+    // mixed year + date (year stop means Dec 31, data_loader.py:88)
+    assert(Sources.cleanDateInput(Seq("2020-06-15", "2021"))
+      == DateRange("2020-06-15", "2022-01-01"))
+    assert(Sources.cleanDateInput(Seq("2020", "2021-02-01"))
+      == DateRange("2020-01-01", "2021-02-02"))
+    // times are ignored — floored to the day (test_clean_date_includes_time)
+    assert(Sources.cleanDateInput(Seq("2020-02-01T10:30:00", "2020-02-02 01:00:00"))
+      == DateRange("2020-02-01", "2020-02-03"))
+    // errors: number not a 4-digit year (test_clean_date_input_year_out_of_range)
+    intercept[IllegalArgumentException](Sources.cleanDateInput(Seq("999")))
+    intercept[IllegalArgumentException](Sources.cleanDateInput(Seq("10000")))
+    // bad string (test_clean_date_input_bad_string_input)
+    intercept[IllegalArgumentException](Sources.cleanDateInput(Seq("garbage")))
+    // wrong arity (test_clean_date_input_list_not_length2)
+    intercept[IllegalArgumentException](
+      Sources.cleanDateInput(Seq("2020", "2021", "2022")))
+    // out of order (test_clean_date_input_out_of_order)
+    intercept[IllegalArgumentException](Sources.cleanDateInput(Seq("2021", "2019")))
+    intercept[IllegalArgumentException](
+      Sources.cleanDateInput(Seq("2020-03-01", "2020-02-01")))
+  }
+
   test("dateFilter Year keeps only that calendar year") {
     val got = dated.filter(Sources.dateFilter(col("d"), Year(2021)))
       .select("id").as[Long].collect().sorted
