@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -102,6 +102,44 @@ object Catalog {
     contains.map(s => base.filter(lower(col("table_type")).contains(s.toLowerCase)))
       .getOrElse(base)
   }
+
+  // ---- dataset version gating (data.py:2249 _check_version) ------------
+
+  /** Sortable semver key: each dot component zero-padded so plain string
+    * comparison orders versions ("2.1" < "2.1.1" < "2.10"). */
+  private[graft] def versionKey(v: Column): Column =
+    concat_ws(".", transform(split(v, "\\."), x => lpad(x, 6, "0")))
+
+  /** Rows of a catalog that THIS library version may load — the
+    * reference's `_check_version`: a null `min_version` always loads,
+    * `"-1"` never loads (future release), otherwise semver
+    * `libVersion >= min_version`. Catalogs without the column pass
+    * entirely. */
+  def compatible(cat: DataFrame, libVersion: String): DataFrame =
+    if (!cat.columns.contains("min_version")) cat
+    else cat.filter(col("min_version").isNull ||
+      (trim(col("min_version")) =!= "-1" &&
+        versionKey(lit(libVersion)) >= versionKey(trim(col("min_version")))))
+
+  /** Error form, mirroring OPD_FutureError / OPD_MinVersionError: fails
+    * when the requested dataset rows are version-gated. Driver-side by
+    * design — the catalog is small and the reference raises before any
+    * data is fetched. */
+  def checkVersion(requested: DataFrame, libVersion: String): Unit =
+    if (requested.columns.contains("min_version")) {
+      val gated = requested.filter(col("min_version").isNotNull &&
+          (trim(col("min_version")) === "-1" ||
+            versionKey(lit(libVersion)) < versionKey(trim(col("min_version")))))
+        .limit(1).collect()
+      gated.headOption.foreach { row =>
+        val mv = row.getString(row.fieldIndex("min_version")).trim
+        if (mv == "-1") throw new IllegalStateException(
+          "This data cannot be loaded in this version. It will be made available in a future release")
+        else throw new IllegalStateException(
+          s"This data cannot be loaded in version $libVersion. " +
+            s"Update to at least version $mv to access this data.")
+      }
+    }
 
   // ---- related-table discovery (data.py:1629 find_related_tables) ------
 

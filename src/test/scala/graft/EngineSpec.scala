@@ -66,6 +66,32 @@ class EngineSpec extends SparkSpec {
     assert(viaPivot == direct)
   }
 
+  test("dataset version gating mirrors _check_version") {
+    import spark.implicits._
+    val cat = Seq(
+      ("a", null.asInstanceOf[String]), // no gate
+      ("b", "0.5"),                     // satisfied
+      ("c", "2.10"),                    // needs newer than 2.2
+      ("d", "-1"),                      // future release
+      ("e", " 2.1 ")                    // whitespace + satisfied (2.2 >= 2.1)
+    ).toDF("source_id", "min_version")
+    val ok = Catalog.compatible(cat, "2.2").select("source_id")
+      .as[String].collect().toSet
+    assert(ok == Set("a", "b", "e"))
+    // semver, not lexicographic: 2.10 > 2.2, 2.1 < 2.1.1
+    assert(Catalog.compatible(cat, "2.10.3").select("source_id")
+      .as[String].collect().toSet == Set("a", "b", "c", "e"))
+    Catalog.checkVersion(cat.filter(col("source_id") === "b"), "2.2") // no throw
+    val e1 = intercept[IllegalStateException](
+      Catalog.checkVersion(cat.filter(col("source_id") === "d"), "2.2"))
+    assert(e1.getMessage.contains("future release"))
+    val e2 = intercept[IllegalStateException](
+      Catalog.checkVersion(cat.filter(col("source_id") === "c"), "2.2"))
+    assert(e2.getMessage.contains("at least version 2.10"))
+    // a catalog without the column passes through untouched
+    assert(Catalog.compatible(cat.drop("min_version"), "0.0").count() == 5)
+  }
+
   test("q1 pricing summary has the expected group keys and positive counts") {
     val got = Analytics.q1(spark, sfDir).collect()
     assert(got.nonEmpty && got.length <= 6)
