@@ -319,6 +319,13 @@ object SparkEntry {
       Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
           "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
+    // Pairs → clusters: connected components over the embed near-dup
+    // graph (min-label propagation; oracle = recursive CTE closure).
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.components(
+          Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+            "label", threshold = 0.3))
+        .orderBy("id")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -757,6 +764,26 @@ object SparkEntry {
         |WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_components" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      round(
+        |        list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
+        |        (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE cos >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, CAST(min(label) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_bruteforce" -> annExactTopKSql,
     // lsh_verify (16 one-bit bands → full-recall candidates) and
     // ivf_verify (nprobe ≥ #cells) are exact by construction — both

@@ -47,6 +47,43 @@ object Dedup {
       .join(known, Seq("fingerprint"), "left_anti")
   }
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation. Every node starts labeled with its
+    * own id; each round every node takes the minimum label among itself
+    * and its neighbors, until fixpoint. One round = one shuffle join +
+    * a partial-min aggregation; lineage is truncated per round with
+    * localCheckpoint so the plan stays linear in rounds. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow.
+    * At extreme scale the same join primitive supports the
+    * alternating large-star/small-star variant (Kiveris et al. 2014),
+    * which bounds rounds by O(log n) on high-diameter graphs.
+    *
+    * Returns (id, component) where component = min id reachable. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("component").as("nbr"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("component"), coalesce(col("nbr"), labels("component"))).as("component"))
+        .localCheckpoint()
+      done = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash signature, declarative reference form (numPerms nested

@@ -97,6 +97,16 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("components: min-label propagation finds transitive clusters") {
+    // two clusters: a 5-node chain (needs several propagation rounds)
+    // and a pair; plus the chain joined out of order
+    val pairs = Seq((2L, 3L), (4L, 5L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("JaccardImpl merge scan equals set-based jaccard") {
     val a = new GenericArrayData(Array[Long](1, 3, 5, 7))
     val b = new GenericArrayData(Array[Long](3, 5, 9))
