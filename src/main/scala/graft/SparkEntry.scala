@@ -8,7 +8,7 @@ import graft.ops.{AgeRange, Dates, Expand, Luts, Standardize}
 import graft.catalog.Catalog
 import graft.dedup.Dedup
 import graft.sim.Ann
-import graft.text.{Curation, TextStats}
+import graft.text.{Curation, Rank, TextStats}
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.analytics.Analytics
@@ -390,6 +390,10 @@ object SparkEntry {
           TextStats.wsTokens(col("text")).as("ws_tokens"),
           TextStats.bpeTokens(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
+
+    "q_bm25" -> ((s, dir) =>
+      Rank.bm25(T(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "query", "window"), limit = 15)),
 
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // emit count + CSV of the sorted fingerprint set so the driver can
@@ -823,6 +827,23 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) u
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |lens AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        |         FROM documents),
+        |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl FROM lens),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |          WHERE term IN ('spark', 'query', 'window') GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl)) AS s
+        |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN consts)
+        |SELECT doc_id, round(sum(s), 4) AS score FROM scored
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q_fingerprint_winnow" ->
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         |           FROM documents),

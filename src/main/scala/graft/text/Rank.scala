@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Term-weighting / retrieval scoring over a document corpus: TF-IDF
+  * statistics and BM25 ranking (Robertson et al., the Okapi BM25
+  * formula) — the text-analysis layer a training-data pipeline uses for
+  * corpus-level term statistics, query-based slicing, and relevance
+  * filtering.
+  *
+  * Scale shape: term frequencies are one groupBy(doc, term) over the
+  * exploded token stream (map-side combine), document frequencies one
+  * groupBy(term); both shuffle keyed aggregates, no cross joins. The
+  * corpus constants (N, average length) are a 1-row aggregate joined by
+  * literal broadcast. Scoring a query touches only the posting rows of
+  * the query's terms — the term filter pushes into the tf aggregate's
+  * input scan.
+  */
+object Rank {
+
+  /** (doc_id, term, tf) — term frequencies of the whitespace-token
+    * stream, lowercased. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 ranking of documents against a bag-of-terms query.
+    * k1 controls tf saturation, b length normalization; idf is the
+    * standard smoothed form ln(1 + (N - df + 0.5)/(df + 0.5)).
+    * Returns the top `limit` (doc_id, score) rows, score rounded to 4
+    * decimals, deterministic doc_id tiebreak. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           limit: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: query terms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = termFreqs(docs, idCol, textCol)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), " ")).cast("double").as("dl"))
+    // corpus constants: one row, joined as a literal broadcast
+    val consts = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avg_dl"))
+    val df = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.filter(col("term").isin(terms: _*))
+      .join(df, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(limit)
+  }
+}

@@ -127,4 +127,29 @@ class AnnTextSpec extends SparkSpec {
     val simAC = fa.toSet.intersect(fc.toSet).size.toDouble / fa.toSet.union(fc.toSet).size
     assert(simAB > simAC)
   }
+
+  test("bm25 ranks term-dense short docs above diluted and term-free docs") {
+    import graft.text.Rank
+    val docs = Seq(
+      (1L, "spark spark query fast engine"),          // both terms, short
+      (2L, "spark and many other words here making this document quite long indeed"),
+      (3L, "nothing relevant at all"),
+      (4L, "query")                                   // one term, minimal length
+    ).toDF("doc_id", "text")
+    val got = Rank.bm25(docs, "doc_id", "text", Seq("spark", "query"), limit = 10)
+      .as[(Long, Double)].collect()
+    val ranked = got.map(_._1).toSeq
+    assert(!ranked.contains(3L))          // no query terms → no row
+    assert(ranked.head == 1L, ranked)     // dense short doc wins
+    assert(got.forall(_._2 > 0))
+    // idf: rarer terms weigh more — a doc with only the rare term beats
+    // a doc with only the common term at equal tf/length
+    val docs2 = Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"), (4L, "common z"),
+      (10L, "rare pad"), (11L, "common pad")
+    ).toDF("doc_id", "text")
+    val s = Rank.bm25(docs2, "doc_id", "text", Seq("rare", "common"), limit = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(s(10L) > s(11L))
+  }
 }
