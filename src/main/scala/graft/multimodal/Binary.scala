@@ -60,15 +60,24 @@ object Binary {
   final case class ImageMeta(format: String, width: Int, height: Int)
 
   /** Parse image dimensions from the container header bytes. PNG IHDR,
-    * GIF logical-screen descriptor, and JPEG SOF0/1/2 markers carry the
-    * dimensions in the first bytes of the file — no decoder library is
-    * required, so unlike the pixel pipeline this is NOT a stub. Returns
-    * null for non-image/unknown payloads. */
+    * GIF logical-screen descriptor, JPEG SOF0/1/2 markers, and the BMP
+    * DIB header carry the dimensions in the first bytes of the file —
+    * no decoder library is required, so unlike the pixel pipeline this
+    * is NOT a stub. Returns null for non-image/unknown payloads. */
   def imageMeta(payload: Array[Byte]): ImageMeta = {
     def u8(i: Int): Int = payload(i) & 0xFF
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
-    if (payload.length >= 24 &&
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (payload.length >= 26 && u8(0) == 'B' && u8(1) == 'M' &&
+        // DIB header size field distinguishes real BMPs from text
+        // payloads starting with "BM"
+        Set(12, 40, 52, 56, 64, 108, 124).contains(le32(14))) {
+      if (le32(14) == 12) ImageMeta("bmp", le16(18), le16(20)) // BITMAPCOREHEADER
+      else ImageMeta("bmp", le32(18), math.abs(le32(22)))      // height<0 = top-down
+    }
+    else if (payload.length >= 24 &&
         u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
       ImageMeta("png", be32(16), be32(20))
     else if (payload.length >= 10 &&
@@ -99,6 +108,38 @@ object Binary {
       }
       null
     } else null
+  }
+
+  final case class AudioMeta(format: String, channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, durationMs: Long)
+
+  /** Parse WAV (RIFF/WAVE) audio metadata from the container header:
+    * channel count, sample rate, and bit depth from the fmt chunk,
+    * duration from the data chunk size and byte rate. Real parsing —
+    * headers need no codec. Returns null for non-WAV payloads. */
+  def audioMeta(payload: Array[Byte]): AudioMeta = {
+    def u8(i: Int): Int = payload(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xFFFFFFFFL
+    def tag(i: Int): String = new String(payload.slice(i, i + 4), "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var i = 12
+    var channels, rate, bits = 0
+    var byteRate = 0L
+    var dataSize = -1L
+    while (i + 8 <= payload.length) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 24 <= payload.length) {
+        channels = le16(i + 10); rate = le32(i + 12).toInt
+        byteRate = le32(i + 16); bits = le16(i + 22)
+      } else if (id == "data") dataSize = sz
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (channels == 0 || rate == 0) null
+    else AudioMeta("wav", channels, rate, bits,
+      if (dataSize >= 0 && byteRate > 0) dataSize * 1000 / byteRate else -1L)
   }
 
   /** Image metadata stage: header-parsed format/width/height beside the

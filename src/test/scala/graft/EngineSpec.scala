@@ -151,12 +151,36 @@ class EngineSpec extends SparkSpec {
     val jpgPad = b(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
       0xFF, 0xFF, 0xC0, 0x00, 0x0B, 8, 0x02, 0x58, 0x03, 0x20, 1, 0x11, 0, 0)
     assert(Binary.imageMeta(jpgPad) == Binary.ImageMeta("jpeg", 800, 600))
+    // BMP: BITMAPINFOHEADER, 100x50 little-endian, top-down negative height
+    val bmp = b('B', 'M') ++ b(0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0) ++
+      b(40, 0, 0, 0, 100, 0, 0, 0, 0xCE, 0xFF, 0xFF, 0xFF) // height = -50
+    assert(Binary.imageMeta(bmp) == Binary.ImageMeta("bmp", 100, 50))
+    // "BM" text is not a bmp (DIB size field gate)
+    assert(Binary.imageMeta("BMW motors sales data 2020 csv export".getBytes) == null)
     // the Spark stage surfaces dims per row (text payloads → non-image)
     val metaDf = Binary.withImageMeta(spark,
       graft.multimodal.Binary.withMeta(
         graft.sources.Tables(spark, sfDir, "documents"), "doc_id", "text"),
       "doc_id", "payload")
     assert(metaDf.filter(col("format").isNull).count() == metaDf.count())
+  }
+
+  test("wav header metadata: fmt + data chunks, word alignment") {
+    import graft.multimodal.Binary
+    def le16(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF)
+    def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF)
+    def bytes(xs: Seq[Int]) = xs.map(_.toByte).toArray
+    // 2ch 44100Hz 16-bit, one odd-sized junk chunk before fmt, 1s of data
+    val byteRate = 44100 * 2 * 2
+    val wav = bytes(
+      "RIFF".map(_.toInt) ++ le32(0) ++ "WAVE".map(_.toInt) ++
+      "junk".map(_.toInt) ++ le32(3) ++ Seq(1, 2, 3, 0) ++ // odd size + pad
+      "fmt ".map(_.toInt) ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(44100) ++ le32(byteRate) ++ le16(4) ++ le16(16) ++
+      "data".map(_.toInt) ++ le32(byteRate))
+    assert(Binary.audioMeta(wav) == Binary.AudioMeta("wav", 2, 44100, 16, 1000L))
+    assert(Binary.audioMeta("RIFFxxxxNOPE not audio content here".getBytes) == null)
+    assert(Binary.audioMeta("plain text".getBytes) == null)
   }
 
   test("resize and frame-sample stubs keep real batch shapes") {
