@@ -60,27 +60,55 @@ object Dedup {
     *
     * Returns (id, component) where component = min id reachable. */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
-      .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+                 maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // Materialize AND reset statistics. localCheckpoint alone is not
+    // enough for an iterative algorithm: the checkpointed plan INHERITS
+    // the origin plan's sizeInBytes estimate, and every join MULTIPLIES
+    // the two sides' estimates — so round n carries a BigInt of
+    // ~2^n bits and the driver ends up spending whole seconds per round
+    // inside BigInteger.multiply during planning (observed: 4-5x
+    // slowdown per round). Re-wrapping the checkpointed RDD in a fresh
+    // LogicalRDD drops the inherited estimate back to the default.
+    def mat(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    // Edge list materialized ONCE — pair generation is itself an
+    // expensive blocked similarity join. Pairs are unique (a, b), so
+    // the two directions are already distinct, and duplicate edges
+    // would not change a min anyway.
+    val edges = mat(pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+    var labels = mat(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy("src").agg(min("component").as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      // one-hop: min label among self + neighbors (old label kept for
+      // the convergence test)
+      val stepped = mat(labels.join(
+          edges.join(labels, edges("dst") === labels("id"))
+            .groupBy("src").agg(min("component").as("nbr")),
+          labels("id") === col("src"), "left")
         .select(labels("id"),
-          least(labels("component"), coalesce(col("nbr"), labels("component"))).as("component"))
-        .localCheckpoint()
-      done = updated.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).isEmpty
-      labels = updated
+          least(labels("component"), coalesce(col("nbr"), labels("component"))).as("component"),
+          labels("component").as("old")))
+      // pointer jumping: also adopt the component's own current
+      // component — turns O(diameter) rounds into O(log diameter)
+      val jumped = mat(stepped.as("a")
+        .join(stepped.select(col("id").as("cid"), col("component").as("cc")),
+          col("a.component") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("cc"), col("a.component"))).as("component"),
+          col("old")))
+      done = jumped.filter(col("component") < col("old")).isEmpty
+      labels = jumped.select("id", "component")
       i += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"components: no fixpoint after $maxIter rounds — raise maxIter")
     labels
   }
 
