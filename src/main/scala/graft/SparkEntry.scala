@@ -394,6 +394,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Rank.bm25(T(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "query", "window"), limit = 15)),
+    "q_vocab" -> ((s, dir) =>
+      Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
+        .orderBy("term_id")),
+    "q_sample_pergroup" -> ((s, dir) =>
+      Curation.sampleKPerGroup(T(s, dir, "documents"), "source", "doc_id",
+          "text", k = 5)
+        .orderBy("source", "doc_id")),
 
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // emit count + CSV of the sorted fingerprint set so the driver can
@@ -844,6 +851,21 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN consts)
         |SELECT doc_id, round(sum(s), 4) AS score FROM scored
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q_vocab" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t
+        |      WHERE term <> '' GROUP BY term)
+        |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS term_id
+        |FROM d WHERE df >= 100 ORDER BY term_id""".stripMargin,
+    "q_sample_pergroup" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h FROM documents),
+        |kept AS (SELECT source, h FROM (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT source, h FROM h) dh) r WHERE rn <= 5)
+        |SELECT h.source, doc_id FROM h JOIN kept USING (source, h)
+        |ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint_winnow" ->
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
         |           FROM documents),

@@ -195,6 +195,25 @@ object Curation {
         size(col("ks")).cast("long").as("n_kept"))
   }
 
+  /** Deterministic uniform sample WITHOUT replacement of up to k rows
+    * per group: the rows whose content hash lands among the k smallest
+    * distinct hashes of the group — the same bounded deduplicating heap
+    * as the KMV sketch, applied per group. Unlike rand()-based sampling
+    * this is reproducible across runs/partitionings, and unlike a
+    * row_number window it never sorts whole groups: the partial
+    * aggregate ships at most k hashes per group per partition.
+    * Returns (groupCol, idCol) of the sampled rows. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      contentCol: String, k: Int): DataFrame = {
+    val h = kmvHash(col(contentCol))
+    val kept = df.groupBy(col(groupCol))
+      .agg(GraftFunctions.kmvSketch(h, k).as("ks"))
+      .select(col(groupCol), explode(col("ks")).as("h"))
+    df.select(col(groupCol), col(idCol), h.as("h"))
+      .join(kept, Seq(groupCol, "h"))
+      .select(groupCol, idCol)
+  }
+
   /** Demo/verification form of [[kmvEstimate]]: computes the exact
     * cardinality alongside (a full distinct aggregation — fine for a
     * verification query, exactly what the sketch avoids in production)

@@ -27,6 +27,22 @@ object Rank {
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Tokenizer-style vocabulary table: terms appearing in at least
+    * `minDf` documents, with stable ids assigned by (document
+    * frequency desc, term) rank. The corpus-sized work is the keyed
+    * df aggregate; the single-partition rank window only ever sees the
+    * VOCABULARY (distinct terms above the cutoff — bounded by the
+    * language, not the corpus). Returns (term, df, term_id). */
+  def buildVocab(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long): DataFrame = {
+    val dfreq = termFreqs(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    dfreq.select(col("term"), col("df"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term"))).cast("long").as("term_id"))
+  }
+
   /** BM25 ranking of documents against a bag-of-terms query.
     * k1 controls tf saturation, b length normalization; idf is the
     * standard smoothed form ln(1 + (N - df + 0.5)/(df + 0.5)).

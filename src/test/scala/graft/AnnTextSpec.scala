@@ -152,4 +152,15 @@ class AnnTextSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(s(10L) > s(11L))
   }
+
+  test("buildVocab: df cutoff, rank by (df desc, term)") {
+    import graft.text.Rank
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "alpha zeta zeta")
+    ).toDF("doc_id", "text")
+    // zeta appears twice in doc 3 but df counts DOCUMENTS, not tokens
+    val v = Rank.buildVocab(docs, "doc_id", "text", minDf = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v == Seq(("alpha", 3L, 1L), ("beta", 2L, 2L)))
+  }
 }

@@ -130,6 +130,22 @@ class CurationSpec extends SparkSpec {
     assert(e1 == e2)
   }
 
+  test("sampleKPerGroup: deterministic, k-capped, groups smaller than k kept whole") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val s1 = Curation.sampleKPerGroup(docs, "source", "doc_id", "text", 3)
+      .orderBy("source", "doc_id").collect().toSeq
+    // per-group cap holds
+    val perGroup = s1.groupBy(_.getString(0)).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ <= 3))
+    // deterministic under repartitioning
+    val s2 = Curation.sampleKPerGroup(docs.repartition(7), "source", "doc_id", "text", 3)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(s1 == s2)
+    // k larger than every group → identity (all rows sampled)
+    val all = Curation.sampleKPerGroup(docs, "source", "doc_id", "text", 1 << 20)
+    assert(all.count() == docs.count())
+  }
+
   test("kmv estimate within 25% of exact on order keys; exact when k >= n") {
     val orders = graft.sources.Tables(spark, sfDir, "orders")
     val r = Curation.kmvDistinct(orders, col("o_orderkey"), 256).head()
