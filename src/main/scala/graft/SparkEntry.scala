@@ -863,8 +863,9 @@ object SparkEntry {
         |    ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h FROM documents),
         |kept AS (SELECT source, h FROM (
         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        |  FROM (SELECT DISTINCT source, h FROM h) dh) r WHERE rn <= 5)
-        |SELECT h.source, doc_id FROM h JOIN kept USING (source, h)
+        |  FROM (SELECT DISTINCT source, h FROM h) dh) r WHERE rn <= 5),
+        |rep AS (SELECT source, h, min(doc_id) AS doc_id FROM h GROUP BY source, h)
+        |SELECT rep.source, doc_id FROM rep JOIN kept USING (source, h)
         |ORDER BY source, doc_id""".stripMargin,
     "q_fingerprint_winnow" ->
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t

@@ -105,10 +105,15 @@ object Catalog {
 
   // ---- dataset version gating (data.py:2249 _check_version) ------------
 
-  /** Sortable semver key: each dot component zero-padded so plain string
-    * comparison orders versions ("2.1" < "2.1.1" < "2.10"). */
-  private[graft] def versionKey(v: Column): Column =
-    concat_ws(".", transform(split(v, "\\."), x => lpad(x, 6, "0")))
+  /** Sortable semver key: each dot component zero-padded, and the
+    * component list right-padded with zero components so different
+    * arities compare semantically ("2.1" == "2.1.0" < "2.1.1" <
+    * "2.10"). */
+  private[graft] def versionKey(v: Column): Column = {
+    val parts = transform(split(v, "\\."), x => lpad(x, 6, "0"))
+    concat_ws(".", concat(parts,
+      array_repeat(lit("000000"), greatest(lit(8) - size(parts), lit(0)))))
+  }
 
   /** Rows of a catalog that THIS library version may load — the
     * reference's `_check_version`: a null `min_version` always loads,

@@ -59,6 +59,9 @@ object Binary {
 
   final case class ImageMeta(format: String, width: Int, height: Int)
 
+  // hoisted out of the per-row hot path
+  private val DibHeaderSizes = Set(12, 40, 52, 56, 64, 108, 124)
+
   /** Parse image dimensions from the container header bytes. PNG IHDR,
     * GIF logical-screen descriptor, JPEG SOF0/1/2 markers, and the BMP
     * DIB header carry the dimensions in the first bytes of the file —
@@ -73,7 +76,7 @@ object Binary {
     if (payload.length >= 26 && u8(0) == 'B' && u8(1) == 'M' &&
         // DIB header size field distinguishes real BMPs from text
         // payloads starting with "BM"
-        Set(12, 40, 52, 56, 64, 108, 124).contains(le32(14))) {
+        DibHeaderSizes.contains(le32(14))) {
       if (le32(14) == 12) ImageMeta("bmp", le16(18), le16(20)) // BITMAPCOREHEADER
       else ImageMeta("bmp", le32(18), math.abs(le32(22)))      // height<0 = top-down
     }
@@ -123,19 +126,21 @@ object Binary {
     def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xFFFFFFFFL
     def tag(i: Int): String = new String(payload.slice(i, i + 4), "US-ASCII")
     if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
-    var i = 12
+    var i = 12L
     var channels, rate, bits = 0
     var byteRate = 0L
     var dataSize = -1L
     while (i + 8 <= payload.length) {
-      val id = tag(i)
-      val sz = le32(i + 4)
+      val ii = i.toInt
+      val id = tag(ii)
+      val sz = le32(ii + 4) // unsigned — kept as Long so a corrupt size
+                            // can never advance i by <= 0 (infinite loop)
       if (id == "fmt " && i + 24 <= payload.length) {
-        channels = le16(i + 10); rate = le32(i + 12).toInt
-        byteRate = le32(i + 16); bits = le16(i + 22)
+        channels = le16(ii + 10); rate = le32(ii + 12).toInt
+        byteRate = le32(ii + 16); bits = le16(ii + 22)
       } else if (id == "data") dataSize = sz
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      i += 8L + sz + (sz & 1L)
     }
     if (channels == 0 || rate == 0) null
     else AudioMeta("wav", channels, rate, bits,

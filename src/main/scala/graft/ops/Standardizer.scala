@@ -134,8 +134,13 @@ object Standardizer {
     // race (preproc.py:1533 combine_race_ethnicity + re_group aliasing)
     if (raceEthCombo != "false") Seq("_SUBJECT", "_OFFICER").foreach { r =>
       if (colMap.contains("RACE" + r) && colMap.contains("ETHNICITY" + r)) {
+        // the ethnicity column already carries any custom labels, so the
+        // combiner must compare against the REMAPPED non-Latino label
+        val nonLatino = ethCats.getOrElse("NON-HISPANIC/NON-LATINO",
+          "NON-HISPANIC/NON-LATINO")
         out = out.withColumn("RE_GROUP" + r,
-          Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r), raceEthCombo))
+          Standardize.combineRaceEth(col("RACE" + r), col("ETHNICITY" + r),
+            raceEthCombo, nonLatino))
         log += Transform("RE_GROUP" + r,
           colMap("RACE" + r) + "+" + colMap("ETHNICITY" + r),
           "RE_GROUP" + r, "combine_race_ethnicity")

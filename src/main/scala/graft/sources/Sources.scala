@@ -79,7 +79,15 @@ object Sources {
             }
         require(!s0.isAfter(s1),
           s"Start date must be less than stop date. Invalid input: $parts")
-        DateRange(s0.toString, s1.plusDays(1).toString) // inclusive stop → half-open
+        // inclusive stop → half-open. A stop in year 9999 (the "no end"
+        // sentinel) cannot advance a day — LocalDate would render year
+        // 10000 as "+10000-01-01", which timestamp parsing rejects —
+        // so cap at the last representable microsecond instead.
+        val end =
+          if (s1.getYear >= 9999 && s1.getMonthValue == 12 && s1.getDayOfMonth == 31)
+            "9999-12-31T23:59:59.999999"
+          else s1.plusDays(1).toString
+        DateRange(s0.toString, end)
     }
   }
 

@@ -181,9 +181,12 @@ object Curation {
     * (ORDER BY hash LIMIT k over the distinct hashes), so an oracle
     * can pin it bit-for-bit.
     *
-    * Returns one row: (estimate, n_kept). When fewer than k distinct
-    * values exist the sketch holds the whole set and the estimate IS
-    * the exact count. */
+    * Returns one row: (estimate, n_kept). When FEWER than k distinct
+    * values exist (n_kept < k) the sketch holds the whole set and the
+    * estimate is the exact count; at exactly k the sketch cannot tell
+    * the set is complete, so the density estimator is used (unlike
+    * [[kmvDistinct]], which has the true count available and reports
+    * exactly at n <= k). */
   def kmvEstimate(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
     df.agg(GraftFunctions.kmvSketch(kmvHash(valueCol), k).as("ks"))
@@ -209,7 +212,11 @@ object Curation {
     val kept = df.groupBy(col(groupCol))
       .agg(GraftFunctions.kmvSketch(h, k).as("ks"))
       .select(col(groupCol), explode(col("ks")).as("h"))
+    // one row per KEPT HASH (min id as the representative): duplicate
+    // content — or a 32-bit collision — must not inflate the sample
+    // past k rows per group
     df.select(col(groupCol), col(idCol), h.as("h"))
+      .groupBy(col(groupCol), col("h")).agg(min(col(idCol)).as(idCol))
       .join(kept, Seq(groupCol, "h"))
       .select(groupCol, idCol)
   }

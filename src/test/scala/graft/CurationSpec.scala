@@ -144,6 +144,13 @@ class CurationSpec extends SparkSpec {
     // k larger than every group → identity (all rows sampled)
     val all = Curation.sampleKPerGroup(docs, "source", "doc_id", "text", 1 << 20)
     assert(all.count() == docs.count())
+    // duplicate content must not inflate the sample past k: 4 rows but
+    // only 2 distinct texts in one group, k=2 → exactly 2 rows
+    val dupes = Seq(("g", 1L, "same text"), ("g", 2L, "same text"),
+      ("g", 3L, "other"), ("g", 4L, "other")).toDF("source", "doc_id", "text")
+    val got = Curation.sampleKPerGroup(dupes, "source", "doc_id", "text", 2)
+      .orderBy("doc_id").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("g", 1L), ("g", 3L))) // min id represents each content
   }
 
   test("kmv estimate within 25% of exact on order keys; exact when k >= n") {

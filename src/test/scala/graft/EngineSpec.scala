@@ -90,6 +90,11 @@ class EngineSpec extends SparkSpec {
     assert(e2.getMessage.contains("at least version 2.10"))
     // a catalog without the column passes through untouched
     assert(Catalog.compatible(cat.drop("min_version"), "0.0").count() == 5)
+    // arity-insensitive: 2.1 satisfies min_version 2.1.0 (and 2.1.0.0)
+    val pad = Seq(("p", "2.1.0"), ("q", "2.1.0.0"), ("r", "2.1.1"))
+      .toDF("source_id", "min_version")
+    assert(Catalog.compatible(pad, "2.1").select("source_id")
+      .as[String].collect().toSet == Set("p", "q"))
   }
 
   test("q1 pricing summary has the expected group keys and positive counts") {
@@ -181,6 +186,12 @@ class EngineSpec extends SparkSpec {
     assert(Binary.audioMeta(wav) == Binary.AudioMeta("wav", 2, 44100, 16, 1000L))
     assert(Binary.audioMeta("RIFFxxxxNOPE not audio content here".getBytes) == null)
     assert(Binary.audioMeta("plain text".getBytes) == null)
+    // corrupt chunk sizes (unsigned 0xFFFFFFF8 would truncate to -8 and
+    // spin forever if advanced as Int) must terminate, not hang
+    val corrupt = bytes("RIFF".map(_.toInt) ++ le32(0) ++ "WAVE".map(_.toInt) ++
+      "junk".map(_.toInt) ++ Seq(0xF8, 0xFF, 0xFF, 0xFF) ++
+      Seq.fill(20)(0))
+    assert(Binary.audioMeta(corrupt) == null)
   }
 
   test("resize and frame-sample stubs keep real batch shapes") {

@@ -101,6 +101,13 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.cleanDateInput(Seq("2021", "2019")))
     intercept[IllegalArgumentException](
       Sources.cleanDateInput(Seq("2020-03-01", "2020-02-01")))
+    // the year-9999 "no end" sentinel stays timestamp-parseable (no
+    // "+10000-01-01" literal, which to_timestamp rejects)
+    assert(Sources.cleanDateInput(Seq("2020-01-01", "9999"))
+      == DateRange("2020-01-01", "9999-12-31T23:59:59.999999"))
+    val e = graft.sources.Tables(spark, sfDir, "events")
+    assert(e.filter(Sources.dateFilter(col("ts"),
+      Sources.cleanDateInput(Seq("1990", "9999")))).count() == e.count())
   }
 
   test("dateFilter Year keeps only that calendar year") {

@@ -153,6 +153,14 @@ class StandardizerSpec extends SparkSpec {
     // test_race_cats_bad_input — unknown category key raises
     intercept[IllegalArgumentException](
       Standardizer.standardize(df, raceCats = Map("NOT_A_CAT" -> "X")))
+    // eth remap must flow through to the race+eth combiner: a remapped
+    // NON-LATINO label still lets the race win in merge mode
+    val both = Seq(("WHITE", "NOT HISPANIC", 1L))
+      .toDF("subject_race", "subject_ethnicity", "id")
+    val re = Standardizer.standardize(both,
+      ethCats = Map("NON-HISPANIC/NON-LATINO" -> "NL")).df
+    assert(re.select("ETHNICITY_SUBJECT").head().getString(0) == "NL")
+    assert(re.select("RE_GROUP_SUBJECT").head().getString(0) == "WHITE")
   }
 
   test("get_transform_map records every applied conversion") {
