@@ -504,6 +504,14 @@ object SparkEntry {
     // partition) — oracle identical to q_window_topn.
     "q_topk_agg" -> ((s, dir) => Analytics.windowTopNAgg(s, dir)),
     "q_skew_agg" -> ((s, dir) => Analytics.skewAgg(s, dir).orderBy("l_orderkey")),
+    "q_quantiles" -> ((s, dir) =>
+      Analytics.groupQuantiles(T(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag")),
+    "q_profile" -> ((s, dir) =>
+      Analytics.profile(T(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")),
 
     // Streaming
     "q_stream_window" -> ((s, dir) =>
@@ -1014,6 +1022,23 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |HAVING count(*) >= 4
         |ORDER BY l_orderkey""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS q25,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS q50,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS q75,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 2) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_stream_window" ->
       """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,

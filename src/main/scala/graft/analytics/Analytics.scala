@@ -136,6 +136,36 @@ object Analytics {
   /** High-cardinality aggregation (AQE/skew path): per-order rollup over
     * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced
     * shuffle. */
+  /** Exact interpolated group quantiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`: both sort and linearly interpolate at
+    * p*(n-1)). Exact quantiles shuffle each group's values to one
+    * reducer — fine for bounded groups; an unbounded-cardinality
+    * profile would switch to approx_percentile and lose the oracle. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(round(percentile(v, lit(ps.head)), 2).as(s"q${(ps.head * 100).toInt}"),
+        ps.tail.map(p =>
+          round(percentile(v, lit(p)), 2).as(s"q${(p * 100).toInt}")): _*)
+  }
+
+  /** Column-level data profile — the curation pre-flight: row count,
+    * null count, exact distinct count, min/max (string-rendered).
+    * One pass per column (narrow aggregates), unioned driver-side;
+    * every aggregate is map-side partial. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select("column", "n", "n_null", "n_distinct", "min_s", "max_s")
+    }.reduce(_.unionByName(_))
+
   def skewAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_orderkey")

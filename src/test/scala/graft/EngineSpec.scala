@@ -97,6 +97,21 @@ class EngineSpec extends SparkSpec {
       .as[String].collect().toSet == Set("p", "q"))
   }
 
+  test("profile and group quantiles") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "tag")
+    val p = Analytics.profile(df, Seq("id", "tag")).orderBy("column").collect()
+    assert(p(0).getString(0) == "id" && p(0).getLong(1) == 4 &&
+      p(0).getLong(2) == 0 && p(0).getLong(3) == 4 &&
+      p(0).getString(4) == "1" && p(0).getString(5) == "4")
+    assert(p(1).getString(0) == "tag" && p(1).getLong(2) == 1 &&
+      p(1).getLong(3) == 2 && p(1).getString(5) == "b")
+    val q = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    val r = Analytics.groupQuantiles(q, "k", "v", Seq(0.5)).head()
+    assert(r.getDouble(1) == 2.5) // interpolated median
+  }
+
   test("q1 pricing summary has the expected group keys and positive counts") {
     val got = Analytics.q1(spark, sfDir).collect()
     assert(got.nonEmpty && got.length <= 6)
