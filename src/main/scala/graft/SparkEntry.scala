@@ -394,6 +394,15 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Rank.bm25(T(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "query", "window"), limit = 15)),
+    // Gopher-style intra-doc repetition over 2-grams (the synthetic
+    // small-vocab corpus has meaningful repeat rates at n=2)
+    "q_rep_ngrams" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          TextStats.repetitionRatio(col("w"), 2).as("rep2"))
+        .orderBy("doc_id")),
     "q_vocab" -> ((s, dir) =>
       Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
         .orderBy("term_id")),
@@ -859,6 +868,17 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN consts)
         |SELECT doc_id, round(sum(s), 4) AS score FROM scored
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q_rep_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |grams AS (SELECT doc_id, any_value(len(w)) AS nw,
+        |    count(*) AS total, count(DISTINCT array_to_string(w[i:i+1], ' ')) AS dist
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN nw < 2 THEN 0.0
+        |       ELSE round(1.0 - CAST(dist AS DOUBLE) / total, 4) END AS rep2
+        |FROM grams ORDER BY doc_id""".stripMargin,
     "q_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |           FROM documents),

@@ -59,6 +59,22 @@ object TextStats {
     round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio, 4)
   }
 
+  /** Intra-document repetition (the Gopher-style "repetition" quality
+    * signals): fraction of word n-gram occurrences that are repeats of
+    * an earlier n-gram in the SAME document — high values flag
+    * boilerplate/spam. rep = 1 - distinct_ngrams/total_ngrams, 0 for
+    * docs shorter than n words. `words` must be a materialized array
+    * attribute (see [[graft.text.Curation.wordNgrams]] for the
+    * CollapseProject caveat). Pure per-row expressions. */
+  def repetitionRatio(words: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => array_join(slice(words, i, lit(n)), " "))
+    when(size(words) < n, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"), 4))
+  }
+
   /** Rolling-hash document fingerprint (polynomial hash of the
     * normalized text, base 31 mod 2^61-1 style via xxhash64 of the
     * normalized form — stable, collision-resistant, cheap). */

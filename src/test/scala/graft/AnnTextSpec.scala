@@ -153,6 +153,20 @@ class AnnTextSpec extends SparkSpec {
     assert(s(10L) > s(11L))
   }
 
+  test("repetitionRatio: repeats raise it, unique text scores 0, short docs 0") {
+    import graft.text.TextStats
+    val df = Seq(
+      (1L, "a b a b a b"),   // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "u v w x y z"),   // all distinct
+      (3L, "solo")           // shorter than n
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(2)
+      .select(col("doc_id"), TextStats.repetitionRatio(col("w"), 2).as("rep"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(df == Seq((1L, 0.6), (2L, 0.0), (3L, 0.0)))
+  }
+
   test("buildVocab: df cutoff, rank by (df desc, term)") {
     import graft.text.Rank
     val docs = Seq(
