@@ -876,7 +876,7 @@ object SparkEntry {
         |    count(*) AS total, count(DISTINCT array_to_string(w[i:i+1], ' ')) AS dist
         |  FROM g GROUP BY doc_id)
         |SELECT doc_id,
-        |  CASE WHEN nw < 2 THEN 0.0
+        |  CASE WHEN nw IS NULL OR nw < 2 THEN 0.0
         |       ELSE round(1.0 - CAST(dist AS DOUBLE) / total, 4) END AS rep2
         |FROM grams ORDER BY doc_id""".stripMargin,
     "q_vocab" ->

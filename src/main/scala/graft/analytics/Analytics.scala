@@ -133,9 +133,6 @@ object Analytics {
       .orderBy("p_brand", "rnk")
   }
 
-  /** High-cardinality aggregation (AQE/skew path): per-order rollup over
-    * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced
-    * shuffle. */
   /** Exact interpolated group quantiles (Spark `percentile` ==
     * DuckDB `quantile_cont`: both sort and linearly interpolate at
     * p*(n-1)). Exact quantiles shuffle each group's values to one
@@ -143,11 +140,12 @@ object Analytics {
     * profile would switch to approx_percentile and lose the oracle. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "groupQuantiles: need at least one percentile")
     val v = col(valueCol).cast("double")
-    df.groupBy(col(groupCol))
-      .agg(round(percentile(v, lit(ps.head)), 2).as(s"q${(ps.head * 100).toInt}"),
-        ps.tail.map(p =>
-          round(percentile(v, lit(p)), 2).as(s"q${(p * 100).toInt}")): _*)
+    // math.round: (0.29 * 100).toInt truncates to 28
+    val qs = ps.map(p =>
+      round(percentile(v, lit(p)), 2).as(s"q${math.round(p * 100)}"))
+    df.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*)
   }
 
   /** Column-level data profile — the curation pre-flight: row count,
@@ -166,6 +164,9 @@ object Analytics {
         .select("column", "n", "n_null", "n_distinct", "min_s", "max_s")
     }.reduce(_.unionByName(_))
 
+  /** High-cardinality aggregation (AQE/skew path): per-order rollup over
+    * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced
+    * shuffle. */
   def skewAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_orderkey")

@@ -93,17 +93,22 @@ object Curation {
 
   // ---- benchmark decontamination ---------------------------------------
 
-  /** Distinct word n-grams of a words ARRAY column. The lambda only
-    * references `words` as a bound attribute (evaluated once per row) —
-    * callers must materialize the split() behind a projection barrier
-    * (e.g. a repartition) so CollapseProject cannot inline the split
-    * into the per-element lambda (O(len²) blowup otherwise). Documents
-    * shorter than n words contribute one truncated gram, matching
-    * DuckDB's clamped list slice. */
-  def wordNgrams(words: Column, n: Int): Column =
-    array_distinct(transform(
+  /** Word n-grams (with repeats) of a words ARRAY column. The lambda
+    * only references `words` as a bound attribute (evaluated once per
+    * row) — callers must materialize the split() behind a projection
+    * barrier (e.g. a repartition) so CollapseProject cannot inline the
+    * split into the per-element lambda (O(len²) blowup otherwise).
+    * Documents shorter than n words contribute one truncated gram,
+    * matching DuckDB's clamped list slice. Shared by the contamination
+    * sweep and [[graft.text.TextStats.repetitionRatio]]. */
+  def rawWordNgrams(words: Column, n: Int): Column =
+    transform(
       sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-      i => array_join(slice(words, i, lit(n)), " ")))
+      i => array_join(slice(words, i, lit(n)), " "))
+
+  /** Distinct word n-grams — see [[rawWordNgrams]] for the caveats. */
+  def wordNgrams(words: Column, n: Int): Column =
+    array_distinct(rawWordNgrams(words, n))
 
   /** Contamination check: which corpus documents share any word n-gram
     * with a benchmark (eval-set) document — the standard pre-training

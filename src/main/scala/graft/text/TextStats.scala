@@ -67,9 +67,7 @@ object TextStats {
     * attribute (see [[graft.text.Curation.wordNgrams]] for the
     * CollapseProject caveat). Pure per-row expressions. */
   def repetitionRatio(words: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-      i => array_join(slice(words, i, lit(n)), " "))
+    val grams = graft.text.Curation.rawWordNgrams(words, n)
     when(size(words) < n, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(grams)).cast("double") /
         size(grams).cast("double"), 4))
