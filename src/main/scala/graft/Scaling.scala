@@ -67,6 +67,13 @@ object Scaling {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         docs, "doc_id", "text"))
+      // components runs its own actions (iterative) — time it directly
+      val t0 = System.nanoTime()
+      val nLabeled = graft.dedup.Dedup.components(
+        graft.dedup.Dedup.embedCosinePairs(embs, "vec_id", "embedding", "label", 0.3))
+        .count()
+      val label = s"components_${n}x"
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $nLabeled%9d rows  (iterative)")
     }
     spark.stop()
   }

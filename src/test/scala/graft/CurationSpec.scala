@@ -153,6 +153,39 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("g", 1L), ("g", 3L))) // min id represents each content
   }
 
+  test("curation operators tolerate null and empty text without crashing") {
+    import graft.text.TextStats
+    val messy = Seq((1L, "alpha beta alpha beta", "s1"),
+      (2L, null.asInstanceOf[String], "s1"),
+      (3L, "", "s2")).toDF("doc_id", "text", "source")
+    // split: null content hashes to a label deterministically (md5(null)
+    // is null → falls to the last label), no exception
+    val labels = messy.select(Curation.splitLabel(col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1), "test").as("s")).collect()
+    assert(labels.length == 3 && labels.forall(!_.isNullAt(0)))
+    // scrub/count: null in → null out (Spark null-propagation)
+    val pii = messy.select(Curation.scrubPii(col("text")).as("s"),
+      Curation.piiCount(col("text")).as("n")).collect()
+    assert(pii(1).isNullAt(0) && pii(1).isNullAt(1))
+    // packChunks: null text → token count of a null split is handled
+    val packed = Curation.packChunks(messy, "doc_id", "text", "source", 4)
+    assert(packed.count() == 3)
+    // repetition: null words array → 0.0 (size(null) = -1 < n), same as
+    // the oracle's nw IS NULL guard
+    val repVals = messy.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(2)
+      .select(col("doc_id"), TextStats.repetitionRatio(col("w"), 2).as("r"))
+      .orderBy("doc_id").collect()
+    assert(repVals(0).getDouble(1) == 0.3333) // 3 grams, 2 distinct
+    assert(repVals(1).getDouble(1) == 0.0)
+    assert(repVals(2).getDouble(1) == 0.0) // "" splits to one empty token
+    // sampling + contamination + vocab: null rows must not throw
+    assert(Curation.sampleKPerGroup(messy, "source", "doc_id", "text", 2).count() >= 1)
+    assert(Curation.contamination(messy, messy.limit(1), "doc_id", "text", 2)
+      .count() >= 0)
+    assert(graft.text.Rank.buildVocab(messy, "doc_id", "text", 1L).count() >= 1)
+  }
+
   test("kmv estimate within 25% of exact on order keys; exact when k >= n") {
     val orders = graft.sources.Tables(spark, sfDir, "orders")
     val r = Curation.kmvDistinct(orders, col("o_orderkey"), 256).head()
