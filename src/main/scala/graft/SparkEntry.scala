@@ -525,6 +525,8 @@ object SparkEntry {
     // Streaming
     "q_stream_window" -> ((s, dir) =>
       Streams.windowAgg(s, dir).orderBy("window_start_us", "event_type")),
+    "q_stream_topk" -> ((s, dir) =>
+      Streams.topValues(s, dir, k = 3).orderBy("window_start_us", "event_type")),
     "q_stream_sessions" -> ((s, dir) =>
       Streams.sessionize(s, dir).orderBy("user_id", "start_us")),
     // Watermark-bounded streaming dedup: event_id is unique in the
@@ -1060,6 +1062,18 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
+    "q_stream_topk" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
+        |    event_type, CAST(value AS DECIMAL(18,6)) AS d
+        |  FROM events),
+        |r AS (SELECT w, event_type, d,
+        |    row_number() OVER (PARTITION BY w, event_type ORDER BY d DESC) AS rn
+        |  FROM e)
+        |SELECT CAST(epoch_us(w) AS BIGINT) AS window_start_us, event_type,
+        |  string_agg(CAST(d AS VARCHAR), ',' ORDER BY rn) AS top_csv
+        |FROM r WHERE rn <= 3
+        |GROUP BY w, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
         |  event_type, CAST(count(*) AS BIGINT) AS n,

@@ -76,6 +76,29 @@ object Streams {
     runToMemory(windowAggStream(spark, dir),
       s"graft_stream_window_${System.nanoTime()}", OutputMode.Complete())
 
+  /** Streaming top-k (pre-sink, unbounded): per (hour window, type),
+    * the k largest event values — the custom bounded-heap
+    * [[graft.functions.TopKLargest]] aggregate running INSIDE a
+    * Structured Streaming aggregation, so per-group state is the k-heap
+    * (merged across micro-batches), never the value list. Values are
+    * carried as decimal(18,6) so the CSV rendering is digit-identical
+    * on both engines. */
+  def topValuesStream(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    readTableStream(spark, dir, "events")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.GraftFunctions.topKLargest(
+        col("value").cast("decimal(18,6)"), k).as("top"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"),
+        concat_ws(",", transform(col("top"), x => x.cast("string"))).as("top_csv"))
+  }
+
+  def topValues(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    runToMemory(topValuesStream(spark, dir, k),
+      s"graft_stream_topk_${System.nanoTime()}", OutputMode.Complete())
+
   /** Streaming deduplication (pre-sink, unbounded): drop events whose
     * key was already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state stays bounded by event
