@@ -488,6 +488,13 @@ object SparkEntry {
           Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "payload")
         .orderBy("id")),
+    // Same negative pinning for the WAV parser (EngineSpec covers the
+    // positive cases with crafted RIFF headers).
+    "q_mm_audiometa" -> ((s, dir) =>
+      Binary.withAudioMeta(s,
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload")
+        .orderBy("id")),
 
     // Rows-only query, but the output must still be SORTABLE by the
     // driver's pandas canonicalizer — a raw array<float> column crashes
@@ -987,6 +994,11 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(NULL AS VARCHAR) AS format,
         |  CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height
+        |FROM documents ORDER BY id""".stripMargin,
+    "q_mm_audiometa" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(NULL AS VARCHAR) AS format, CAST(-1 AS INTEGER) AS channels,
+        |  CAST(-1 AS INTEGER) AS sample_rate, CAST(-1 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -164,6 +164,26 @@ object Binary {
       .toDF("id", "n_bytes", "format", "width", "height")
   }
 
+  /** Audio metadata stage: header-parsed WAV format/channels/rate/
+    * duration beside the byte length — same per-row typed-map shape as
+    * [[withImageMeta]]. Non-audio payloads yield null format and -1
+    * numerics. */
+  def withAudioMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+      .map { rec =>
+        val m = Option(audioMeta(rec.payload))
+        (rec.id, rec.payload.length.toLong,
+          m.map(_.format).orNull,
+          m.map(_.channels).getOrElse(-1),
+          m.map(_.sampleRate).getOrElse(-1),
+          m.map(_.durationMs).getOrElse(-1L))
+      }
+      .toDF("id", "n_bytes", "format", "channels", "sample_rate", "duration_ms")
+  }
+
   final case class Resized(id: Long, width: Int, height: Int, thumb: Array[Byte])
 
   /** STUB resize: a real implementation would decode, scale, re-encode
