@@ -44,6 +44,36 @@ object Loaders {
       spark.read.json(path)
   }
 
+  /** Zip-wrapped CSV (the reference's `Csv` accepts .zip archives —
+    * tests/test_loader_csv.py test_load_single_file_csv_zip). The
+    * archive must contain exactly one CSV entry; it is extracted next
+    * to the archive (driver-side, once) and scanned as normal CSV so
+    * every Sources predicate still pushes into the scan. */
+  final case class CsvZipLoader(csv: CsvLoader = CsvLoader()) extends Loader {
+    def load(spark: SparkSession, path: String): DataFrame = {
+      val zf = new java.util.zip.ZipFile(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        val entries = zf.entries().asScala.filterNot(_.isDirectory)
+          .filter(_.getName.toLowerCase.endsWith(".csv")).toList
+        entries match {
+          case one :: Nil =>
+            val out = java.nio.file.Paths.get(
+              path.stripSuffix(".zip") + "_" +
+                java.nio.file.Paths.get(one.getName).getFileName.toString)
+            if (!java.nio.file.Files.exists(out))
+              java.nio.file.Files.copy(zf.getInputStream(one), out)
+            csv.load(spark, out.toString)
+          case Nil => throw new IllegalArgumentException(
+            s"zip at $path contains no .csv entry")
+          case many => throw new IllegalArgumentException(
+            s"zip at $path contains ${many.size} csv entries; expected exactly one " +
+              s"(have: ${many.map(_.getName).mkString(", ")})")
+        }
+      } finally zf.close()
+    }
+  }
+
   /** Excel-backed dataset (reference data_loaders/excel.py `Excel`);
     * sheet None → single sheet or year-sheet combine, see [[Xlsx]]. */
   final case class ExcelLoader(sheet: Option[String] = None) extends Loader {
@@ -61,6 +91,7 @@ object Loaders {
   val registry: Map[String, Loader] = Map(
     "parquet" -> ParquetLoader,
     "csv" -> CsvLoader(),
+    "csv_zip" -> CsvZipLoader(),
     "json" -> JsonLoader,
     "excel" -> ExcelLoader(),
     "html" -> HtmlLoader())

@@ -126,8 +126,31 @@ class LoadersSpec extends SparkSpec {
     assert(Html.read(spark, path, tableIndex = 1).columns.toSeq == Seq("other"))
   }
 
-  test("registry exposes all five formats") {
-    assert(Loaders.registry.keySet == Set("parquet", "csv", "json", "excel", "html"))
+  test("registry exposes all six formats") {
+    assert(Loaders.registry.keySet ==
+      Set("parquet", "csv", "csv_zip", "json", "excel", "html"))
+  }
+
+  test("csv_zip: single-entry archive loads; multi-entry and empty raise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvzip").toString
+    def writeZip(name: String, entries: (String, String)*): String = {
+      val p = s"$dir/$name"
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+      entries.foreach { case (n, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); p
+    }
+    val ok = writeZip("one.zip", "data.csv" -> "id,agency\n1,Austin PD\n2,Dallas PD\n")
+    val df = Loaders("csv_zip").load(spark, ok)
+    assert(df.columns.toSeq == Seq("id", "agency") && df.count() == 2)
+    // re-load uses the already-extracted file (no error on existing)
+    assert(Loaders("csv_zip").load(spark, ok).count() == 2)
+    val multi = writeZip("two.zip", "a.csv" -> "x\n1\n", "b.csv" -> "y\n2\n")
+    intercept[IllegalArgumentException](Loaders("csv_zip").load(spark, multi))
+    val none = writeZip("none.zip", "readme.txt" -> "no csv here")
+    intercept[IllegalArgumentException](Loaders("csv_zip").load(spark, none))
   }
 
   test("feather: canonical filename and typed round trip (to_feather/load_feather)") {
