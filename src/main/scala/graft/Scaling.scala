@@ -67,11 +67,14 @@ object Scaling {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         docs, "doc_id", "text"))
-      // components runs its own actions (iterative) — time it directly
+      // components runs its own actions (iterative) — time it directly,
+      // over PRE-MATERIALIZED pairs so the number measures the
+      // iterative algorithm, not a re-run of the pair join timed above
+      val pairs = graft.dedup.Dedup
+        .embedCosinePairs(embs, "vec_id", "embedding", "label", 0.3)
+        .localCheckpoint()
       val t0 = System.nanoTime()
-      val nLabeled = graft.dedup.Dedup.components(
-        graft.dedup.Dedup.embedCosinePairs(embs, "vec_id", "embedding", "label", 0.3))
-        .count()
+      val nLabeled = graft.dedup.Dedup.components(pairs).count()
       val label = s"components_${n}x"
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $nLabeled%9d rows  (iterative)")
     }

@@ -50,7 +50,8 @@ object Binary {
       .as[MMRecord]
       .mapPartitions { it =>
         it.map { rec =>
-          MMFeatures(rec.id, rec.payload.length.toLong, decodeStub(rec.payload))
+          val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+          MMFeatures(rec.id, p.length.toLong, decodeStub(p))
         }
       }
   }
@@ -156,8 +157,10 @@ object Binary {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[MMRecord]
       .map { rec =>
-        val m = Option(imageMeta(rec.payload))
-        (rec.id, rec.payload.length.toLong,
+        // null payloads (a null source column) are non-images, not NPEs
+        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+        val m = Option(imageMeta(p))
+        (rec.id, p.length.toLong,
           m.map(_.format).orNull,
           m.map(_.width).getOrElse(-1), m.map(_.height).getOrElse(-1))
       }
@@ -174,8 +177,9 @@ object Binary {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[MMRecord]
       .map { rec =>
-        val m = Option(audioMeta(rec.payload))
-        (rec.id, rec.payload.length.toLong,
+        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+        val m = Option(audioMeta(p))
+        (rec.id, p.length.toLong,
           m.map(_.format).orNull,
           m.map(_.channels).getOrElse(-1),
           m.map(_.sampleRate).getOrElse(-1),

@@ -46,9 +46,12 @@ object Loaders {
 
   /** Zip-wrapped CSV (the reference's `Csv` accepts .zip archives —
     * tests/test_loader_csv.py test_load_single_file_csv_zip). The
-    * archive must contain exactly one CSV entry; it is extracted next
-    * to the archive (driver-side, once) and scanned as normal CSV so
-    * every Sources predicate still pushes into the scan. */
+    * archive must contain exactly one CSV entry; it is extracted to a
+    * fresh managed temp file per load (never beside the archive — a
+    * load must not mutate the dataset directory, and a persistent
+    * cache would serve stale data after the archive changes) and
+    * scanned as normal CSV so every Sources predicate still pushes
+    * into the scan. */
   final case class CsvZipLoader(csv: CsvLoader = CsvLoader()) extends Loader {
     def load(spark: SparkSession, path: String): DataFrame = {
       val zf = new java.util.zip.ZipFile(path)
@@ -58,11 +61,10 @@ object Loaders {
           .filter(_.getName.toLowerCase.endsWith(".csv")).toList
         entries match {
           case one :: Nil =>
-            val out = java.nio.file.Paths.get(
-              path.stripSuffix(".zip") + "_" +
-                java.nio.file.Paths.get(one.getName).getFileName.toString)
-            if (!java.nio.file.Files.exists(out))
-              java.nio.file.Files.copy(zf.getInputStream(one), out)
+            val out = java.nio.file.Files.createTempFile("graft_csvzip_", ".csv")
+            java.nio.file.Files.copy(zf.getInputStream(one), out,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            out.toFile.deleteOnExit()
             csv.load(spark, out.toString)
           case Nil => throw new IllegalArgumentException(
             s"zip at $path contains no .csv entry")

@@ -92,7 +92,11 @@ object Streams {
         col("value").cast("decimal(18,6)"), k).as("top"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"),
-        concat_ws(",", transform(col("top"), x => x.cast("string"))).as("top_csv"))
+        // all-null groups: the heap is empty → NULL, matching the
+        // oracle's string_agg over all-NULL input
+        when(size(col("top")) === 0, lit(null).cast("string"))
+          .otherwise(concat_ws(",", transform(col("top"), x => x.cast("string"))))
+          .as("top_csv"))
   }
 
   def topValues(spark: SparkSession, dir: String, k: Int = 3): DataFrame =

@@ -145,8 +145,12 @@ class LoadersSpec extends SparkSpec {
     val ok = writeZip("one.zip", "data.csv" -> "id,agency\n1,Austin PD\n2,Dallas PD\n")
     val df = Loaders("csv_zip").load(spark, ok)
     assert(df.columns.toSeq == Seq("id", "agency") && df.count() == 2)
-    // re-load uses the already-extracted file (no error on existing)
-    assert(Loaders("csv_zip").load(spark, ok).count() == 2)
+    // an UPDATED archive is reflected on reload (no stale cache), and
+    // the dataset directory is never mutated by a load
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ok))
+    writeZip("one.zip", "data.csv" -> "id,agency\n1,Austin PD\n")
+    assert(Loaders("csv_zip").load(spark, ok).count() == 1)
+    assert(new java.io.File(dir).listFiles().map(_.getName).forall(_.endsWith(".zip")))
     val multi = writeZip("two.zip", "a.csv" -> "x\n1\n", "b.csv" -> "y\n2\n")
     intercept[IllegalArgumentException](Loaders("csv_zip").load(spark, multi))
     val none = writeZip("none.zip", "readme.txt" -> "no csv here")
