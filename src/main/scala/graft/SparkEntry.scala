@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Sources, Tables}
 import graft.sources.Sources.{DateRange, Year}
-import graft.ops.{AgeRange, Dates, Expand, Luts, Standardize}
+import graft.ops.{AgeRange, Dates, Expand, Joins, Luts, Standardize}
 import graft.catalog.Catalog
 import graft.dedup.Dedup
 import graft.sim.Ann
@@ -541,7 +541,40 @@ object SparkEntry {
     // full table — pinning that the stateful pipeline neither drops nor
     // duplicates (DedupSpec covers the duplicate-dropping case).
     "q_stream_dedupe" -> ((s, dir) =>
-      Streams.dedupeStream(s, dir).orderBy("event_id"))
+      Streams.dedupeStream(s, dir).orderBy("event_id")),
+
+    // Temporal joins (operators Spark lacks natively; ops/Joins.scala)
+    // Backward as-of join: each event → the user's most recent purchase
+    // at-or-before it. The build side is pre-aggregated to one row per
+    // (user, ts) so the carried payload is deterministic.
+    "q_asof_join" -> ((s, dir) => {
+      val events = T(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("pid"))
+      Joins.asofJoin(events, purchases, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof.pid").as("last_purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof.__rt"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+    // Keyless interval join: 1-hour windows anchored at high-value
+    // signups, counting ALL events inside each window. Bucketed on the
+    // hour so the plan is a hash join on the bucket key, never the
+    // cross join Spark would pick for the raw inequality predicate.
+    "q_range_join" -> ((s, dir) => {
+      val events = T(s, dir, "events")
+      val anchors = events
+        .filter(col("event_type") === "signup" && col("value") > 9.0)
+        .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      Joins.rangeJoin(events, "ts", anchors, "w_start", "w_end",
+          bucketUs = 3600L * 1000000L)
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_in_window"),
+          round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("sum_value"))
+        .orderBy("anchor_id")
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
@@ -1114,6 +1147,23 @@ object SparkEntry {
         |SELECT s.user_id, s.start_us, s.end_us, s.n_events
         |FROM sess s JOIN last l ON s.user_id = l.user_id, m
         |WHERE s.sid < l.last_sid OR s.end_us + 1800000000 < m.mx - 1800000000
-        |ORDER BY s.user_id, s.start_us""".stripMargin
+        |ORDER BY s.user_id, s.start_us""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH b AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, b.pid AS last_purchase_id,
+        |  epoch_us(e.ts) - epoch_us(b.ts) AS gap_us
+        |FROM events e ASOF LEFT JOIN b
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH a AS (SELECT event_id AS anchor_id, ts FROM events
+        |           WHERE event_type = 'signup' AND value > 9.0)
+        |SELECT a.anchor_id, CAST(count(*) AS BIGINT) AS n_in_window,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+        |FROM a JOIN events e
+        |  ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")),
+      (2L, "k1", ts("2024-01-01 12:00:00")),
+      (3L, "k1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "k2", ts("2024-01-01 12:00:00"))  // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 09:30:00"), 100L),
+      ("k1", ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, "k", "t", "t")
+      .select($"id", $"asof.v".as("v")).sort("id")
+      .as[(Long, Option[Long])].collect()
+    assert(out === Seq((1L, Some(100L)), (2L, Some(200L)), (3L, None), (4L, None)))
+  }
+
+  test("asofJoin: equal-time right row matches, unless strict") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("k", ts("2024-01-01 10:00:00"), 1L),
+      ("k", ts("2024-01-01 09:00:00"), 2L)).toDF("k", "t", "v")
+    def run(strict: Boolean) =
+      Joins.asofJoin(left, right, "k", "t", "t", strict = strict)
+        .select($"asof.v").as[Option[Long]].head()
+    assert(run(strict = false) === Some(1L)) // inclusive: the 10:00 row
+    assert(run(strict = true) === Some(2L))  // strict: falls back to 09:00
+  }
+
+  test("asofJoin: carried payload keeps all value columns from ONE right row") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((7L, ts("2024-01-01 09:00:00"), 5L, "a"),
+      (7L, ts("2024-01-01 08:00:00"), 9L, "b")).toDF("k", "t", "v1", "v2")
+    val r = Joins.asofJoin(left, right, "k", "t", "t")
+      .select($"asof.v1", $"asof.v2", unix_micros($"asof.__rt")).head()
+    assert(r === Row(5L, "a", ts("2024-01-01 09:00:00").getTime * 1000L))
+  }
+
+  test("asofJoin matches a window-derived oracle on events (self as-of)") {
+    val events = sources.Tables(spark, sfDir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max("event_id").as("pid"))
+    val got = Joins.asofJoin(events, purchases, "user_id", "ts", "ts")
+      .select($"event_id", $"asof.pid".as("pid"))
+    // independent oracle: last_value(ignoreNulls) over a tagged union
+    val u = events.select($"user_id", $"ts", lit(null).cast("long").as("pid"),
+        $"event_id", lit(1).as("side"))
+      .unionByName(purchases.select($"user_id", $"ts", $"pid",
+        lit(null).cast("long").as("event_id"), lit(0).as("side")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"ts".asc, $"side".asc)
+      .rowsBetween(Long.MinValue, 0)
+    val want = u.withColumn("lp", last($"pid", ignoreNulls = true).over(w))
+      .filter($"side" === 1).select($"event_id", $"lp".as("pid"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // sanity: some events have a prior purchase, some don't
+    val n = got.count()
+    val matched = got.filter($"pid".isNotNull).count()
+    assert(matched > 0 && matched < n)
+  }
+
+  test("rangeJoin: inclusive start, exclusive end, multi-bucket intervals") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start: in
+      (2L, ts("2024-01-01 11:29:59")), // interior, second bucket: in
+      (3L, ts("2024-01-01 11:30:00")), // == end: out
+      (4L, ts("2024-01-01 09:59:59"))  // before: out
+    ).toDF("pid", "pt")
+    val iv = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00")))
+      .toDF("iv_id", "s", "e")
+    val got = Joins.rangeJoin(probe, "pt", iv, "s", "e", bucketUs = 3600L * 1000000L)
+      .select("pid", "iv_id").sort("pid").as[(Long, Long)].collect()
+    assert(got === Seq((1L, 10L), (2L, 10L)))
+  }
+
+  test("rangeJoin: each match emitted once; empty intervals drop") {
+    val probe = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "pt")
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")), // spans 3 buckets
+      (2L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00"))  // empty
+    ).toDF("iv_id", "s", "e")
+    val got = Joins.rangeJoin(probe, "pt", iv, "s", "e", bucketUs = 2400L * 1000000L)
+      .select("pid", "iv_id").as[(Long, Long)].collect()
+    assert(got === Seq((1L, 1L)))
+  }
+
+  test("rangeJoin plans a hash/merge join on the bucket key, not a cross join") {
+    val events = sources.Tables(spark, sfDir, "events")
+    val anchors = events.filter($"event_type" === "signup" && $"value" > 9.0)
+      .select($"event_id".as("anchor_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val plan = Joins.rangeJoin(events, "ts", anchors, "w_start", "w_end",
+        3600L * 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+}
