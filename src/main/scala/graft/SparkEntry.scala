@@ -472,6 +472,19 @@ object SparkEntry {
       Curation.packChunks(T(s, dir, "documents"), "doc_id", "text",
           shardCol = "source", contextLen = 256)
         .orderBy("source", "doc_id")),
+    // Line-level dedup: the corpus has no newlines, so lines are formed
+    // deterministically (break after every 5th word) — same injection
+    // trick as q_pii_scrub; the operator itself is line-structure-
+    // agnostic. minCount=2 drops ~10% of lines at sf0.01.
+    "q_line_dedup" -> ((s, dir) =>
+      Curation.lineDedup(
+          T(s, dir, "documents").select(col("doc_id"),
+            regexp_replace(col("text"), "((\\w+ ){5})", "$1\n").as("text")),
+          "doc_id", "text", minCount = 2)
+        .orderBy("doc_id")),
+    "q_gopher_filter" -> ((s, dir) =>
+      Curation.gopherQuality(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
@@ -1023,6 +1036,36 @@ object SparkEntry {
         |  CAST(floor((tok_end - n_tokens) / 256) AS BIGINT) AS first_chunk,
         |  CAST(floor((tok_end - 1) / 256) AS BIGINT) AS last_chunk
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, '((\w+ ){5})', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+        |    trim(unnest(string_split(t, chr(10)))) AS line
+        |  FROM d),
+        |c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE cnt < 2) AS kept_text
+        |FROM l JOIN c USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(len(replace(t, ' ', '')) * 1.0 / len(ws), 4) AS mean_word_len,
+        |    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws), 4) AS frac_alpha_words,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords,
+        |    round((len(t) - len(replace(t, '#', '')) + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0 / len(ws), 4) AS symbol_ratio
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+        |  symbol_ratio,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio < 0.1 AND frac_alpha_words > 0.8
+        |   AND n_stopwords >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_mm_imagemeta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(NULL AS VARCHAR) AS format,

@@ -139,6 +139,81 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_hits"))
   }
 
+  // ---- line-level dedup -------------------------------------------------
+
+  /** RefinedWeb/CCNet-style line-level dedup: a (trimmed) line that
+    * occurs at least `minCount` times ACROSS THE CORPUS is dropped from
+    * every document — the standard scrub for boilerplate (nav bars,
+    * cookie banners, signatures) that survives document-level dedup.
+    * Returns (id, n_lines, n_dropped, kept_text) with kept lines
+    * rejoined in original order; kept_text is NULL when every line
+    * dropped (matching the oracle's string_agg over zero rows).
+    *
+    * Scale shape: explode to (line) rows → one partial-aggregated count
+    * shuffle keyed on the line, an equi-join back on the same key (AQE
+    * picks the strategy — the count side is corpus-derived, so never an
+    * explicit broadcast), and one per-doc re-aggregation. At 100 TB the
+    * join key would be xxhash64(line) rather than the string; kept as
+    * the string here so the DuckDB oracle joins on the same key. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minCount: Long): DataFrame = {
+    require(minCount >= 2, s"lineDedup: minCount must be >= 2, got $minCount")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col(idCol), col("pos"), trim(col("raw")).as("line"))
+    val counts = lines.groupBy("line").agg(count(lit(1)).as("__cnt"))
+    val kept = array_sort(collect_list(
+      when(col("__cnt") < minCount, struct(col("pos"), col("line")))))
+    lines.join(counts, "line")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__cnt") >= minCount, 1L).otherwise(0L)).as("n_dropped"),
+        kept.as("__kept"))
+      .select(col(idCol), col("n_lines"), col("n_dropped"),
+        when(size(col("__kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(col("__kept"), s => s.getField("line")), "\n"))
+          .as("kept_text"))
+  }
+
+  // ---- Gopher quality rules ---------------------------------------------
+
+  /** The Gopher (Rae et al. 2021) stopword set used by the
+    * must-contain-2 rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1
+    * subset expressible over whitespace-tokenized text): word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol-to-word
+    * ratio ('#' or '…' as '...') below 0.1, >= 80% of words containing
+    * an alphabetic character, and at least 2 stopwords. Returns per-doc
+    * metrics plus the conjunctive `keep` flag.
+    *
+    * Pure scan-stage Column expressions (no shuffle, no UDF): the whole
+    * filter runs inside WholeStageCodegen during the first pass over
+    * the corpus, which is exactly where a 100 TB curation pipeline
+    * wants its cheap kill rules. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = split(t, " ")
+    val nWords = size(words).cast("long")
+    val meanWl = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
+    val fracAlpha = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 4)
+    val nStop = size(filter(words, w => w.isInCollection(GopherStopwords))).cast("long")
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symRatio = round((nHash + nEllipsis).cast("double") / nWords, 4)
+    val keep = nWords.between(minWords, maxWords) &&
+      meanWl.between(3.0, 10.0) && symRatio < 0.1 &&
+      fracAlpha > 0.8 && nStop >= 2
+    df.select(col(idCol), nWords.as("n_words"), meanWl.as("mean_word_len"),
+      fracAlpha.as("frac_alpha_words"), nStop.as("n_stopwords"),
+      symRatio.as("symbol_ratio"), keep.as("keep"))
+  }
+
   // ---- sequence packing -------------------------------------------------
 
   /** GPT-style sequence packing: per shard, documents are concatenated

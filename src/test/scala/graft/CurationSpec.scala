@@ -196,4 +196,53 @@ class CurationSpec extends SparkSpec {
     val r2 = Curation.kmvDistinct(orders, col("o_orderkey"), 1 << 20).head()
     assert(r2.getDouble(0) == r2.getLong(1).toDouble && r2.getDouble(2) == 0.0)
   }
+
+  test("lineDedup drops corpus-repeated lines, keeps order, nulls empty docs") {
+    val docs = Seq(
+      (1L, "unique one\nboilerplate footer\nunique two"),
+      (2L, "boilerplate footer\nanother unique"),
+      (3L, "  boilerplate footer  "), // whitespace-trimmed match; all lines drop
+      (4L, "solo line")
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(out(0) === ((1L, 3L, 1L, Some("unique one\nunique two"))))
+    assert(out(1) === ((2L, 2L, 1L, Some("another unique"))))
+    assert(out(2) === ((3L, 1L, 1L, None))) // every line dropped → NULL
+    assert(out(3) === ((4L, 1L, 0L, Some("solo line"))))
+  }
+
+  test("lineDedup counts within-doc repeats toward the corpus threshold") {
+    val docs = Seq((1L, "same line\nsame line"), (2L, "other")).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[String])].collect()
+    assert(out(0) === ((1L, 2L, 2L, None)))
+    assert(out(1) === ((2L, 1L, 0L, Some("other"))))
+  }
+
+  test("gopherQuality rules: word count, stopwords, symbols, alpha fraction") {
+    val longGood = ("the quick brown fox jumps with vigor over the lazy dog " * 5).trim
+    val docs = Seq(
+      (1L, longGood),                       // 55 words, stopwords, alpha → keep
+      (2L, "too short to keep"),            // word count below minWords
+      (3L, longGood + " ### ... ### ... ### ... ###"), // symbol ratio >= 0.1
+      (4L, ("123 456 789 000 111 " * 12).trim + " the with"), // alpha frac <= 0.8
+      (5L, ("quick brown fox jumps vigor " * 11).trim) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQuality(docs, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ===
+      Seq(true, false, false, false, false))
+    val good = out(0)
+    assert(good.getAs[Long]("n_words") === 55L)
+    assert(good.getAs[Long]("n_stopwords") === 15L) // the×10, with×5
+    assert(good.getAs[Double]("symbol_ratio") === 0.0)
+    assert(good.getAs[Double]("frac_alpha_words") === 1.0)
+    // null text is metric-safe and dropped
+    val nulls = Curation.gopherQuality(
+      Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(!nulls.getAs[Boolean]("keep"))
+  }
 }
