@@ -326,6 +326,12 @@ object SparkEntry {
           Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
             "label", threshold = 0.3))
         .orderBy("id")),
+    // SemDeDup: keep-lowest-id survivors after cell-scoped cosine
+    // dominance (oracle = NOT EXISTS over the same rounded cosine).
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semantic(T(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.3)
+        .orderBy("vec_id")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -555,6 +561,8 @@ object SparkEntry {
     // duplicates (DedupSpec covers the duplicate-dropping case).
     "q_stream_dedupe" -> ((s, dir) =>
       Streams.dedupeStream(s, dir).orderBy("event_id")),
+    "q_stream_enrich" -> ((s, dir) =>
+      Streams.enrich(s, dir).orderBy("window_start_us", "tier")),
 
     // Temporal joins (operators Spark lacks natively; ops/Joins.scala)
     // Backward as-of join: each event → the user's most recent purchase
@@ -1171,6 +1179,28 @@ object SparkEntry {
     "q_stream_dedupe" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH dim AS (SELECT o_custkey AS user_id,
+        |    CASE WHEN sum(CAST(o_totalprice AS DECIMAL(30,10))) > 2500000
+        |         THEN 'high' ELSE 'low' END AS tier
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS window_start_us,
+        |  d.tier, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2 ORDER BY window_start_us, tier""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT b.vec_id AS id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_id, label FROM v
+        |WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos >= 0.3)
+        |ORDER BY vec_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT max(t) AS mx FROM e),

@@ -335,4 +335,26 @@ object Dedup {
         round(graft.functions.GraftFunctions.cosineSim(col("l.vec"), col("r.vec")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): within each quantizer cell, a document is
+    * REMOVED when any lower-id member of the same cell is a cosine
+    * near-duplicate (>= threshold); the survivors are the keep-lowest-id
+    * representative set. The dominance rule is "any earlier member",
+    * not "any earlier survivor" — well-defined without iteration and
+    * exactly expressible as the oracle's NOT EXISTS.
+    *
+    * Scale shape: candidate pairs come from [[embedCosinePairs]]
+    * (cell-blocked salted equi-join — never all-pairs, no corpus-side
+    * broadcast); the removal set folds back via a left-anti equi-join
+    * on the id. At 100 TB the cells come from a learned coarse
+    * quantizer (see [[graft.sim.Ann.ivfLearned]]); here cells are the
+    * `label` column. */
+  def semantic(embs: DataFrame, idCol: String, vecCol: String,
+               cellCol: String, threshold: Double): DataFrame = {
+    val removed = embedCosinePairs(embs, idCol, vecCol, cellCol, threshold)
+      .select(col("id_b").as("__rm")).distinct()
+    embs.join(removed, embs(idCol) === col("__rm"), "left_anti")
+      .select(col(idCol), col(cellCol))
+  }
 }

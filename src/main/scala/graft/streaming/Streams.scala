@@ -123,6 +123,36 @@ object Streams {
     runToMemory(dedupeStreamDf(spark, dir, keyCols, watermarkMinutes),
       s"graft_stream_dedupe_${System.nanoTime()}", OutputMode.Append())
 
+  /** Stream-static enrichment (pre-sink, unbounded): the streaming
+    * events join a BATCH dimension — per-customer lifetime spend tier
+    * derived from orders — then aggregate per (hour window, tier).
+    * The static side is planned once per micro-batch as an ordinary
+    * batch join (broadcast while it fits, shuffled once it doesn't);
+    * only the windowed aggregation keeps streaming state, bounded by
+    * the watermark. This is the standard "enrich the firehose against
+    * a dimension snapshot" pipeline stage. */
+  def enrichStream(spark: SparkSession, dir: String,
+                   spendCutoff: Long = 2500000L): DataFrame = {
+    val dim = graft.sources.Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("spend"))
+      .select(col("o_custkey").as("user_id"),
+        when(col("spend") > lit(spendCutoff).cast("decimal(30,10)"), "high")
+          .otherwise("low").as("tier"))
+    readTableStream(spark, dir, "events")
+      .withWatermark("ts", "30 minutes")
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("tier"), col("n"), col("total_value"))
+  }
+
+  def enrich(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(enrichStream(spark, dir),
+      s"graft_stream_enrich_${System.nanoTime()}", OutputMode.Complete())
+
   final case class SimDoc(band_id: Int, band_val: Long, doc_id: Long,
                           sim: Long, ts_us: Long)
   final case class NearDup(id_a: Long, id_b: Long, hamming: Int)

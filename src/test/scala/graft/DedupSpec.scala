@@ -134,4 +134,21 @@ class DedupSpec extends SparkSpec {
     assert(h("alpha beta gamma") == h("gamma alpha beta")) // bag-of-words model
     assert(java.lang.Long.bitCount(h("alpha beta gamma") ^ h("x y z w")) > 6)
   }
+
+  test("semantic dedup: survivors have no lower-id near-dup in their cell") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.sources.Tables(spark, sfDir, "embeddings")
+    val survivors = graft.dedup.Dedup.semantic(embs, "vec_id", "embedding",
+      "label", threshold = 0.3)
+    val pairs = graft.dedup.Dedup.embedCosinePairs(embs, "vec_id", "embedding",
+      "label", threshold = 0.3)
+    val n = embs.count()
+    val nSurv = survivors.count()
+    val nRemoved = pairs.select("id_b").distinct().count()
+    assert(nSurv === n - nRemoved)
+    assert(nRemoved > 0, "fixture has no near-dups; threshold too high")
+    // no survivor appears as the dominated side of any pair
+    assert(survivors.join(pairs,
+      survivors("vec_id") === pairs("id_b"), "inner").count() === 0)
+  }
 }

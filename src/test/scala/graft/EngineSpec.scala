@@ -149,6 +149,28 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join + window agg") {
+    val streamed = Streams.enrich(spark, sfDir)
+      .orderBy("window_start_us", "tier")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val dim = graft.sources.Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("spend"))
+      .select(col("o_custkey").as("user_id"),
+        when(col("spend") > lit(2500000L).cast("decimal(30,10)"), "high")
+          .otherwise("low").as("tier"))
+    val batch = graft.sources.Tables(spark, sfDir, "events")
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(30,10)")), 2).cast("double").as("v"))
+      .select(unix_micros(col("w.start")).as("ws"), col("tier"), col("n"), col("v"))
+      .orderBy("ws", "tier")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._2).distinct.sorted == Seq("high", "low"))
+  }
+
   test("image header metadata parses PNG/GIF/JPEG dims without a codec") {
     import graft.multimodal.Binary
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
