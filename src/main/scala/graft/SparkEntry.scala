@@ -95,6 +95,10 @@ object SparkEntry {
     "IMPACT WEAPON", "NO FORCE", "0", "CANINE BITE", "BLANKET HOLD",
     "DISPLAYED WEAPON", "CUTTING INSTRUMENT", "VEHICLE")
 
+  private val nameRaws: Seq[String] = Seq(
+    null, "John Doe", " Jane Roe / John Doe ", "A/B/C", "",
+    "O'Brien, Patrick", "SMITH JR./ DOE SR.")
+
   private val ethRaws: Seq[String] = Seq(
     null, "", "MISSING", "NOT SPECIFIED", "NOT RECORDED", "N/A", "NONE",
     "BLANK", "NO DATA AVAILABLE", "(NULL)",
@@ -178,6 +182,9 @@ object SparkEntry {
       Catalog.summaryByType(Catalog.catalog(s, dir)).orderBy("table_type", "year")),
     "q_num_sources" -> ((s, dir) =>
       Catalog.numSources(Catalog.catalog(s, dir)).orderBy("state")),
+    "q_num_unique" -> ((s, dir) =>
+      Catalog.numUniqueAgg(Catalog.catalog(s, dir),
+        Seq("state", "source_id", "table_type"))),
     "q_table_types" -> ((s, dir) =>
       Catalog.tableTypes(Catalog.catalog(s, dir), contains = Some("ur"))
         .orderBy("table_type")),
@@ -190,6 +197,14 @@ object SparkEntry {
     "q_std_gender" -> ((s, dir) =>
       rawsDf(s, genderRaws)
         .select(col("id"), col("raw"), Luts.genderStd(col("raw")).as("gender_std"))
+        .orderBy("id")),
+    // standardize_name (preproc.py:1424): null → UNSPECIFIED, '/'-held
+    // multi-name cells split into trimmed parts (pipe-joined here so
+    // the driver compare sees a scalar).
+    "q_std_name" -> ((s, dir) =>
+      rawsDf(s, nameRaws)
+        .select(col("id"), col("raw"),
+          concat_ws("|", Standardize.nameParts(col("raw"))).as("parts"))
         .orderBy("id")),
     "q_std_age_range" -> ((s, dir) =>
       rawsDf(s, ageRaws)
@@ -710,6 +725,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY state""".stripMargin,
+    "q_num_unique" ->
+      """SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS n_state,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_source_id,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_table_type
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey""".stripMargin,
     "q_table_types" ->
       """SELECT DISTINCT c_mktsegment AS table_type
         |FROM customer
@@ -726,6 +749,13 @@ object SparkEntry {
     "q_std_gender" ->
       s"""SELECT id, raw, ${Luts.genderStdSql} AS gender_std
          |FROM (VALUES ${valuesSql(genderRaws)}) AS t(id, raw)
+         |ORDER BY id""".stripMargin,
+    "q_std_name" ->
+      s"""SELECT id, raw,
+         |  CASE WHEN raw IS NULL THEN 'UNSPECIFIED'
+         |       ELSE array_to_string(list_transform(string_split(raw, '/'), x -> trim(x)), '|')
+         |  END AS parts
+         |FROM (VALUES ${valuesSql(nameRaws)}) AS t(id, raw)
          |ORDER BY id""".stripMargin,
     "q_std_age_range" ->
       s"""SELECT id, raw, ${AgeRange.ageRangeStdSql} AS age_range_std

@@ -95,6 +95,15 @@ object Catalog {
   def numUnique(cat: DataFrame, column: String): Long =
     cat.select(column).distinct().count()
 
+  /** DataFrame form of [[numUnique]] over several columns in one pass
+    * (each count_distinct partial-aggregates map-side; no driver
+    * action). */
+  def numUniqueAgg(cat: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numUniqueAgg: need at least one column")
+    cat.agg(count_distinct(col(cols.head)).as(s"n_${cols.head}"),
+      cols.tail.map(c => count_distinct(col(c)).as(s"n_$c")): _*)
+  }
+
   /** `get_table_types(contains=)` (datasets.py:317): distinct table types
     * matching a case-insensitive substring. */
   def tableTypes(cat: DataFrame, contains: Option[String] = None): DataFrame = {

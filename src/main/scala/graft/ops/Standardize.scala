@@ -89,4 +89,13 @@ object Standardize {
   def stdMulti(c: Column, delim: String, stdFn: Column => Column): Column =
     when(c.isNull, stdFn(c))
       .otherwise(array_join(transform(split(c, delim), x => stdFn(trim(x))), delim.trim + " "))
+
+  /** `standardize_name` (preproc.py:1424): nulls become UNSPECIFIED;
+    * cells holding several people's names split on the delimiter into
+    * trimmed parts. The reference returns {index: name} dicts — the
+    * array position plays the index key. */
+  def nameParts(c: Column, delim: String = "/"): Column =
+    when(c.isNull, array(lit("UNSPECIFIED")))
+      .otherwise(transform(
+        split(c, java.util.regex.Pattern.quote(delim)), x => trim(x)))
 }

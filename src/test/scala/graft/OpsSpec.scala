@@ -210,4 +210,15 @@ class OpsSpec extends SparkSpec {
     assert(got.map(r => (r.getAs[String]("pos"), r.getAs[Int]("item_num"), r.getAs[String]("v"))).toSeq ==
       Seq(("x", 0, "a"), ("x", 1, "b")))
   }
+
+  test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
+    val df = Seq((1, null: String), (2, "John Doe"), (3, " Jane Roe / John Doe "),
+      (4, "A/B/C")).toDF("id", "raw")
+    val got = df.select(col("id"), Standardize.nameParts(col("raw")).as("p"))
+      .orderBy("id").as[(Int, Seq[String])].collect()
+    assert(got(0)._2 === Seq("UNSPECIFIED"))
+    assert(got(1)._2 === Seq("John Doe"))
+    assert(got(2)._2 === Seq("Jane Roe", "John Doe"))
+    assert(got(3)._2 === Seq("A", "B", "C"))
+  }
 }
