@@ -578,6 +578,8 @@ object SparkEntry {
       Streams.dedupeStream(s, dir).orderBy("event_id")),
     "q_stream_enrich" -> ((s, dir) =>
       Streams.enrich(s, dir).orderBy("window_start_us", "tier")),
+    "q_stream_joined" -> ((s, dir) =>
+      Streams.intervalJoin(s, dir).orderBy("click_id", "purchase_id")),
 
     // Temporal joins (operators Spark lacks natively; ops/Joins.scala)
     // Backward as-of join: each event → the user's most recent purchase
@@ -1209,6 +1211,14 @@ object SparkEntry {
     "q_stream_dedupe" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_joined" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_stream_enrich" ->
       """WITH dim AS (SELECT o_custkey AS user_id,
         |    CASE WHEN sum(CAST(o_totalprice AS DECIMAL(30,10))) > 2500000

@@ -153,6 +153,36 @@ object Streams {
     runToMemory(enrichStream(spark, dir),
       s"graft_stream_enrich_${System.nanoTime()}", OutputMode.Complete())
 
+  /** Stream-STREAM interval join (pre-sink, unbounded): each click
+    * joined to the same user's purchases in the following hour. Both
+    * sides are independent watermarked streams and the join condition
+    * bounds the event-time gap, so Spark can evict both join buffers:
+    * click state is needed for at most (1h join range + purchase
+    * watermark), purchase state for the click watermark. Append mode —
+    * a match emits once, when both rows have arrived. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readTableStream(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = readTableStream(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(intervalJoinStream(spark, dir),
+      s"graft_stream_joined_${System.nanoTime()}", OutputMode.Append())
+
   final case class SimDoc(band_id: Int, band_val: Long, doc_id: Long,
                           sim: Long, ts_us: Long)
   final case class NearDup(id_a: Long, id_b: Long, hamming: Int)

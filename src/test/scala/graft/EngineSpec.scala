@@ -171,6 +171,25 @@ class EngineSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.sorted == Seq("high", "low"))
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    val streamed = Streams.intervalJoin(spark, sfDir)
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val e = graft.sources.Tables(spark, sfDir, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") < col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("g"))
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.forall(r => r._3 >= 0 && r._3 < 3600L * 1000000L))
+  }
+
   test("image header metadata parses PNG/GIF/JPEG dims without a codec") {
     import graft.multimodal.Binary
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
