@@ -58,7 +58,22 @@ object Plans {
       "none.", false),
     ("q_pack_chunks", "Sequence packing: one window per shard (PARTITION BY " +
       "source) - running sums run independently per shard partition, no global " +
-      "ordering bottleneck.", false))
+      "ordering bottleneck.", false),
+    ("q_asof_join", "Backward as-of join as tagged union + per-key window: " +
+      "ONE hash exchange on the key (both inputs align to it), a per-key time " +
+      "sort, last(ignoreNulls) carry-forward - no join operator, no candidate " +
+      "explosion.", false),
+    ("q_range_join", "Corpus-scale shape (auto-broadcast disabled): keyless " +
+      "interval join bucketed on the hour - intervals explode to their covering " +
+      "buckets, probes key to one bucket, hash join on the bucket with exact " +
+      "[start,end) containment as the join filter; never a cartesian product.", true),
+    ("q_line_dedup", "Corpus-scale shape (auto-broadcast disabled): lines " +
+      "explode once, line counts partial-aggregate before their shuffle, the " +
+      "count folds back via a hash equi-join on the line, one per-doc " +
+      "re-aggregation - no corpus-side broadcast anywhere.", true),
+    ("q_dedup_semantic", "Corpus-scale shape (auto-broadcast disabled): " +
+      "cell-blocked salted cosine pair join (reused from q_dedup_embed) plus a " +
+      "left-anti fold of the removal set, both shuffled equi-joins.", true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

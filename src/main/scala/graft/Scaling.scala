@@ -67,6 +67,22 @@ object Scaling {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
         docs, "doc_id", "text"))
+      time(s"line_dedup_${n}x", graft.text.Curation.lineDedup(
+        docs.select(col("doc_id"),
+          regexp_replace(col("text"), "((\\w+ ){5})", "$1\n").as("text")),
+        "doc_id", "text", 2))
+      time(s"semantic_${n}x", graft.dedup.Dedup.semantic(
+        embs, "vec_id", "embedding", "label", 0.3))
+      time(s"asof_join_${n}x", {
+        val ev = Tables(spark, sfDir, "events")
+        val probe = (0 until n).map(i => ev.select(
+          (col("event_id") + lit(i * 10000000L)).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"))).reduce(_.unionByName(_))
+        val marker = probe.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("pid"))
+        graft.ops.Joins.asofJoin(probe, marker, "user_id", "ts", "ts")
+          .select(col("event_id"), col("asof.pid").as("pid"))
+      })
       // components runs its own actions (iterative) — time it directly,
       // over PRE-MATERIALIZED pairs so the number measures the
       // iterative algorithm, not a re-run of the pair join timed above

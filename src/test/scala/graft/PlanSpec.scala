@@ -98,6 +98,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: one hash shuffle on the key, a window, and no join operator") {
+    val events = Tables(spark, sfDir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("pid"))
+    val p = planOf(graft.ops.Joins.asofJoin(events, purchases, "user_id", "ts", "ts"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must be union+window, not a join:\n$p")
+    // exactly one hash exchange on the as-of key (the pre-agg reuses it)
+    val keyExchanges = "hashpartitioning\\(__k".r.findAllIn(p).size
+    assert(keyExchanges == 1, s"expected one __k exchange, got $keyExchanges:\n$p")
+  }
+
+  test("lineDedup and semantic dedup: no corpus-side broadcast") {
+    withoutAutoBroadcast {
+      val pl = planOf(graft.text.Curation.lineDedup(
+        Tables(spark, sfDir, "documents")
+          .select(col("doc_id"), regexp_replace(col("text"), "((\\w+ ){5})", "$1\n").as("text")),
+        "doc_id", "text", 2))
+      assert(!pl.contains("BroadcastExchange"),
+        s"line-count side is corpus-derived, must not broadcast:\n$pl")
+      val psem = planOf(graft.dedup.Dedup.semantic(
+        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", "label", 0.3))
+      assert(!psem.contains("BroadcastExchange") && !psem.contains("CartesianProduct"), psem)
+    }
+  }
+
   test("topk_agg: bounded-heap aggregate partial-aggregates before the shuffle") {
     val p = planOf(graft.analytics.Analytics.windowTopNAgg(spark, sfDir))
     // partial_topk_largest under ObjectHashAggregate BEFORE the exchange
