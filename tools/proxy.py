@@ -19,7 +19,9 @@ HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
               "q_topk_agg", "q_skew_agg", "q_dedup_exact", "q_lang_id",
               "q_token_count", "q_fingerprint_winnow",
               "q_sample_split", "q_pii_scrub", "q_decontaminate",
-              "q_distinct_kmv", "q_pack_chunks"]
+              "q_distinct_kmv", "q_pack_chunks",
+              "q_asof_join", "q_range_join", "q_line_dedup",
+              "q_gopher_filter", "q_dedup_semantic"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
