@@ -42,6 +42,10 @@ object Joins {
                leftTimeCol: String, rightTimeCol: String,
                strict: Boolean = false): DataFrame = {
     val leftFields = left.schema.fields.toSeq
+    val reserved = Seq("__k", "__t", "__side", "__p", "asof")
+    val clash = leftFields.map(_.name).intersect(reserved)
+    require(clash.isEmpty, s"asofJoin: left columns ${clash.mkString(", ")} " +
+      "collide with the operator's working columns")
     val valFields = right.schema.fields.toSeq
       .filter(f => f.name != keyCol && f.name != rightTimeCol)
     val rtField = right.schema.fields.find(_.name == rightTimeCol)
@@ -51,8 +55,11 @@ object Joins {
 
     // Right rows sort before left rows at equal time (side 0 < 1) so an
     // exact-time match is visible; strict mode sorts them after (2 > 1).
+    // Null-key right rows can never match (SQL equality semantics — a
+    // window partition WOULD group nulls together), so drop them; null-
+    // key left rows pass through with a null `asof`.
     val rightSide = if (strict) 2 else 0
-    val r = right.select(
+    val r = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull).select(
       Seq(col(keyCol).as("__k"), col(rightTimeCol).as("__t"),
         lit(rightSide).cast(IntegerType).as("__side"),
         struct((col(rightTimeCol).as("__rt") +:
@@ -98,6 +105,9 @@ object Joins {
     val ivCols = intervals.schema.fieldNames.toSeq
     require(probeCols.intersect(ivCols).isEmpty,
       s"rangeJoin: overlapping column names ${probeCols.intersect(ivCols).mkString(", ")}")
+    val clash = (probeCols ++ ivCols).intersect(Seq("__pt", "__b", "__s", "__e"))
+    require(clash.isEmpty, s"rangeJoin: columns ${clash.mkString(", ")} " +
+      "collide with the operator's working columns")
     val s = unix_micros(col(startCol))
     val e = unix_micros(col(endCol))
     val iv = intervals

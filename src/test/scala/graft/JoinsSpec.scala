@@ -70,6 +70,26 @@ class JoinsSpec extends SparkSpec {
     assert(matched > 0 && matched < n)
   }
 
+  test("asofJoin: null keys never match; null-key left rows pass through") {
+    val left = Seq((1L, Some(7L), ts("2024-01-01 10:00:00")),
+      (2L, None: Option[Long], ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((Some(7L), ts("2024-01-01 09:00:00"), 1L),
+      (None: Option[Long], ts("2024-01-01 09:00:00"), 2L)).toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, "k", "t", "t")
+      .select($"id", $"asof.v").sort("id").as[(Long, Option[Long])].collect()
+    assert(out === Seq((1L, Some(1L)), (2L, None)))
+  }
+
+  test("working-column collisions are rejected up front") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("asof", "t")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("k", "t")
+    intercept[IllegalArgumentException](Joins.asofJoin(df, r, "asof", "t", "t"))
+    val p = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("__b", "pt")
+    val iv = Seq((ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"))).toDF("s", "e")
+    intercept[IllegalArgumentException](
+      Joins.rangeJoin(p, "pt", iv, "s", "e", 3600000000L))
+  }
+
   test("rangeJoin: inclusive start, exclusive end, multi-bucket intervals") {
     val probe = Seq(
       (1L, ts("2024-01-01 10:00:00")), // == start: in
