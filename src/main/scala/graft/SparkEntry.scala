@@ -1078,7 +1078,7 @@ object SparkEntry {
         |FROM t ORDER BY source, doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id,
-        |    regexp_replace(text, '((\w+ ){5})', '\1' || chr(10), 'g') AS t
+        |    regexp_replace(coalesce(text, ''), '((\w+ ){5})', '\1' || chr(10), 'g') AS t
         |  FROM documents),
         |l AS (SELECT doc_id,
         |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,

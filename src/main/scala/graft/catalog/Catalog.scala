@@ -91,13 +91,15 @@ object Catalog {
     cat.groupBy("state").agg(count_distinct(col("source_id")).as("n_sources"))
 
   /** `num_unique` (datasets.py:160): distinct values of one catalog
-    * column. */
+    * column. NULLs are excluded, matching pandas `nunique(dropna=True)`
+    * (and SQL count(DISTINCT ...)) — so this agrees with
+    * [[numUniqueAgg]] on nullable columns. */
   def numUnique(cat: DataFrame, column: String): Long =
-    cat.select(column).distinct().count()
+    cat.filter(col(column).isNotNull).select(column).distinct().count()
 
   /** DataFrame form of [[numUnique]] over several columns in one pass
     * (each count_distinct partial-aggregates map-side; no driver
-    * action). */
+    * action). NULLs excluded, like [[numUnique]]. */
   def numUniqueAgg(cat: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numUniqueAgg: need at least one column")
     cat.agg(count_distinct(col(cols.head)).as(s"n_${cols.head}"),

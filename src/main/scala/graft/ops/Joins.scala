@@ -48,6 +48,8 @@ object Joins {
       "collide with the operator's working columns")
     val valFields = right.schema.fields.toSeq
       .filter(f => f.name != keyCol && f.name != rightTimeCol)
+    require(!valFields.exists(_.name == "__rt"), "asofJoin: right column " +
+      "__rt collides with the payload's matched-time field")
     val rtField = right.schema.fields.find(_.name == rightTimeCol)
       .getOrElse(throw new IllegalArgumentException(
         s"asofJoin: right side has no column '$rightTimeCol'"))
@@ -96,10 +98,13 @@ object Joins {
     * join). Pick `bucketUs` near the typical interval length: one
     * interval then explodes to ~2 bucket rows, and bucket fan-out stays
     * O(intervals). Hot buckets (a burst hour) are ordinary join skew —
-    * AQE splits them. */
+    * AQE splits them. An interval spanning more than
+    * `maxBucketsPerInterval` buckets fails the job with a clear error
+    * instead of silently fanning out (a single sentinel end date like
+    * 9999-12-31 would otherwise explode one row into ~70M). */
   def rangeJoin(probe: DataFrame, probeTimeCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                bucketUs: Long): DataFrame = {
+                bucketUs: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketUs > 0, s"rangeJoin: bucketUs must be positive, got $bucketUs")
     val probeCols = probe.schema.fieldNames.toSeq
     val ivCols = intervals.schema.fieldNames.toSeq
@@ -110,11 +115,18 @@ object Joins {
       "collide with the operator's working columns")
     val s = unix_micros(col(startCol))
     val e = unix_micros(col(endCol))
+    val bStart = floor(s / bucketUs).cast("long")
+    val bEnd = floor((e - 1) / bucketUs).cast("long")
+    // raise_error sits in the sequence bound so the guard cannot be
+    // pruned away: the row either explodes within budget or fails loud
+    val guardedEnd = when(bEnd - bStart >= maxBucketsPerInterval,
+        raise_error(concat(lit(s"rangeJoin: interval spans > $maxBucketsPerInterval buckets "),
+          lit(s"(bucketUs=$bucketUs) — raise bucketUs or clean sentinel end times"))
+          .cast("long")))
+      .otherwise(bEnd)
     val iv = intervals
       .filter(e > s) // an empty interval matches nothing (and sequence() would reject stop < start)
-      .withColumn("__b", explode(sequence(
-        floor(s / bucketUs).cast("long"),
-        floor((e - 1) / bucketUs).cast("long"))))
+      .withColumn("__b", explode(sequence(bStart, guardedEnd)))
       .withColumn("__s", s).withColumn("__e", e)
     val pt = unix_micros(col(probeTimeCol))
     val pb = probe

@@ -128,9 +128,12 @@ object Streams {
     * derived from orders — then aggregate per (hour window, tier).
     * The static side is planned once per micro-batch as an ordinary
     * batch join (broadcast while it fits, shuffled once it doesn't);
-    * only the windowed aggregation keeps streaming state, bounded by
-    * the watermark. This is the standard "enrich the firehose against
-    * a dimension snapshot" pipeline stage. */
+    * only the windowed aggregation keeps streaming state, and that
+    * state is watermark-evicted under an APPEND-mode sink (file/kafka
+    * at scale — [[runToFileSink]]). The Complete-mode memory-sink
+    * wrapper [[enrich]] below retains all windows by definition; it
+    * exists only as the oracle harness. This is the standard "enrich
+    * the firehose against a dimension snapshot" pipeline stage. */
   def enrichStream(spark: SparkSession, dir: String,
                    spendCutoff: Long = 2500000L): DataFrame = {
     val dim = graft.sources.Tables(spark, dir, "orders")

@@ -147,7 +147,10 @@ object Curation {
     * cookie banners, signatures) that survives document-level dedup.
     * Returns (id, n_lines, n_dropped, kept_text) with kept lines
     * rejoined in original order; kept_text is NULL when every line
-    * dropped (matching the oracle's string_agg over zero rows).
+    * dropped (matching the oracle's string_agg over zero rows). NULL
+    * text coalesces to one empty line (the doc stays in the output —
+    * dropping it silently would lose rows across a re-join on the id),
+    * and empty lines count like any other line.
     *
     * Scale shape: explode to (line) rows → one partial-aggregated count
     * shuffle keyed on the line, an equi-join back on the same key (AQE
@@ -159,7 +162,8 @@ object Curation {
                 minCount: Long): DataFrame = {
     require(minCount >= 2, s"lineDedup: minCount must be >= 2, got $minCount")
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "raw")))
       .select(col(idCol), col("pos"), trim(col("raw")).as("line"))
     val counts = lines.groupBy("line").agg(count(lit(1)).as("__cnt"))
     val kept = array_sort(collect_list(

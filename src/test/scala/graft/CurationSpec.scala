@@ -213,6 +213,17 @@ class CurationSpec extends SparkSpec {
     assert(out(3) === ((4L, 1L, 0L, Some("solo line"))))
   }
 
+  test("lineDedup keeps null-text docs as one empty line (no silent row loss)") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real line"))
+      .toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[String])].collect()
+    // both null docs present; their shared empty line hits the threshold
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0) === ((1L, 1L, 1L, None)))
+    assert(out(2) === ((3L, 1L, 0L, Some("real line"))))
+  }
+
   test("lineDedup counts within-doc repeats toward the corpus threshold") {
     val docs = Seq((1L, "same line\nsame line"), (2L, "other")).toDF("doc_id", "text")
     val out = Curation.lineDedup(docs, "doc_id", "text", minCount = 2)

@@ -47,6 +47,9 @@ class JoinsSpec extends SparkSpec {
     assert(r === Row(5L, "a", ts("2024-01-01 09:00:00").getTime * 1000L))
   }
 
+  // Consistency check of the production wiring against a hand-rolled
+  // window formulation (it shares the algorithm — the INDEPENDENT
+  // correctness signal is the DuckDB ASOF JOIN oracle of q_asof_join).
   test("asofJoin matches a window-derived oracle on events (self as-of)") {
     val events = sources.Tables(spark, sfDir, "events")
     val purchases = events.filter($"event_type" === "purchase")
@@ -102,6 +105,18 @@ class JoinsSpec extends SparkSpec {
     val got = Joins.rangeJoin(probe, "pt", iv, "s", "e", bucketUs = 3600L * 1000000L)
       .select("pid", "iv_id").sort("pid").as[(Long, Long)].collect()
     assert(got === Seq((1L, 10L), (2L, 10L)))
+  }
+
+  test("rangeJoin fails loud on an interval spanning more than the bucket budget") {
+    val probe = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "pt")
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("iv_id", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(probe, "pt", iv, "s", "e", bucketUs = 3600L * 1000000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("rangeJoin: interval spans")), ex.toString)
   }
 
   test("rangeJoin: each match emitted once; empty intervals drop") {
