@@ -168,6 +168,22 @@ object SparkEntry {
     }),
 
     // Catalog
+    // merge with the join key AUTO-DETECTED by the reference's tiered
+    // find_id_column heuristics (differing incident-id spellings on the
+    // two sides).
+    "q_related_auto" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("Incident_Number"), col("o_orderdate"))
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("incident_num"), col("l_linenumber"),
+          col("l_quantity"))
+      Sources.mergeRelatedAuto(items, orders)
+        .select(col("incident_num"), col("l_linenumber"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("l_quantity"))
+        .orderBy("incident_num", "l_linenumber")
+    }),
+
     "q_catalog_query" -> ((s, dir) =>
       Catalog.query(Catalog.catalog(s, dir),
           state = Some("NATION_3"), tableType = Some("BUILDING"))
@@ -689,6 +705,13 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "q_related_auto" ->
+      """SELECT l_orderkey AS incident_num, l_linenumber,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY incident_num, l_linenumber""".stripMargin,
 
     "q_catalog_query" ->
       """SELECT DISTINCT n_name AS state, c_custkey AS source_id, c_name AS source_name,

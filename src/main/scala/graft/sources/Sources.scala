@@ -280,4 +280,114 @@ object Sources {
                    how: String = "inner",
                    broadcastRight: Boolean = false): DataFrame =
     left.join(if (broadcastRight) broadcast(right) else right, Seq(idCol), how)
+
+  // ---- automatic merge-key detection (preproc.py:140 find_id_column) ----
+
+  private val IncIdPattern =
+    "(incident|stop|case)(_|\\s)?(id|num|number|code|#|\\*)$".r
+
+  private def incIdMatches(cols: Seq[String]): Seq[String] = {
+    val lower = cols.map(c => c -> c.toLowerCase)
+    val anchored = lower.collect {
+      case (c, l) if IncIdPattern.pattern.matcher(l).matches() => c
+    }
+    if (anchored.nonEmpty) anchored
+    else lower.collect {
+      case (c, l) if IncIdPattern.findFirstIn(l).isDefined => c
+    }
+  }
+
+  private def splitWords(s: String): Seq[String] =
+    s.toLowerCase.split("[_\\s]+").toSeq.filter(_.nonEmpty)
+
+  /** `find_id_column` (preproc.py:140): pick the shared id column two
+    * related tables join on, by the reference's tiered name heuristics —
+    * (1) a single incident/stop/case-id-shaped column on both sides,
+    * (2) a common column named `case` or a two-word incident-id form,
+    * (3) a common `<entity>id` / `<entity>_num` form for the known
+    * entity words, (4) a common `id`/`filenum`, (5) `casenumber`/
+    * `accidentnumber` validated by CONTENT: one side's values must be
+    * ≥ 98% contained in the other's (computed distributedly — two
+    * distinct-project scans and a join, no driver collect).
+    * Returns the (leftCol, rightCol) pair, None when nothing matches;
+    * several incident-id candidates on one side raise (the reference's
+    * NotImplementedError). */
+  def findIdColumn(df1: DataFrame, df2: DataFrame): Option[(String, String)] = {
+    val m1 = incIdMatches(df1.columns.toSeq)
+    val m2 = incIdMatches(df2.columns.toSeq)
+    if (m1.length > 1 || m2.length > 1)
+      throw new IllegalArgumentException(
+        s"findIdColumn: ambiguous incident-id candidates " +
+          s"(${(m1 ++ m2).mkString(", ")})")
+    if (m1.length == 1 && m2.length == 1) return Some((m1.head, m2.head))
+
+    val common = df1.columns.map(_.toLowerCase).toSet
+      .intersect(df2.columns.map(_.toLowerCase).toSet)
+    def orig(df: DataFrame, l: String): String =
+      df.columns.find(_.toLowerCase == l).get
+    def pair(l: String) = Some((orig(df1, l), orig(df2, l)))
+
+    val tier2 = common.toSeq.sorted.collectFirst {
+      case c if c == "case" => c
+      case c if { val w = splitWords(c)
+        w.length == 2 && "incident".startsWith(w.head) &&
+          Seq("num", "id", "number").contains(w(1)) } => c
+    }
+    if (tier2.isDefined) return pair(tier2.get)
+
+    val idWords = Seq("master", "crime", "complaint", "tax", "log",
+      "collision", "report", "case")
+    val tier3 = common.toSeq.sorted.collectFirst {
+      case c if idWords.exists { w =>
+        c == w + "id" || c == w + "_subject_id" || {
+          val ws = splitWords(c)
+          ws.length == 2 && ws.head == w &&
+            Seq("num", "id", "number", "no").contains(ws(1))
+        }
+      } => c
+    }
+    if (tier3.isDefined) return pair(tier3.get)
+
+    Seq("id", "filenum").find(common.contains) match {
+      case Some(c) => pair(c)
+      case None =>
+        // content-validated fallback (the reference's Norman-crashes
+        // case): casenumber/accidentnumber count as the id only when
+        // one side's values are >= 98% contained in the other's
+        val cands = Seq("casenumber", "accidentnumber")
+        val c1 = df1.columns.find(x => cands.contains(x.toLowerCase))
+        val c2 = df2.columns.find(x => cands.contains(x.toLowerCase))
+        (c1, c2) match {
+          case (Some(a), Some(b)) if containmentRate(df1, a, df2, b) > 0.98 ||
+              containmentRate(df2, b, df1, a) > 0.98 => Some((a, b))
+          case _ => None
+        }
+    }
+  }
+
+  /** Fraction of df1's non-null `c1` values present among df2's `c2`
+    * values — two distinct projections meeting in a left-semi join;
+    * both sides partial-aggregate, nothing reaches the driver but the
+    * two counts. */
+  private def containmentRate(df1: DataFrame, c1: String,
+                              df2: DataFrame, c2: String): Double = {
+    val v1 = df1.select(col(c1).cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val v2 = df2.select(col(c2).cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct()
+    val total = v1.count()
+    if (total == 0) 0.0
+    else v1.join(v2, Seq("v"), "left_semi").count().toDouble / total
+  }
+
+  /** [[mergeRelated]] with the join key auto-detected by
+    * [[findIdColumn]]; errors with both schemas when no key is found. */
+  def mergeRelatedAuto(left: DataFrame, right: DataFrame,
+                       how: String = "inner"): DataFrame = {
+    val (lc, rc) = findIdColumn(left, right).getOrElse(
+      throw new IllegalArgumentException(
+        "mergeRelatedAuto: no shared id column found between " +
+          s"[${left.columns.mkString(", ")}] and [${right.columns.mkString(", ")}]"))
+    left.join(right.withColumnRenamed(rc, lc), Seq(lc), how)
+  }
 }

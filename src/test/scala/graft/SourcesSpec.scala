@@ -172,6 +172,55 @@ class SourcesSpec extends SparkSpec {
     assert(merged.count() > 0)
   }
 
+  test("findIdColumn: tiered name heuristics follow the reference") {
+    import spark.implicits._
+    def df(cols: String*) = cols.zipWithIndex
+      .foldLeft(Seq((1)).toDF("__seed")) { case (d, (c, i)) => d.withColumn(c, lit(i)) }
+      .drop("__seed")
+    // tier 1: incident-id-shaped on both sides (different names OK)
+    assert(Sources.findIdColumn(df("Incident_ID", "race"), df("INCIDENT NUMBER", "x"))
+      === Some(("Incident_ID", "INCIDENT NUMBER")))
+    // anchored match preferred over an embedded one
+    assert(Sources.findIdColumn(df("case_id", "ncase_id2x"), df("CASE_ID"))
+      === Some(("case_id", "CASE_ID")))
+    // ambiguity raises (reference: NotImplementedError)
+    intercept[IllegalArgumentException](
+      Sources.findIdColumn(df("incident_id", "stop_id"), df("case_no_b", "x")))
+    // tier 2: common column named case
+    assert(Sources.findIdColumn(df("Case", "a"), df("case", "b"))
+      === Some(("Case", "case")))
+    // tier 3: entity-word id forms
+    assert(Sources.findIdColumn(df("reportid", "a"), df("REPORTID", "b"))
+      === Some(("reportid", "REPORTID")))
+    // tier 4: plain id
+    assert(Sources.findIdColumn(df("id", "a"), df("ID", "b"))
+      === Some(("id", "ID")))
+    // nothing shared → None
+    assert(Sources.findIdColumn(df("foo", "bar"), df("baz")) === None)
+  }
+
+  test("findIdColumn content fallback: cross-name case/accident number needs 98% containment") {
+    // casenumber alone is an incident-id-shaped name (tier 1); the
+    // content-validated path is for CROSS-name pairs (the reference's
+    // Norman crashes dataset: casenumber vs accidentnumber)
+    val a = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("CaseNumber", "a")
+    val contained = (1 to 50).map(i => (i.toLong, i)).toDF("AccidentNumber", "b")
+    val disjoint = (1000 to 1050).map(i => (i.toLong, i)).toDF("AccidentNumber", "b")
+    assert(Sources.findIdColumn(a, contained) === Some(("CaseNumber", "AccidentNumber")))
+    assert(Sources.findIdColumn(a, disjoint) === None)
+  }
+
+  test("mergeRelatedAuto joins on the detected key across differing names") {
+    val orders = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
+      .withColumnRenamed("o_orderkey", "Incident_Number").limit(50)
+    val items = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "incident_num")
+    val merged = Sources.mergeRelatedAuto(items, orders)
+    assert(merged.columns.toSeq ==
+      Seq("incident_num", "l_quantity", "o_orderdate"))
+    assert(merged.count() > 0)
+  }
+
   test("combine aligns schemas with nulls for missing columns") {
     val a = Seq((1L, "x")).toDF("id", "only_a")
     val b = Seq((2L, 3.0)).toDF("id", "only_b")
