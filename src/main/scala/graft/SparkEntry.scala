@@ -443,6 +443,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
         .orderBy("term_id")),
+    "q_keywords" -> ((s, dir) =>
+      Rank.keywords(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")),
+    "q_lm_score" -> ((s, dir) =>
+      TextStats.lmScore(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_sample_pergroup" -> ((s, dir) =>
       Curation.sampleKPerGroup(T(s, dir, "documents"), "source", "doc_id",
           "text", k = 5)
@@ -1004,6 +1010,37 @@ object SparkEntry {
         |      WHERE term <> '' GROUP BY term)
         |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS term_id
         |FROM d WHERE df >= 100 ORDER BY term_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(lower(text)) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))) AS g
+        |  FROM n),
+        |model AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY 1),
+        |ctx AS (SELECT substr(g, 1, 1) AS a, sum(c) AS ca FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT substr(g, 2, 1)) AS DOUBLE) AS nv FROM model)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(round(sum(CAST(-ln((m.c + 1) / (x.ca + v.nv)) AS DECIMAL(30,15))), 6) AS DOUBLE)
+        |        / count(*), 4) AS nats
+        |FROM bg JOIN model m USING (g)
+        |JOIN ctx x ON substr(bg.g, 1, 1) = x.a, v
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
+    "q_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |        round(tf * ln((n_docs + 1) / (df + 1)), 4) AS score
+        |      FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+        |      FROM s)
+        |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_sample_pergroup" ->
       """WITH h AS (SELECT source, doc_id,
         |    ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h FROM documents),

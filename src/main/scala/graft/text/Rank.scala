@@ -43,6 +43,32 @@ object Rank {
         .orderBy(col("df").desc, col("term"))).cast("long").as("term_id"))
   }
 
+  /** Top-k TF-IDF keywords per document: score = tf * ln((N+1)/(df+1))
+    * (add-one smoothed idf), rounded to 4 decimals BEFORE ranking so
+    * ties break identically everywhere (then term asc). Returns
+    * (doc_id, term, score, rnk <= k).
+    *
+    * Scale shape: the corpus-sized work is the two keyed aggregates
+    * (tf, df) and their equi-join; the per-doc rank window only sees
+    * one document's distinct terms — bounded by the document length,
+    * not the corpus. N arrives as a 1-row broadcast. */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    require(k >= 1, s"keywords: k must be >= 1, got $k")
+    val tf = termFreqs(docs, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val consts = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+  }
+
   /** BM25 ranking of documents against a bag-of-terms query.
     * k1 controls tf saturation, b length normalization; idf is the
     * standard smoothed form ln(1 + (N - df + 0.5)/(df + 0.5)).

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline: language
@@ -100,6 +100,54 @@ object TextStats {
     * use on real data: CollapseProject re-inlines the k-gram hash array
     * into every window slice, making it O(n²·k) per row (the same
     * reason the MinHash signature has a codegen kernel). */
+  /** CCNet-style language-model quality score: train a char-bigram LM
+    * on the corpus itself, then score each document by its mean
+    * cross-entropy under that model (nats per bigram, add-one
+    * smoothed: P(b|a) = (c(ab)+1) / (c(a·)+V), V = distinct second
+    * chars). Atypical documents (boilerplate, non-language noise)
+    * score HIGH; fluent in-domain text scores low — the
+    * perplexity-filter signal of CCNet (Wenzek et al. 2020) with the
+    * n-gram model trained in-engine instead of imported.
+    *
+    * Determinism: each bigram's -ln P is truncated to decimal(30,15)
+    * before the per-doc sum, so accumulation is exact and
+    * partition-order-independent — the DuckDB oracle reproduces it
+    * bit-for-bit (the repo's standard decimal-exact-sum discipline).
+    *
+    * Scale shape: one exploded-bigram aggregate trains the model (keyed
+    * shuffle, map-side combine); the model table is bounded by the
+    * CHARACTER alphabet squared — a true fixed-size dim that AQE
+    * broadcasts — so scoring is a scan-stage join plus one per-doc
+    * aggregation. Docs shorter than one bigram drop (mirrored by the
+    * oracle). Returns (id, n_bigrams, nats). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs
+      .select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 2)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("g"))
+    val model = grams.groupBy("g").agg(count(lit(1)).cast("double").as("c"))
+    val ctx = model.groupBy(substring(col("g"), 1, 1).as("a"))
+      .agg(sum(col("c")).as("ca"))
+    val vocab = model.agg(
+      count_distinct(substring(col("g"), 2, 1)).cast("double").as("nv"))
+    grams
+      .join(model, "g")
+      .join(ctx, substring(col("g"), 1, 1) === col("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((col("c") + 1) / (col("ca") + col("nv"))))
+          .cast("decimal(30,15)").as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("__s"))
+      // exact decimal sum → round(6) → IDENTICAL double on both engines,
+      // then one double division + round(4): no decimal-division scale
+      // rules in play (they differ between engines)
+      .select(col(idCol), col("n_bigrams"),
+        round(round(col("__s"), 6).cast("double") / col("n_bigrams"), 4).as("nats"))
+  }
+
   def winnowFingerprintsDecl(text: Column, k: Int = 4, w: Int = 5): Column = {
     require(k >= 2 && k <= 8 && w >= 1, s"winnow: bad k=$k / w=$w")
     val t = lower(trim(regexp_replace(text, "\\s+", " ")))

@@ -177,4 +177,44 @@ class AnnTextSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(v == Seq(("alpha", 3L, 1L), ("beta", 2L, 2L)))
   }
+
+  test("keywords: rare repeated terms outrank corpus-universal ones") {
+    import graft.text.Rank
+    val docs = Seq(
+      (1L, "common rare rare rare common"),
+      (2L, "common other"),
+      (3L, "common third")
+    ).toDF("doc_id", "text")
+    val kw = Rank.keywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Double, Int)].collect().toSeq
+    // doc 1: 'rare' (tf=3, df=1 → 3*ln(2)=2.0794) beats 'common'
+    // (tf=2 but df=N → idf = ln(1) = 0: universal terms NEVER rank)
+    assert(kw.filter(_._1 == 1L).map(_._2) == Seq("rare", "common"))
+    assert(kw.find(r => r._1 == 1L && r._2 == "rare").get._3 === 2.0794)
+    assert(kw.filter(_._1 == 1L).map(_._3).last === 0.0)
+    assert(kw.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("lmScore: atypical docs score higher cross-entropy than fluent ones") {
+    import graft.text.TextStats
+    val fluent = "the quick brown fox jumps over the lazy dog and the quick cat"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent + " again and again"), (3L, fluent),
+      (4L, "zq xj qz jx zx qj zzz xxx qqq jjj") // bigrams rare in this corpus
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // self-trained on 4 docs the margin is modest but the ORDER is the
+    // contract: noise above every fluent doc by a clear gap
+    assert(byId(4L) > byId(1L) + 0.3 && byId(4L) > byId(2L) + 0.3,
+      s"noise doc must stand out: $byId")
+    assert(byId(1L) == byId(3L)) // identical docs, identical score
+    // determinism under physical re-partitioning (decimal-exact sums)
+    val again = TextStats.lmScore(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
