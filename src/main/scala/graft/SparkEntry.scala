@@ -357,6 +357,17 @@ object SparkEntry {
           Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
             "label", threshold = 0.3))
         .orderBy("id")),
+    // Symmetric int8 embedding quantization (4x shuffle/storage cut for
+    // corpus-scale vector tables) — bytes rendered as CSV for the
+    // driver compare.
+    "q_embed_quant" -> ((s, dir) => {
+      val q = graft.sim.Vectors.quantizeInt8(col("embedding"))
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), q.as("qz"))
+        .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+          concat_ws(",", transform(col("qz.q"), x => x.cast("string"))).as("q_csv"))
+        .orderBy("vec_id")
+    }),
     // SemDeDup: keep-lowest-id survivors after cell-scoped cosine
     // dominance (oracle = NOT EXISTS over the same rounded cosine).
     "q_dedup_semantic" -> ((s, dir) =>
@@ -1289,6 +1300,16 @@ object SparkEntry {
         |  CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1, 2 ORDER BY window_start_us, tier""".stripMargin,
+    "q_embed_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+        |         ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS sc
+        |  FROM v)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(CAST(round(x / sc, 0) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |p AS (
