@@ -363,6 +363,9 @@ object SparkEntry {
     "q_embed_quant" -> ((s, dir) => {
       val q = graft.sim.Vectors.quantizeInt8(col("embedding"))
       T(s, dir, "embeddings")
+        // contract: null/empty vectors are excluded on BOTH sides (the
+        // engines' null semantics for concat_ws/list_max diverge)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), q.as("qz"))
         .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
           concat_ws(",", transform(col("qz.q"), x => x.cast("string"))).as("q_csv"))
@@ -1301,7 +1304,8 @@ object SparkEntry {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1, 2 ORDER BY window_start_us, tier""".stripMargin,
     "q_embed_quant" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
         |s AS (SELECT vec_id, e,
         |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
         |         ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS sc

@@ -307,8 +307,9 @@ object Sources {
     * (3) a common `<entity>id` / `<entity>_num` form for the known
     * entity words, (4) a common `id`/`filenum`, (5) `casenumber`/
     * `accidentnumber` validated by CONTENT: one side's values must be
-    * ≥ 98% contained in the other's (computed distributedly — two
-    * distinct-project scans and a join, no driver collect).
+    * STRICTLY more than 98% contained in the other's — the reference's
+    * `.mean() > 0.98` — (computed distributedly: two distinct-project
+    * scans and a join, no driver collect).
     * Returns the (leftCol, rightCol) pair, None when nothing matches;
     * several incident-id candidates on one side raise (the reference's
     * NotImplementedError). */

@@ -95,11 +95,6 @@ object TextStats {
     graft.functions.GraftFunctions.winnowFp(text, k, w)
   }
 
-  /** Declarative reference form of [[winnowFingerprints]], kept as the
-    * cross-check for KernelPropertySpec-style equivalence tests. DO NOT
-    * use on real data: CollapseProject re-inlines the k-gram hash array
-    * into every window slice, making it O(n²·k) per row (the same
-    * reason the MinHash signature has a codegen kernel). */
   /** CCNet-style language-model quality score: train a char-bigram LM
     * on the corpus itself, then score each document by its mean
     * cross-entropy under that model (nats per bigram, add-one
@@ -124,6 +119,11 @@ object TextStats {
     val grams = docs
       .select(col(idCol), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 2)
+      // round-robin exchange: projection barrier keeping `t` an
+      // attribute inside the bigram lambda (CollapseProject would
+      // otherwise inline lower(text) per element → O(len²) per row —
+      // the rawWordNgrams trap), and spreads the per-row gram work off
+      // the single parquet split
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("g"))
@@ -148,6 +148,11 @@ object TextStats {
         round(round(col("__s"), 6).cast("double") / col("n_bigrams"), 4).as("nats"))
   }
 
+  /** Declarative reference form of [[winnowFingerprints]], kept as the
+    * cross-check for KernelPropertySpec-style equivalence tests. DO NOT
+    * use on real data: CollapseProject re-inlines the k-gram hash array
+    * into every window slice, making it O(n²·k) per row (the same
+    * reason the MinHash signature has a codegen kernel). */
   def winnowFingerprintsDecl(text: Column, k: Int = 4, w: Int = 5): Column = {
     require(k >= 2 && k <= 8 && w >= 1, s"winnow: bad k=$k / w=$w")
     val t = lower(trim(regexp_replace(text, "\\s+", " ")))
