@@ -542,6 +542,18 @@ object SparkEntry {
     "q_gopher_filter" -> ((s, dir) =>
       Curation.gopherQuality(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Contiguous global ids without a single-partition window (the
+    // offsets fold back from one count per partition).
+    "q_assign_ids" -> ((s, dir) =>
+      Curation.assignIds(T(s, dir, "documents").select("doc_id", "source"),
+          orderCols = Seq("source", "doc_id"))
+        .select(col("doc_id"), col("source"), col("gid"))
+        .orderBy("gid")),
+    // Uniform language mix: every lang downsampled toward the smallest
+    // (fr, 64 docs at sf0.01) by content-hash thresholding.
+    "q_domain_mix" -> ((s, dir) =>
+      Curation.domainMix(T(s, dir, "documents"), "lang", "doc_id", "text")
+        .orderBy("lang", "doc_id")),
 
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
@@ -1150,6 +1162,17 @@ object SparkEntry {
         |  CAST(floor((tok_end - n_tokens) / 256) AS BIGINT) AS first_chunk,
         |  CAST(floor((tok_end - 1) / 256) AS BIGINT) AS last_chunk
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "q_assign_ids" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) - 1 AS gid
+        |FROM documents ORDER BY gid""".stripMargin,
+    "q_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM c, m)
+        |SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r.rate
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(coalesce(text, ''), '((\w+ ){5})', '\1' || chr(10), 'g') AS t

@@ -245,6 +245,71 @@ object Curation {
         floor((col("tok_end") - 1) / contextLen).cast("long").as("last_chunk"))
   }
 
+  // ---- contiguous global ids --------------------------------------------
+
+  /** Contiguous 0-based global ids in a deterministic total order —
+    * WITHOUT funnelling the corpus through one window partition (the
+    * row_number-over-everything trap). Range-partition on the order
+    * keys, number rows within each partition, then add per-partition
+    * offsets computed from the partition COUNTS: the only
+    * single-partition window runs over one row per partition (bounded
+    * by the cluster, not the data), and the offsets fold back via a
+    * broadcast join. `orderCols` must be a total order (include a
+    * unique tiebreak) or ids among ties are partition-dependent.
+    * Returns the input plus `idName`. */
+  def assignIds(df: DataFrame, orderCols: Seq[String],
+                idName: String = "gid"): DataFrame = {
+    require(orderCols.nonEmpty, "assignIds: need at least one order column")
+    val reserved = Seq("__pid", "__rn", "__cnt", "__offset", idName)
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty, s"assignIds: columns ${clash.mkString(", ")} " +
+      "collide with the operator's working columns")
+    val keys = orderCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val local = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        w.partitionBy("__pid").orderBy(keys: _*)))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(w.orderBy("__pid")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(idName, col("__offset") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__offset")
+  }
+
+  // ---- domain mixing ----------------------------------------------------
+
+  /** Deterministic uniform domain mix: every group (source/domain) is
+    * downsampled toward the SMALLEST group's size by keeping rows whose
+    * 32-bit content-hash fraction falls below min_count/group_count —
+    * the Pile/Dolma-style mixing step, reproducible across runs and
+    * re-partitionings (no rand()), stable under re-ingestion (content
+    * hash, like [[splitLabel]]). Sizes land within sampling noise of
+    * the target, not exactly on it. Returns the kept rows' (groupCol,
+    * idCol).
+    *
+    * Scale shape: one partial-aggregated group-count shuffle; the
+    * per-group rates fold back via an equi-join on the group — NO
+    * explicit broadcast hint (the rate table is corpus-derived: one
+    * row per domain, millions when mixing at host granularity — AQE
+    * broadcasts it only while it truly fits); the keep test is a
+    * scan-stage expression. Only the single-row min crosses as a
+    * literal broadcast. */
+  def domainMix(df: DataFrame, groupCol: String, idCol: String,
+                contentCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__m"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol), (col("__m").cast("double") / col("__n")).as("__rate"))
+    val frac = kmvHash(col(contentCol)).cast("double") / lit(4294967296.0)
+    df.join(rates, groupCol)
+      .filter(frac < col("__rate"))
+      .select(groupCol, idCol)
+  }
+
   // ---- KMV distinct-count sketch ---------------------------------------
 
   /** 32-bit content hash for the KMV sketch: both engines compute

@@ -197,6 +197,41 @@ class CurationSpec extends SparkSpec {
     assert(r2.getDouble(0) == r2.getLong(1).toDouble && r2.getDouble(2) == 0.0)
   }
 
+  test("assignIds: contiguous 0-based ids matching the global order, stable under repartition") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source")
+    val got = Curation.assignIds(docs, Seq("source", "doc_id"))
+      .orderBy("gid").as[(Long, String, Long)].collect().toSeq
+    val n = got.length
+    assert(got.map(_._3) == (0L until n.toLong), "ids must be 0..n-1 contiguous")
+    // ids follow the (source, doc_id) total order
+    assert(got.map(r => (r._2, r._1)) == got.map(r => (r._2, r._1)).sorted)
+    // physical partitioning must not change the assignment
+    val again = Curation.assignIds(docs.repartition(7), Seq("source", "doc_id"))
+      .orderBy("gid").as[(Long, String, Long)].collect().toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Curation.assignIds(docs.withColumnRenamed("source", "gid"), Seq("gid")))
+  }
+
+  test("domainMix downsamples skewed groups toward the smallest") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Curation.domainMix(docs, "lang", "doc_id", "text")
+    val after = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minBefore = before.values.min
+    // smallest group survives whole; bigger groups shrink toward it
+    // (hash thresholding: within sampling noise, not exact)
+    assert(after(before.minBy(_._2)._1) == minBefore)
+    after.foreach { case (g, n) =>
+      assert(n <= before(g), s"$g grew")
+      assert(math.abs(n - minBefore) < minBefore * 0.5, s"$g: $n vs target $minBefore")
+    }
+    // deterministic: same input → same kept set
+    val again = Curation.domainMix(docs, "lang", "doc_id", "text")
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
   test("lineDedup drops corpus-repeated lines, keeps order, nulls empty docs") {
     val docs = Seq(
       (1L, "unique one\nboilerplate footer\nunique two"),
