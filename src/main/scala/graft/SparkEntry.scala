@@ -616,6 +616,11 @@ object SparkEntry {
       Streams.windowAgg(s, dir).orderBy("window_start_us", "event_type")),
     "q_stream_topk" -> ((s, dir) =>
       Streams.topValues(s, dir, k = 3).orderBy("window_start_us", "event_type")),
+    // Native session_window twin: emits ONLY watermark-closed sessions
+    // (fMGWS also closes a session the moment its successor arrives),
+    // so its oracle keeps just the watermark visibility condition.
+    "q_stream_sessions_native" -> ((s, dir) =>
+      Streams.sessionizeNative(s, dir).orderBy("user_id", "start_us")),
     "q_stream_sessions" -> ((s, dir) =>
       Streams.sessionize(s, dir).orderBy("user_id", "start_us")),
     // Watermark-bounded streaming dedup: event_id is unique in the
@@ -1369,6 +1374,24 @@ object SparkEntry {
         |FROM sess s JOIN last l ON s.user_id = l.user_id, m
         |WHERE s.sid < l.last_sid OR s.end_us + 1800000000 < m.mx - 1800000000
         |ORDER BY s.user_id, s.start_us""".stripMargin,
+    "q_stream_sessions_native" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT max(t) AS mx FROM e),
+        |s AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, t,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |sess AS (SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+        |           CAST(count(*) AS BIGINT) AS n_events
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events FROM sess, m
+        |WHERE end_us + 1800000000 < m.mx - 1800000000
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_asof_join" ->
       """WITH b AS (SELECT user_id, ts, max(event_id) AS pid FROM events

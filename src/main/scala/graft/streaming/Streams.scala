@@ -312,4 +312,32 @@ object Streams {
                  gapMinutes: Int = 30): DataFrame =
     runToMemory(sessionizeStream(spark, dir, gapMinutes),
       s"graft_stream_sessions_${System.nanoTime()}", OutputMode.Append())
+
+  /** The built-in twin of [[sessionizeStream]]: Spark's native
+    * `session_window` aggregation instead of hand-rolled
+    * flatMapGroupsWithState — prefer this form when the per-session
+    * output is expressible as aggregates (state merging, watermark
+    * eviction, and session-merge across micro-batches come from the
+    * engine). The custom fMGWS version remains for session logic
+    * aggregates can't express (mid-session emission, custom eviction).
+    * Append mode emits each session once its window is closed by the
+    * watermark — same visibility rule as the fMGWS twin, so both share
+    * one oracle. `end_us` is the LAST EVENT time (window end minus the
+    * gap), matching the fMGWS output exactly. */
+  def sessionizeNativeStream(spark: SparkSession, dir: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    readTableStream(spark, dir, "events")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - gapUs).as("end_us"), col("n_events"))
+  }
+
+  def sessionizeNative(spark: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    runToMemory(sessionizeNativeStream(spark, dir, gapMinutes),
+      s"graft_stream_sessions_native_${System.nanoTime()}", OutputMode.Append())
 }

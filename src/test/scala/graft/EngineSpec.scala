@@ -149,6 +149,16 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("native session_window emits a subset of the fMGWS sessions, byte-equal") {
+    val native = Streams.sessionizeNative(spark, sfDir)
+    val fmgws = Streams.sessionize(spark, sfDir).toDF(native.columns: _*)
+    assert(native.count() > 0)
+    // fMGWS additionally emits sessions closed by a successor event
+    // near stream end; every watermark-closed native session must
+    // appear in the fMGWS output with identical bounds and counts
+    assert(native.except(fmgws).isEmpty)
+  }
+
   test("stream-static enrichment equals the batch join + window agg") {
     val streamed = Streams.enrich(spark, sfDir)
       .orderBy("window_start_us", "tier")
