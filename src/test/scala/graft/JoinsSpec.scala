@@ -130,6 +130,60 @@ class JoinsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L)))
   }
 
+  test("asofJoin equals per-row brute force over seeded random data") {
+    val rng = new scala.util.Random(7)
+    val leftRows = Seq.fill(300)((rng.nextInt(8).toLong,
+      rng.nextInt(100000).toLong, rng.nextLong().abs % 1000000))
+      .zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
+    // unique (key, time) on the right by construction (distinct)
+    val rightRows = Seq.fill(150)((rng.nextInt(8).toLong,
+      rng.nextInt(100000).toLong)).distinct
+      .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val left = leftRows.toDF("id", "k", "tu")
+      .select($"id", $"k", timestamp_micros($"tu").as("t"))
+    val right = rightRows.toDF("k", "tu", "v")
+      .select($"k", timestamp_micros($"tu").as("t"), $"v")
+    val got = Joins.asofJoin(left, right, "k", "t", "t")
+      .select($"id", $"asof.v".as("v")).sort("id")
+      .as[(Long, Option[Long])].collect().toSeq
+    val byKey = rightRows.groupBy(_._1)
+    val want = leftRows.map { case (id, k, t) =>
+      val c = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      (id, if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+    }
+    assert(got == want)
+    // strict mode: drop the equal-time matches from the candidate set
+    val gotStrict = Joins.asofJoin(left, right, "k", "t", "t", strict = true)
+      .select($"id", $"asof.v".as("v")).sort("id")
+      .as[(Long, Option[Long])].collect().toSeq
+    val wantStrict = leftRows.map { case (id, k, t) =>
+      val c = byKey.getOrElse(k, Nil).filter(_._2 < t)
+      (id, if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+    }
+    assert(gotStrict == wantStrict)
+  }
+
+  test("rangeJoin equals per-row brute force over seeded random intervals") {
+    val rng = new scala.util.Random(11)
+    val probeRows = (0 until 400).map(i => (i.toLong, rng.nextInt(500000).toLong))
+    val ivRows = (0 until 60).map { i =>
+      val s = rng.nextInt(500000).toLong
+      (1000L + i, s, s + rng.nextInt(40000).toLong)
+    }
+    val probe = probeRows.toDF("pid", "ptu")
+      .select($"pid", timestamp_micros($"ptu").as("pt"))
+    val iv = ivRows.toDF("iv_id", "su", "eu")
+      .select($"iv_id", timestamp_micros($"su").as("s"), timestamp_micros($"eu").as("e"))
+    val got = Joins.rangeJoin(probe, "pt", iv, "s", "e", bucketUs = 10000L)
+      .select("pid", "iv_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, pt) <- probeRows
+      (ivId, s, e) <- ivRows
+      if pt >= s && pt < e
+    } yield (pid, ivId)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("rangeJoin plans a hash/merge join on the bucket key, not a cross join") {
     val events = sources.Tables(spark, sfDir, "events")
     val anchors = events.filter($"event_type" === "signup" && $"value" > 9.0)
