@@ -49,6 +49,14 @@ object Scaling {
       val n = d.count()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  (no broadcast)")
     }
+    // For operators whose ONLY broadcasts are bounded by construction
+    // (a 1-row aggregate, one row per partition) — never the corpus.
+    def timeBounded(name: String, df: => DataFrame): Unit = {
+      val d = df
+      val t0 = System.nanoTime()
+      val n = d.count()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  (bounded broadcast)")
+    }
 
     Seq(1, 4).foreach { n =>
       val docs = scaleDocs(n)
@@ -73,6 +81,11 @@ object Scaling {
         "doc_id", "text", 2))
       time(s"semantic_${n}x", graft.dedup.Dedup.semantic(
         embs, "vec_id", "embedding", "label", 0.3))
+      timeBounded(s"domain_mix_${n}x", graft.text.Curation.domainMix(
+        docs.withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(5)))),
+        "grp", "doc_id", "text"))
+      timeBounded(s"assign_ids_${n}x", graft.text.Curation.assignIds(
+        docs.select("doc_id", "source"), Seq("source", "doc_id")))
       time(s"asof_join_${n}x", {
         val ev = Tables(spark, sfDir, "events")
         val probe = (0 until n).map(i => ev.select(

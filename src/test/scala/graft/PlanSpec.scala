@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     assert(keyExchanges == 1, s"expected one __k exchange, got $keyExchanges:\n$p")
   }
 
+  test("domainMix: rate table is AQE-joined, never hint-broadcast") {
+    withoutAutoBroadcast {
+      val p = planOf(graft.text.Curation.domainMix(
+        Tables(spark, sfDir, "documents"), "lang", "doc_id", "text"))
+      // the single-row min is the ONLY allowed broadcast; the per-group
+      // rate table (unbounded cardinality at host granularity) is not
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      assert(broadcasts <= 1, s"rate table must not be hint-broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+        p.take(1500))
+    }
+  }
+
+  test("assignIds: data is range-partitioned; only the per-partition counts broadcast") {
+    val p = planOf(graft.text.Curation.assignIds(
+      Tables(spark, sfDir, "documents").select("doc_id", "source"),
+      Seq("source", "doc_id")))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"ids must come from range partitions:\n$p")
+    // no row_number window over a single global partition of the DATA:
+    // every SinglePartition exchange must feed the tiny count/offset
+    // aggregation, which sits under the broadcast side
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("lineDedup and semantic dedup: no corpus-side broadcast") {
     withoutAutoBroadcast {
       val pl = planOf(graft.text.Curation.lineDedup(
