@@ -73,7 +73,22 @@ object Plans {
       "re-aggregation - no corpus-side broadcast anywhere.", true),
     ("q_dedup_semantic", "Corpus-scale shape (auto-broadcast disabled): " +
       "cell-blocked salted cosine pair join (reused from q_dedup_embed) plus a " +
-      "left-anti fold of the removal set, both shuffled equi-joins.", true))
+      "left-anti fold of the removal set, both shuffled equi-joins.", true),
+    ("q_assign_ids", "Contiguous global ids without a global window: range " +
+      "partition on the order keys, per-partition row_number, offsets from the " +
+      "per-partition COUNTS (the only single-partition exchange carries one row " +
+      "per partition) folded back via broadcast join.", false),
+    ("q_domain_mix", "Corpus-scale shape (auto-broadcast disabled): group-count " +
+      "aggregate -> rate table joined back on the group key with NO hint (AQE " +
+      "broadcasts it only while it fits — domain cardinality is unbounded at " +
+      "host granularity); the keep test is a scan-stage hash threshold.", true),
+    ("q_lm_score", "Two-pass self-trained LM: the exploded-bigram exchange is " +
+      "REUSED by the model aggregate and the scoring probe; the model/context/" +
+      "vocab tables are alphabet-bounded true dims; decimal-exact per-doc " +
+      "accumulation.", false),
+    ("q_keywords", "tf and df keyed aggregates meet in a term equi-join; the " +
+      "1-row corpus constant crosses as a literal broadcast; the rank window " +
+      "partitions per doc — bounded by document length, never corpus-wide.", false))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
