@@ -82,10 +82,11 @@ object Plans {
       "aggregate -> rate table joined back on the group key with NO hint (AQE " +
       "broadcasts it only while it fits — domain cardinality is unbounded at " +
       "host granularity); the keep test is a scan-stage hash threshold.", true),
-    ("q_lm_score", "Two-pass self-trained LM: the exploded-bigram exchange is " +
-      "REUSED by the model aggregate and the scoring probe; the model/context/" +
-      "vocab tables are alphabet-bounded true dims; decimal-exact per-doc " +
-      "accumulation.", false),
+    ("q_lm_score", "Two-pass self-trained LM: model/context/vocab branches each " +
+      "re-read the COLUMN-PRUNED scan (pruning makes the subplans distinct, so " +
+      "no exchange reuse — re-scanning pruned parquet beats materializing the " +
+      "full-text shuffle); all three model tables are alphabet-bounded true " +
+      "dims; decimal-exact per-doc accumulation.", false),
     ("q_keywords", "tf and df keyed aggregates meet in a term equi-join; the " +
       "1-row corpus constant crosses as a literal broadcast; the rank window " +
       "partitions per doc — bounded by document length, never corpus-wide.", false))
