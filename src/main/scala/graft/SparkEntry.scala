@@ -99,6 +99,10 @@ object SparkEntry {
     null, "John Doe", " Jane Roe / John Doe ", "A/B/C", "",
     "O'Brien, Patrick", "SMITH JR./ DOE SR.")
 
+  private val countRaws: Seq[String] = Seq(
+    "2 - Black 1 - White", "1 - Asian", "3 - Am. Ind.", "White", null, "",
+    "1 - White 1 - Black 1 - Hispanic", "2-White", "10 - Pacific Islander")
+
   private val ethRaws: Seq[String] = Seq(
     null, "", "MISSING", "NOT SPECIFIED", "NOT RECORDED", "N/A", "NONE",
     "BLANK", "NO DATA AVAILABLE", "(NULL)",
@@ -214,6 +218,14 @@ object SparkEntry {
       rawsDf(s, genderRaws)
         .select(col("id"), col("raw"), Luts.genderStd(col("raw")).as("gender_std"))
         .orderBy("id")),
+    // std_counts (_converters.py:975): count-annotated demographic
+    // cells ("2 - Black 1 - White") explode to one row per person,
+    // then standardize through the race LUT.
+    "q_expand_counts" -> ((s, dir) =>
+      Expand.expandCounts(rawsDf(s, countRaws), "raw", "value", "item_num")
+        .select(col("id"), col("item_num"), col("value"),
+          Luts.raceStd(col("value")).as("race_std"))
+        .orderBy("id", "item_num")),
     // standardize_name (preproc.py:1424): null → UNSPECIFIED, '/'-held
     // multi-name cells split into trimmed parts (pipe-joined here so
     // the driver compare sees a scalar).
@@ -812,6 +824,21 @@ object SparkEntry {
       s"""SELECT id, raw, ${Luts.genderStdSql} AS gender_std
          |FROM (VALUES ${valuesSql(genderRaws)}) AS t(id, raw)
          |ORDER BY id""".stripMargin,
+    "q_expand_counts" -> {
+      val re = "(\\d+)\\s?-\\s?([A-Za-z]+\\.?\\s?[A-Za-z]*\\.?)"
+      s"""WITH t AS (SELECT * FROM (VALUES ${valuesSql(countRaws)}) AS v(id, raw)),
+         |e AS (SELECT id,
+         |    CASE WHEN len(regexp_extract_all(raw, '$re', 0)) > 0
+         |         THEN flatten(list_transform(regexp_extract_all(raw, '$re', 0),
+         |              tk -> list_transform(range(1, CAST(regexp_extract(tk, '$re', 1) AS INT) + 1),
+         |                    i -> trim(regexp_extract(tk, '$re', 2)))))
+         |         ELSE [raw] END AS items
+         |  FROM t),
+         |x AS (SELECT id, CAST(generate_subscripts(items, 1) - 1 AS INT) AS item_num,
+         |        unnest(items) AS raw FROM e)
+         |SELECT id, item_num, raw AS value, ${Luts.raceStdSql} AS race_std
+         |FROM x ORDER BY id, item_num""".stripMargin
+    },
     "q_std_name" ->
       s"""SELECT id, raw,
          |  CASE WHEN raw IS NULL THEN 'UNSPECIFIED'

@@ -51,4 +51,27 @@ object Expand {
     df.select(df.columns.map(col) :+
         posexplode_outer(split(col(column), delim)).as(Seq(posCol, as)): _*)
       .drop(column)
+
+  /** The reference's count-annotation regex, verbatim
+    * (_converters.py:977 `race_count_re`): "2 - Black 1 - White". */
+  val CountRe: String = "(\\d+)\\s?-\\s?([A-Za-z]+\\.?\\s?[A-Za-z]*\\.?)"
+
+  /** `std_counts` expansion (_converters.py:975): cells annotated with
+    * per-category counts ("2 - Black 1 - White") explode to one row per
+    * PERSON (each label repeated its count), positions running across
+    * the whole cell; cells without the annotation pass through as a
+    * single item (the reference standardizes them scalar), including
+    * nulls. Pure generator + scan-stage expressions — no shuffle. */
+  def expandCounts(df: DataFrame, column: String, as: String,
+                   posCol: String): DataFrame = {
+    val toks = regexp_extract_all(col(column), lit(CountRe), lit(0))
+    val expanded = flatten(transform(toks, t =>
+      transform(sequence(lit(1), regexp_extract(t, CountRe, 1).cast("int")),
+        _ => trim(regexp_extract(t, CountRe, 2)))))
+    val items = when(size(toks) > 0, expanded)
+      .otherwise(array(col(column)))
+    df.select(df.columns.map(col) :+
+        posexplode_outer(items).as(Seq(posCol, as)): _*)
+      .drop(column)
+  }
 }

@@ -211,6 +211,19 @@ class OpsSpec extends SparkSpec {
       Seq(("x", 0, "a"), ("x", 1, "b")))
   }
 
+  test("expandCounts: count-annotated cells explode per person; plain cells pass through") {
+    val df = Seq((1, "2 - Black 1 - White"), (2, "White"), (3, null: String))
+      .toDF("id", "cell")
+    val got = Expand.expandCounts(df, "cell", "value", "item_num")
+      .orderBy("id", "item_num")
+      .as[(Int, Option[Int], Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1, Some(0), Some("Black")), (1, Some(1), Some("Black")),
+      (1, Some(2), Some("White")),
+      (2, Some(0), Some("White")),
+      (3, Some(0), None)))
+  }
+
   test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
     val df = Seq((1, null: String), (2, "John Doe"), (3, " Jane Roe / John Doe "),
       (4, "A/B/C")).toDF("id", "raw")
