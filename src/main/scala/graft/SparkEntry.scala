@@ -103,6 +103,10 @@ object SparkEntry {
     "2 - Black 1 - White", "1 - Asian", "3 - Am. Ind.", "White", null, "",
     "1 - White 1 - Black 1 - Hispanic", "2-White", "10 - Pacific Islander")
 
+  private val withNameRaws: Seq[String] = Seq(
+    "John Doe W/M; Jane Roe B/F", "Smith AA/F", "Flores H/M", "W", null,
+    "[Lee TestÊA/F]", "No Code Here")
+
   private val ethRaws: Seq[String] = Seq(
     null, "", "MISSING", "NOT SPECIFIED", "NOT RECORDED", "N/A", "NONE",
     "BLANK", "NO DATA AVAILABLE", "(NULL)",
@@ -223,6 +227,15 @@ object SparkEntry {
     // then standardize through the race LUT.
     "q_expand_counts" -> ((s, dir) =>
       Expand.expandCounts(rawsDf(s, countRaws), "raw", "value", "item_num")
+        .select(col("id"), col("item_num"), col("value"),
+          Luts.raceStd(col("value")).as("race_std"))
+        .orderBy("id", "item_num")),
+    // std_with_names (_converters.py std_with_names): name-annotated
+    // cells ("John Doe W/M; Jane Roe B/F") → one row per person,
+    // race component (itemNum=0) through the race LUT.
+    "q_expand_names" -> ((s, dir) =>
+      Expand.expandWithNames(rawsDf(s, withNameRaws), "raw", "value",
+          "item_num", itemNum = 0)
         .select(col("id"), col("item_num"), col("value"),
           Luts.raceStd(col("value")).as("race_std"))
         .orderBy("id", "item_num")),
@@ -832,6 +845,20 @@ object SparkEntry {
          |         THEN flatten(list_transform(regexp_extract_all(raw, '$re', 0),
          |              tk -> list_transform(range(1, CAST(regexp_extract(tk, '$re', 1) AS INT) + 1),
          |                    i -> trim(regexp_extract(tk, '$re', 2)))))
+         |         ELSE [raw] END AS items
+         |  FROM t),
+         |x AS (SELECT id, CAST(generate_subscripts(items, 1) - 1 AS INT) AS item_num,
+         |        unnest(items) AS raw FROM e)
+         |SELECT id, item_num, raw AS value, ${Luts.raceStdSql} AS race_std
+         |FROM x ORDER BY id, item_num""".stripMargin
+    },
+    "q_expand_names" -> {
+      val re = "[\\sÊ](\\w{1,2}/\\w)"
+      s"""WITH t AS (SELECT * FROM (VALUES ${valuesSql(withNameRaws)}) AS v(id, raw)),
+         |e AS (SELECT id,
+         |    CASE WHEN len(regexp_extract_all(raw, '$re', 1)) > 0
+         |         THEN list_transform(regexp_extract_all(raw, '$re', 1),
+         |              c -> string_split(c, '/')[1])
          |         ELSE [raw] END AS items
          |  FROM t),
          |x AS (SELECT id, CAST(generate_subscripts(items, 1) - 1 AS INT) AS item_num,

@@ -56,6 +56,29 @@ object Expand {
     * (_converters.py:977 `race_count_re`): "2 - Black 1 - White". */
   val CountRe: String = "(\\d+)\\s?-\\s?([A-Za-z]+\\.?\\s?[A-Za-z]*\\.?)"
 
+  /** The reference's name-annotation regex, verbatim
+    * (_converters.py std_with_names): a 1-2 letter demographic code
+    * pair after whitespace — or the Ê mojibake the Dallas officer_s
+    * column carries — e.g. "John Doe W/M; Jane Roe B/F". */
+  val WithNameRe: String = "[\\sÊ](\\w{1,2}/\\w)"
+
+  /** `std_with_names` expansion: name-annotated multi-person cells
+    * explode to one row per person carrying the `itemNum`-th component
+    * of the demographic code (0 = race, 1 = gender — the reference
+    * standardizes each in its own pass). Cells without any code pass
+    * through as a single item, including nulls. */
+  def expandWithNames(df: DataFrame, column: String, as: String,
+                      posCol: String, itemNum: Int): DataFrame = {
+    require(itemNum >= 0 && itemNum <= 1, s"itemNum must be 0|1, got $itemNum")
+    val codes = regexp_extract_all(col(column), lit(WithNameRe), lit(1))
+    val items = transform(codes, c =>
+      element_at(split(c, "/"), itemNum + 1))
+    val out = when(size(codes) > 0, items).otherwise(array(col(column)))
+    df.select(df.columns.map(col) :+
+        posexplode_outer(out).as(Seq(posCol, as)): _*)
+      .drop(column)
+  }
+
   /** `std_counts` expansion (_converters.py:975): cells annotated with
     * per-category counts ("2 - Black 1 - White") explode to one row per
     * PERSON (each label repeated its count), positions running across

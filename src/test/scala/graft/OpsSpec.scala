@@ -224,6 +224,16 @@ class OpsSpec extends SparkSpec {
       (3, Some(0), None)))
   }
 
+  test("expandWithNames: code after whitespace or Ê; itemNum picks race vs gender") {
+    val df = Seq((1, "John Doe W/M; Jane Roe B/F"), (2, "LeeÊAA/F"),
+      (3, "plain")).toDF("id", "cell")
+    def run(i: Int) = Expand.expandWithNames(df, "cell", "v", "item_num", i)
+      .orderBy("id", "item_num").as[(Int, Option[Int], Option[String])].collect().toSeq
+    assert(run(0) === Seq((1, Some(0), Some("W")), (1, Some(1), Some("B")),
+      (2, Some(0), Some("AA")), (3, Some(0), Some("plain"))))
+    assert(run(1).map(_._3) === Seq(Some("M"), Some("F"), Some("F"), Some("plain")))
+  }
+
   test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
     val df = Seq((1, null: String), (2, "John Doe"), (3, " Jane Roe / John Doe "),
       (4, "A/B/C")).toDF("id", "raw")
