@@ -79,6 +79,56 @@ object Expand {
       .drop(column)
   }
 
+  /** `std_with_counts` (_converters.py, injury variant): converter-
+    * GUIDED greedy parse — tokens accumulate until the accumulated
+    * phrase standardizes under the strict injury vocabulary, a numeric
+    * token multiplies the item that follows ("2 Injured 1 Deceased" →
+    * INJURED, INJURED, DECEASED; "Deceased Injured" → DECEASED,
+    * INJURED). Cells that standardize whole stay scalar; cells with
+    * unparseable leftovers fall back whole (no_id="keep").
+    *
+    * Architecture follows the reference exactly: the parse map is built
+    * over the column's DISTINCT values — a vocabulary column, bounded
+    * like the LUT itself, so the distinct collect is driver-safe by the
+    * same contract that makes the reference's map-over-uniques safe.
+    * The map folds back through an equi-join (no broadcast hint; AQE
+    * decides). Returns one row per person with the STANDARDIZED value. */
+  def expandInjuryCounts(df: DataFrame, column: String, as: String,
+                         posCol: String, delim: String = " "): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(column)).distinct().as[Option[String]]
+      .collect().flatten
+    val parsed: Seq[(String, Seq[String])] = vals.map { x =>
+      graft.ops.Luts.injuryStdStrict(x) match {
+        case Some(std) => x -> Seq(std) // whole cell standardizes: scalar
+        case None =>
+          var count = 1
+          var cur = ""
+          val out = Seq.newBuilder[String]
+          var failed = false
+          x.split(java.util.regex.Pattern.quote(delim)).foreach { tok =>
+            if (tok.forall(_.isDigit) && tok.nonEmpty) count = tok.toInt
+            else {
+              cur = if (cur.isEmpty) tok.trim else cur + " " + tok.trim
+              graft.ops.Luts.injuryStdStrict(cur).foreach { std =>
+                (0 until count).foreach(_ => out += std)
+                count = 1
+                cur = ""
+              }
+            }
+          }
+          if (cur.nonEmpty) failed = true // unparseable leftover
+          if (failed) x -> Seq(x) else x -> out.result()
+      }
+    }.toSeq
+    val mapDf = parsed.toDF(column, "__items")
+    df.join(mapDf, Seq(column), "left")
+      .select(df.columns.filter(_ != column).map(col) :+
+        posexplode_outer(coalesce(col("__items"), array(col(column))))
+          .as(Seq(posCol, as)): _*)
+  }
+
   /** `std_counts` expansion (_converters.py:975): cells annotated with
     * per-category counts ("2 - Black 1 - White") explode to one row per
     * PERSON (each label repeated its count), positions running across

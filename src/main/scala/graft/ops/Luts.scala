@@ -71,6 +71,44 @@ object Luts {
     }
   }
 
+  // ---- Scala evaluator (third renderer) --------------------------------
+
+  private def matchEval(m: Matcher, x: String, xns: String): Boolean = m match {
+    case InSet(vals, ns)       => vals.contains(if (ns) xns else x)
+    case ContainsAny(subs, ns) => subs.exists(s => (if (ns) xns else x).contains(s))
+    case StartsWithAny(ps)     => ps.exists(x.startsWith)
+    case MatchesRegex(re)      =>
+      java.util.regex.Pattern.compile(re).matcher(x).find()
+  }
+
+  /** Evaluate the same rules over a plain string (pre-cleaned by the
+    * caller) — Some(out) when a rule fires, None otherwise (the strict
+    * no_id="error" trial the converter-guided std_with_counts parse
+    * needs). Driver/executor-side twin of [[rulesToColumn]]; any rule
+    * change automatically affects all three renderers. */
+  def rulesEval(rules: Seq[Rule], cleaned: String): Option[String] = {
+    val xns = cleaned.replace(" ", "")
+    rules.find { r =>
+      r.anyOf.exists(matchEval(_, cleaned, xns)) &&
+        r.allOf.forall(matchEval(_, cleaned, xns)) &&
+        !r.butNot.exists(matchEval(_, cleaned, xns))
+    }.map(_.out)
+  }
+
+  /** Plain-string twin of [[cleanInjury]] (same regex chain). */
+  def cleanInjuryStr(s: String): String =
+    s.toUpperCase
+      .replaceAll("^\\d+\\s*-\\s*", "")
+      .replaceAll("-", " ")
+      .replaceAll("\\*", "")
+      .replaceAll("OF[FI]{2}CERS?|SUBJECT", "")
+      .replaceAll("\\s{2,}", " ").trim
+
+  /** Strict injury standardization of a plain string: Some(category)
+    * only when a vocabulary rule fires. */
+  def injuryStdStrict(raw: String): Option[String] =
+    rulesEval(injuryRules, cleanInjuryStr(raw))
+
   // ---- SQL renderer (DuckDB dialect) -----------------------------------
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"

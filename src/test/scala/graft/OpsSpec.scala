@@ -234,6 +234,28 @@ class OpsSpec extends SparkSpec {
     assert(run(1).map(_._3) === Seq(Some("M"), Some("F"), Some("F"), Some("plain")))
   }
 
+  test("expandInjuryCounts: converter-guided greedy parse with counts") {
+    val df = Seq(
+      (1, "2 Injured 1 Deceased"),       // counts multiply items
+      (2, "Deceased Injured"),           // bare multi-item, converter splits
+      (3, "No Injury"),                  // whole cell standardizes: scalar
+      (4, "Complaint Of Pain"),          // multi-word single item
+      (5, "2 Gibberish Xyz"),            // unparseable leftover: falls back whole
+      (6, null: String)
+    ).toDF("id", "cell")
+    val got = Expand.expandInjuryCounts(df, "cell", "v", "item_num")
+      .orderBy("id", "item_num")
+      .as[(Int, Option[Int], Option[String])].collect().toSeq
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._3.orNull)).toMap
+    def std(s: String) = graft.ops.Luts.injuryStdStrict(s).get
+    assert(byId(1) === Seq(std("Injured"), std("Injured"), std("Deceased")))
+    assert(byId(2) === Seq(std("Deceased"), std("Injured")))
+    assert(byId(3) === Seq(std("No Injury")))
+    assert(byId(4) === Seq(std("Complaint Of Pain")))
+    assert(byId(5) === Seq("2 Gibberish Xyz")) // kept whole
+    assert(byId(6) === Seq(null))
+  }
+
   test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
     val df = Seq((1, null: String), (2, "John Doe"), (3, " Jane Roe / John Doe "),
       (4, "A/B/C")).toDF("id", "raw")
