@@ -40,23 +40,24 @@ object Scaling {
         (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         col("embedding"), col("label"))).reduce(_.unionByName(_))
 
-    def time(name: String, df: => DataFrame): Unit = {
+    def timeWith(name: String, df: => DataFrame, checkPlan: Boolean,
+                 tag: String): Unit = {
       val d = df
-      val plan = d.queryExecution.executedPlan.toString()
-      require(!plan.contains("BroadcastExchange"),
-        s"$name: corpus-side broadcast found in plan:\n$plan")
+      if (checkPlan) {
+        val plan = d.queryExecution.executedPlan.toString()
+        require(!plan.contains("BroadcastExchange"),
+          s"$name: corpus-side broadcast found in plan:\n$plan")
+      }
       val t0 = System.nanoTime()
       val n = d.count()
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  (no broadcast)")
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  ($tag)")
     }
+    def time(name: String, df: => DataFrame): Unit =
+      timeWith(name, df, checkPlan = true, "no broadcast")
     // For operators whose ONLY broadcasts are bounded by construction
     // (a 1-row aggregate, one row per partition) — never the corpus.
-    def timeBounded(name: String, df: => DataFrame): Unit = {
-      val d = df
-      val t0 = System.nanoTime()
-      val n = d.count()
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows  (bounded broadcast)")
-    }
+    def timeBounded(name: String, df: => DataFrame): Unit =
+      timeWith(name, df, checkPlan = false, "bounded broadcast")
 
     Seq(1, 4).foreach { n =>
       val docs = scaleDocs(n)

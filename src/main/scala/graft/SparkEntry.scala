@@ -101,7 +101,8 @@ object SparkEntry {
 
   private val countRaws: Seq[String] = Seq(
     "2 - Black 1 - White", "1 - Asian", "3 - Am. Ind.", "White", null, "",
-    "1 - White 1 - Black 1 - Hispanic", "2-White", "10 - Pacific Islander")
+    "1 - White 1 - Black 1 - Hispanic", "2-White", "10 - Pacific Islander",
+    "0 - White 1 - Black") // zero count contributes nothing (both engines)
 
   private val withNameRaws: Seq[String] = Seq(
     "John Doe W/M; Jane Roe B/F", "Smith AA/F", "Flores H/M", "W", null,
@@ -1432,8 +1433,11 @@ object SparkEntry {
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT max(t) AS mx FROM e),
         |s AS (SELECT user_id, t,
+        |        -- >= , not > : session_window merges on strict WINDOW
+        |        -- OVERLAP, so an exact-gap successor starts a NEW
+        |        -- session (unlike the fMGWS twin, which merges it)
         |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
         |             THEN 1 ELSE 0 END AS new_s
         |      FROM e),
         |g AS (SELECT user_id, t,

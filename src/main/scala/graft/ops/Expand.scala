@@ -92,11 +92,21 @@ object Expand {
     * like the LUT itself, so the distinct collect is driver-safe by the
     * same contract that makes the reference's map-over-uniques safe.
     * The map folds back through an equi-join (no broadcast hint; AQE
-    * decides). Returns one row per person with the STANDARDIZED value. */
+    * decides). Returns one row per person with the STANDARDIZED value.
+    *
+    * Faithful reference quirks, kept deliberately: a trailing count
+    * with no following item is silently ignored, and a digit-only cell
+    * expands to NOTHING (the reference maps it to an empty dict) — the
+    * outer explode still emits one null-valued row so the input row
+    * survives. Counts longer than 6 digits mark the cell unparseable
+    * (keep-whole) instead of crashing on Int overflow or exploding
+    * memory — the reference would do both. */
   def expandInjuryCounts(df: DataFrame, column: String, as: String,
                          posCol: String, delim: String = " "): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(!df.columns.contains("__items"),
+      "expandInjuryCounts: column __items collides with the operator's working column")
     val vals = df.select(col(column)).distinct().as[Option[String]]
       .collect().flatten
     val parsed: Seq[(String, Seq[String])] = vals.map { x =>
@@ -108,8 +118,10 @@ object Expand {
           val out = Seq.newBuilder[String]
           var failed = false
           x.split(java.util.regex.Pattern.quote(delim)).foreach { tok =>
-            if (tok.forall(_.isDigit) && tok.nonEmpty) count = tok.toInt
-            else {
+            if (tok.nonEmpty && tok.forall(_.isDigit)) {
+              if (tok.length > 6) failed = true // overflow/absurd count
+              else count = tok.toInt
+            } else {
               cur = if (cur.isEmpty) tok.trim else cur + " " + tok.trim
               graft.ops.Luts.injuryStdStrict(cur).foreach { std =>
                 (0 until count).foreach(_ => out += std)
@@ -138,9 +150,15 @@ object Expand {
   def expandCounts(df: DataFrame, column: String, as: String,
                    posCol: String): DataFrame = {
     val toks = regexp_extract_all(col(column), lit(CountRe), lit(0))
-    val expanded = flatten(transform(toks, t =>
-      transform(sequence(lit(1), regexp_extract(t, CountRe, 1).cast("int")),
-        _ => trim(regexp_extract(t, CountRe, 2)))))
+    // guard count = 0: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    // (step defaults to -1 when start > stop), which would emit the
+    // label twice; a zero count must contribute nothing
+    val expanded = flatten(transform(toks, t => {
+      val cnt = regexp_extract(t, CountRe, 1).cast("int")
+      val lbl = trim(regexp_extract(t, CountRe, 2))
+      when(cnt >= 1, transform(sequence(lit(1), cnt), _ => lbl))
+        .otherwise(array().cast("array<string>"))
+    }))
     val items = when(size(toks) > 0, expanded)
       .otherwise(array(col(column)))
     df.select(df.columns.map(col) :+

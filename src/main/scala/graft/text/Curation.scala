@@ -249,35 +249,32 @@ object Curation {
 
   /** Contiguous 0-based global ids in a deterministic total order —
     * WITHOUT funnelling the corpus through one window partition (the
-    * row_number-over-everything trap). Range-partition on the order
-    * keys, number rows within each partition, then add per-partition
-    * offsets computed from the partition COUNTS: the only
-    * single-partition window runs over one row per partition (bounded
-    * by the cluster, not the data), and the offsets fold back via a
-    * broadcast join. `orderCols` must be a total order (include a
-    * unique tiebreak) or ids among ties are partition-dependent.
-    * Returns the input plus `idName`. */
+    * row_number-over-everything trap). Range-partition + sort on the
+    * order keys, then `zipWithIndex` over that ONE RDD: Spark's
+    * zipWithIndex is exactly the two-pass scheme (job 1 counts each
+    * partition, job 2 adds the partition offset to a local counter),
+    * and running it over a single RDD instance pins a single
+    * RangePartitioner — two separately-planned DataFrame branches
+    * would each re-sample range boundaries (the sample seed varies
+    * per RDD) and could disagree on partition membership, corrupting
+    * the ids. One of the few places per-partition imperative RDD code
+    * beats the DataFrame algebra. `orderCols` must be a total order
+    * (include a unique tiebreak) or ids among ties are
+    * partition-dependent. Returns the input plus `idName`. */
   def assignIds(df: DataFrame, orderCols: Seq[String],
                 idName: String = "gid"): DataFrame = {
     require(orderCols.nonEmpty, "assignIds: need at least one order column")
-    val reserved = Seq("__pid", "__rn", "__cnt", "__offset", idName)
-    val clash = df.columns.toSeq.intersect(reserved)
-    require(clash.isEmpty, s"assignIds: columns ${clash.mkString(", ")} " +
-      "collide with the operator's working columns")
+    require(!df.columns.contains(idName),
+      s"assignIds: column $idName already exists")
     val keys = orderCols.map(col)
-    val w = org.apache.spark.sql.expressions.Window
-    val local = df.repartitionByRange(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        w.partitionBy("__pid").orderBy(keys: _*)))
-    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset", coalesce(
-        sum(col("__cnt")).over(w.orderBy("__pid")
-          .rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(idName, col("__offset") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__offset")
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   // ---- domain mixing ----------------------------------------------------

@@ -132,9 +132,8 @@ class JoinsSpec extends SparkSpec {
 
   test("asofJoin equals per-row brute force over seeded random data") {
     val rng = new scala.util.Random(7)
-    val leftRows = Seq.fill(300)((rng.nextInt(8).toLong,
-      rng.nextInt(100000).toLong, rng.nextLong().abs % 1000000))
-      .zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
+    val leftRows = Seq.fill(300)((rng.nextInt(8).toLong, rng.nextInt(100000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
     // unique (key, time) on the right by construction (distinct)
     val rightRows = Seq.fill(150)((rng.nextInt(8).toLong,
       rng.nextInt(100000).toLong)).distinct

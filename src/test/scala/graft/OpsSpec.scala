@@ -222,6 +222,13 @@ class OpsSpec extends SparkSpec {
       (1, Some(2), Some("White")),
       (2, Some(0), Some("White")),
       (3, Some(0), None)))
+    // a zero count contributes NOTHING (Spark's sequence(1, 0) is the
+    // descending [1, 0] — the guard must keep it from emitting twice)
+    val zero = Expand.expandCounts(
+        Seq((1, "0 - White 1 - Black")).toDF("id", "cell"),
+        "cell", "value", "item_num")
+      .as[(Int, Option[Int], Option[String])].collect().toSeq
+    assert(zero === Seq((1, Some(0), Some("Black"))))
   }
 
   test("expandWithNames: code after whitespace or Ê; itemNum picks race vs gender") {
@@ -254,6 +261,17 @@ class OpsSpec extends SparkSpec {
     assert(byId(4) === Seq(std("Complaint Of Pain")))
     assert(byId(5) === Seq("2 Gibberish Xyz")) // kept whole
     assert(byId(6) === Seq(null))
+    // reference quirks + robustness: digit-only expands to nothing (one
+    // null row), trailing counts are ignored, absurd counts keep whole
+    val quirks = Expand.expandInjuryCounts(
+        Seq((1, "6"), (2, "2 Injured 1"), (3, "99999999999 Injured"))
+          .toDF("id", "cell"), "cell", "v", "item_num")
+      .orderBy("id", "item_num")
+      .as[(Int, Option[Int], Option[String])].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._3.orNull)).toMap
+    assert(quirks(1) === Seq(null))
+    assert(quirks(2) === Seq(std("Injured"), std("Injured")))
+    assert(quirks(3) === Seq("99999999999 Injured"))
   }
 
   test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
