@@ -618,6 +618,22 @@ object SparkEntry {
             f => format_number(f.cast("double"), 4)), ",").as("features_csv"))
         .orderBy("id")),
 
+    // SQL-verified companion for q_mm_features: the float histogram is
+    // projected back to EXACT integer bin counts (round(f * n_bytes)
+    // inverts the float division exactly — relative error 1e-7 is far
+    // below 0.5/count), which the oracle recomputes from the ASCII
+    // payload bytes. Pins the extractFeatures kernel end-to-end.
+    "q_mm_features_verify" -> ((s, dir) =>
+      Binary.extractFeatures(s,
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload")
+        .toDF()
+        .select(col("id"), col("n_bytes"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * col("n_bytes")).cast("long").cast("string")))
+            .as("hist_csv"))
+        .orderBy("id")),
+
     // Analytics headliners
     "q1_agg" -> ((s, dir) => Analytics.q1(s, dir)),
     "q3_join" -> ((s, dir) => Analytics.q3(s, dir)),
@@ -1450,6 +1466,15 @@ object SparkEntry {
         |SELECT user_id, start_us, end_us, n_events FROM sess, m
         |WHERE end_us + 1800000000 < m.mx - 1800000000
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_mm_features_verify" ->
+      """WITH d AS (SELECT doc_id AS id, text AS t,
+        |    CAST(length(text) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT id, n_bytes,
+        |  array_to_string(list_transform(range(0, 16), b ->
+        |    CAST(len(list_filter(range(1, CAST(n_bytes AS INT) + 1),
+        |      i -> ord(substr(t, CAST(i AS INT), 1)) // 16 = b)) AS VARCHAR)), ',') AS hist_csv
+        |FROM d ORDER BY id""".stripMargin,
 
     "q_asof_join" ->
       """WITH b AS (SELECT user_id, ts, max(event_id) AS pid FROM events
