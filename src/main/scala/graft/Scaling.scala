@@ -85,7 +85,8 @@ object Scaling {
       timeBounded(s"domain_mix_${n}x", graft.text.Curation.domainMix(
         docs.withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(5)))),
         "grp", "doc_id", "text"))
-      timeBounded(s"assign_ids_${n}x", graft.text.Curation.assignIds(
+      // zipWithIndex form: no broadcast at all — strict harness applies
+      time(s"assign_ids_${n}x", graft.text.Curation.assignIds(
         docs.select("doc_id", "source"), Seq("source", "doc_id")))
       time(s"asof_join_${n}x", {
         val ev = Tables(spark, sfDir, "events")
