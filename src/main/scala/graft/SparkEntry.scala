@@ -619,13 +619,19 @@ object SparkEntry {
         .orderBy("id")),
 
     // SQL-verified companion for q_mm_features: the float histogram is
-    // projected back to EXACT integer bin counts (round(f * n_bytes)
-    // inverts the float division exactly — relative error 1e-7 is far
-    // below 0.5/count), which the oracle recomputes from the ASCII
-    // payload bytes. Pins the extractFeatures kernel end-to-end.
+    // projected back to EXACT integer bin counts — round(f * n_bytes)
+    // inverts the float32 division exactly while any single bin holds
+    // < ~8e6 bytes (abs error grows as count * 6e-8), far above this
+    // corpus's payloads. The oracle recomputes per CODEPOINT, which
+    // equals the kernel's per-BYTE histogram only on an ASCII corpus —
+    // a documented property of this verification fixture (BinarySpec
+    // covers arbitrary binary payloads); null text coalesces to empty
+    // on both sides.
     "q_mm_features_verify" -> ((s, dir) =>
       Binary.extractFeatures(s,
-          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          Binary.withMeta(T(s, dir, "documents")
+            .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")),
+            "doc_id", "text"),
           "doc_id", "payload")
         .toDF()
         .select(col("id"), col("n_bytes"),
@@ -1468,8 +1474,8 @@ object SparkEntry {
         |ORDER BY user_id, start_us""".stripMargin,
 
     "q_mm_features_verify" ->
-      """WITH d AS (SELECT doc_id AS id, text AS t,
-        |    CAST(length(text) AS BIGINT) AS n_bytes FROM documents)
+      """WITH d AS (SELECT doc_id AS id, coalesce(text, '') AS t,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_bytes FROM documents)
         |SELECT id, n_bytes,
         |  array_to_string(list_transform(range(0, 16), b ->
         |    CAST(len(list_filter(range(1, CAST(n_bytes AS INT) + 1),
