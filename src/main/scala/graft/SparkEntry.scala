@@ -1351,13 +1351,27 @@ object SparkEntry {
         |GROUP BY l_orderkey
         |HAVING count(*) >= 4
         |ORDER BY l_orderkey""".stripMargin,
-    "q_quantiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS q25,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS q50,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 2) AS q75,
-        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 2) AS q95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Interpolation spelled out to match the Spark side's exact
+    // expression shape — quantile_cont's internal FP formula differs
+    // in the last ulp and flips round(…,2) boundaries at some scales.
+    "q_quantiles" -> {
+      def q(p: String, name: String) =
+        s"""round(max(CASE WHEN rn = floor($p*(n-1)) + 1 THEN v END)
+           |  + (coalesce(max(CASE WHEN rn = floor($p*(n-1)) + 2 THEN v END),
+           |              max(CASE WHEN rn = floor($p*(n-1)) + 1 THEN v END))
+           |     - max(CASE WHEN rn = floor($p*(n-1)) + 1 THEN v END))
+           |    * max($p*(n-1) - floor($p*(n-1))), 4) AS $name""".stripMargin
+      s"""WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  ${q("0.25", "q25")},
+         |  ${q("0.5", "q50")},
+         |  ${q("0.75", "q75")},
+         |  ${q("0.95", "q95")}
+         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "q_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n,

@@ -133,19 +133,38 @@ object Analytics {
       .orderBy("p_brand", "rnk")
   }
 
-  /** Exact interpolated group quantiles (Spark `percentile` ==
-    * DuckDB `quantile_cont`: both sort and linearly interpolate at
-    * p*(n-1)). Exact quantiles shuffle each group's values to one
-    * reducer — fine for bounded groups; an unbounded-cardinality
-    * profile would switch to approx_percentile and lose the oracle. */
+  /** Exact interpolated group quantiles at p*(n-1). The interpolation
+    * is spelled out (rank window + lo + (hi-lo)*frac) instead of
+    * Spark's `percentile`, because the builtin and DuckDB's
+    * quantile_cont use DIFFERENT floating-point formulas — e.g.
+    * lo+(hi-lo)*f vs (1-f)*lo+f*hi — whose last-ulp disagreements flip
+    * round(…,2) boundaries (observed at sf0.001). With the SAME
+    * expression shape on both engines the doubles are bit-identical.
+    * Exact quantiles sort each group's values — fine for bounded
+    * groups; an unbounded-cardinality profile would switch to
+    * approx_percentile and lose the oracle. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "groupQuantiles: need at least one percentile")
-    val v = col(valueCol).cast("double")
-    // math.round: (0.29 * 100).toInt truncates to 28
-    val qs = ps.map(p =>
-      round(percentile(v, lit(p)), 2).as(s"q${math.round(p * 100)}"))
-    df.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*)
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"))
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val qs = ps.map { p =>
+      val k = lit(p) * (col("__n") - 1)
+      val lo = max(when(col("__rn") === floor(k) + 1, col("__v")))
+      val hi = coalesce(max(when(col("__rn") === floor(k) + 2, col("__v"))),
+        max(when(col("__rn") === floor(k) + 1, col("__v"))))
+      val frac = max(k - floor(k))
+      // round to 4, not 2: with 2-decimal inputs and quarter fracs the
+      // interpolated value has AT MOST 4 decimals, so round(…,4) is the
+      // identity on both engines — round(…,2) lands exactly on .005
+      // boundaries where Spark's and DuckDB's round() disagree
+      round(lo + (hi - lo) * frac, 4).as(s"q${math.round(p * 100)}")
+    }
+    ranked.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*)
   }
 
   /** Column-level data profile — the curation pre-flight: row count,
