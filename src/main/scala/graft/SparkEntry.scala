@@ -343,8 +343,8 @@ object SparkEntry {
       pairs.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
         .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
         .select(col("id_a"), col("id_b"),
-          round(graft.functions.GraftFunctions.jaccardSorted(
-            col("ga.grams"), col("gb.grams")), 4).as("jaccard"))
+          graft.functions.Det.round4(graft.functions.GraftFunctions.jaccardSorted(
+            col("ga.grams"), col("gb.grams"))).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("id_a", "id_b")
     }),
@@ -393,7 +393,7 @@ object SparkEntry {
         // engines' null semantics for concat_ws/list_max diverge)
         .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), q.as("qz"))
-        .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+        .select(col("vec_id"), graft.functions.Det.round(col("qz.scale"), 6).as("scale"),
           concat_ws(",", transform(col("qz.q"), x => x.cast("string"))).as("q_csv"))
         .orderBy("vec_id")
     }),
@@ -726,10 +726,10 @@ object SparkEntry {
       |q AS (SELECT * FROM v WHERE vec_id < 5),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    round(
+      |    CAST(floor((
       |      list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])) /
       |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))) *
-      |       sqrt(list_sum(list_transform(range(1, 65), i -> c.e[CAST(i AS INT)] * c.e[CAST(i AS INT)])))), 4) AS cos
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> c.e[CAST(i AS INT)] * c.e[CAST(i AS INT)]))))) * 10000 + 0.5) AS DOUBLE) / 10000 AS cos
       |  FROM q CROSS JOIN v c),
       |r AS (SELECT *, CAST(row_number() OVER
       |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
@@ -978,8 +978,8 @@ object SparkEntry {
         |        FROM documents))
         |SELECT * FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+        |    CAST(floor((CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)) * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
         |    AND len(a.grams) >= 0.8 * len(b.grams) AND len(b.grams) >= 0.8 * len(a.grams))
         |WHERE jaccard >= 0.8
@@ -1007,8 +1007,8 @@ object SparkEntry {
         |        FROM documents))
         |SELECT * FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+        |    CAST(floor((CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)) * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
@@ -1016,10 +1016,10 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(
+        |    CAST(floor((
         |      list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))))) * 10000 + 0.5) AS DOUBLE) / 10000 AS cos
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
@@ -1030,10 +1030,10 @@ object SparkEntry {
         |pairs AS (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |      round(
+        |      CAST(floor((
         |        list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
         |        (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
-        |         sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))))) * 10000 + 0.5) AS DOUBLE) / 10000 AS cos
         |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |  WHERE cos >= 0.3),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1069,13 +1069,13 @@ object SparkEntry {
     "q_quality_score" -> {
       val allStops = TextStats.stopwords.flatMap(_._2).distinct
       s"""SELECT doc_id,
-         |  round(
+         |  CAST(floor((
          |    0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) +
          |    0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) /
          |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) +
          |    0.3 * CAST(len(list_filter(string_split(lower(text), ' '),
          |                    w -> w IN (${allStops.map(sqlLit).mkString(", ")}))) AS DOUBLE) /
-         |          greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0), 4) AS quality
+         |          greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 10000 + 0.5) AS DOUBLE) / 10000 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_token_count" ->
@@ -1098,7 +1098,8 @@ object SparkEntry {
         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
         |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl)) AS s
         |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN consts)
-        |SELECT doc_id, round(sum(s), 4) AS score FROM scored
+        |SELECT doc_id,
+        |  CAST(floor((CAST(sum(CAST(s AS DECIMAL(30,15))) AS DOUBLE)) * 10000 + 0.5) AS DOUBLE) / 10000 AS score FROM scored
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q_rep_ngrams" ->
       """WITH g AS (
@@ -1109,7 +1110,7 @@ object SparkEntry {
         |  FROM g GROUP BY doc_id)
         |SELECT doc_id,
         |  CASE WHEN nw IS NULL OR nw < 2 THEN 0.0
-        |       ELSE round(1.0 - CAST(dist AS DOUBLE) / total, 4) END AS rep2
+        |       ELSE CAST(floor((1.0 - CAST(dist AS DOUBLE) / total) * 10000 + 0.5) AS DOUBLE) / 10000 END AS rep2
         |FROM grams ORDER BY doc_id""".stripMargin,
     "q_vocab" ->
       """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -1128,8 +1129,8 @@ object SparkEntry {
         |ctx AS (SELECT substr(g, 1, 1) AS a, sum(c) AS ca FROM model GROUP BY 1),
         |v AS (SELECT CAST(count(DISTINCT substr(g, 2, 1)) AS DOUBLE) AS nv FROM model)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(round(sum(CAST(-ln((m.c + 1) / (x.ca + v.nv)) AS DECIMAL(30,15))), 6) AS DOUBLE)
-        |        / count(*), 4) AS nats
+        |  CAST(floor((CAST(round(sum(CAST(-ln((m.c + 1) / (x.ca + v.nv)) AS DECIMAL(30,15))), 6) AS DOUBLE)
+        |        / count(*)) * 10000 + 0.5) AS DOUBLE) / 10000 AS nats
         |FROM bg JOIN model m USING (g)
         |JOIN ctx x ON substr(bg.g, 1, 1) = x.a, v
         |GROUP BY bg.doc_id
@@ -1142,7 +1143,7 @@ object SparkEntry {
         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
         |s AS (SELECT doc_id, term,
-        |        round(tf * ln((n_docs + 1) / (df + 1)), 4) AS score
+        |        CAST(floor((tf * ln((n_docs + 1) / (df + 1))) * 10000 + 0.5) AS DOUBLE) / 10000 AS score
         |      FROM tf JOIN dfq USING (term), n),
         |r AS (SELECT *, CAST(row_number() OVER
         |        (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
@@ -1216,10 +1217,10 @@ object SparkEntry {
         |    (SELECT max(h) FROM (SELECT h FROM h ORDER BY h LIMIT 256) q) AS hk),
         |est AS (SELECT n_distinct,
         |    CASE WHEN n_distinct <= 256 THEN CAST(n_distinct AS DOUBLE)
-        |         ELSE CAST(round(255 * 4294967296.0 / hk, 1) AS DOUBLE) END AS estimate
+        |         ELSE CAST(floor((255 * 4294967296.0 / hk) * 10 + 0.5) AS DOUBLE) / 10 END AS estimate
         |  FROM stats)
         |SELECT estimate, n_distinct AS exact,
-        |  CAST(round(abs(estimate - n_distinct) * 100.0 / n_distinct, 1) AS DOUBLE) AS err_pct
+        |  CAST(floor((abs(estimate - n_distinct) * 100.0 / n_distinct) * 10 + 0.5) AS DOUBLE) / 10 AS err_pct
         |FROM est""".stripMargin,
     "q_dedup_incremental" ->
       """WITH known AS (SELECT DISTINCT
@@ -1274,10 +1275,10 @@ object SparkEntry {
         |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
         |m AS (SELECT doc_id,
         |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    round(len(replace(t, ' ', '')) * 1.0 / len(ws), 4) AS mean_word_len,
-        |    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws), 4) AS frac_alpha_words,
+        |    CAST(floor((len(replace(t, ' ', '')) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_word_len,
+        |    CAST(floor((len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS frac_alpha_words,
         |    CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords,
-        |    round((len(t) - len(replace(t, '#', '')) + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0 / len(ws), 4) AS symbol_ratio
+        |    CAST(floor(((len(t) - len(replace(t, '#', '')) + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS symbol_ratio
         |  FROM w)
         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
         |  symbol_ratio,
@@ -1429,18 +1430,18 @@ object SparkEntry {
         |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
         |         ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS sc
         |  FROM v)
-        |SELECT vec_id, round(sc, 6) AS scale,
+        |SELECT vec_id, CAST(floor(sc * 1000000 + 0.5) AS DOUBLE) / 1000000 AS scale,
         |  array_to_string(list_transform(e,
-        |    x -> CAST(CAST(round(x / sc, 0) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+        |    x -> CAST(CAST(floor(x / sc + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
         |FROM s ORDER BY vec_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |p AS (
         |  SELECT b.vec_id AS id_b,
-        |    round(
+        |    CAST(floor((
         |      list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])))), 4) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))))) * 10000 + 0.5) AS DOUBLE) / 10000 AS cos
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_id, label FROM v
         |WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos >= 0.3)

@@ -182,7 +182,7 @@ object Dedup {
       .join(sigs.withColumnRenamed("sig", "sig_b"), col("id_b") === col("id"))
       .drop("id")
       .select(col("id_a"), col("id_b"),
-        round(estJaccard(col("sig_a"), col("sig_b"), numPerms), 4).as("est_jaccard"))
+        graft.functions.Det.round4(estJaccard(col("sig_a"), col("sig_b"), numPerms)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -301,9 +301,9 @@ object Dedup {
       // pairs whose raw jaccard sits in [t-0.00005, t)). Written as a
       // raw expression (not the projected alias) so predicate pushdown
       // can't duplicate the merge scan per pair.
-      .where(round(jac, 4) >= threshold)
+      .where(graft.functions.Det.round4(jac) >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(jac, 4).as("jaccard"))
+        graft.functions.Det.round4(jac).as("jaccard"))
   }
 
   // ---- Embedding cosine ------------------------------------------------
@@ -332,7 +332,7 @@ object Dedup {
         col("l.cell") === col("r.cell") && col("l.salt") === col("r.salt") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(graft.functions.GraftFunctions.cosineSim(col("l.vec"), col("r.vec")), 4).as("cos"))
+        graft.functions.Det.round4(graft.functions.GraftFunctions.cosineSim(col("l.vec"), col("r.vec"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -46,7 +46,7 @@ object Ann {
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = q.crossJoin(c)
       .select(col("query_id"), col("neighbor_id"),
-        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
+        graft.functions.Det.round4(cosFast(col("qv"), col("cv"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -107,7 +107,7 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.select(col("query_id"), col("neighbor_id"),
-        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
+        graft.functions.Det.round4(cosFast(col("qv"), col("cv"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -158,7 +158,7 @@ object Ann {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
+        graft.functions.Det.round4(cosFast(col("qv"), col("cv"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -197,7 +197,7 @@ object Ann {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probes.join(c, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosFast(col("qv"), col("cv")), 4).as("cos"))
+        graft.functions.Det.round4(cosFast(col("qv"), col("cv"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -27,7 +27,10 @@ object Vectors {
     val maxAbs = aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x)))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
     struct(scale.as("scale"),
-      transform(v, x => round(x / scale, 0).cast("byte")).as("q"))
+      // floor(x+0.5) instead of round(): exactly-specified IEEE ops, so
+      // an oracle running the same formula agrees on every boundary
+      // (see graft.functions.Det)
+      transform(v, x => floor(x / scale + lit(0.5)).cast("byte")).as("q"))
   }
 
   /** Inverse of [[quantizeInt8]]. */

@@ -203,13 +203,13 @@ object Curation {
     val t = coalesce(col(textCol), lit(""))
     val words = split(t, " ")
     val nWords = size(words).cast("long")
-    val meanWl = round(length(regexp_replace(t, " ", "")).cast("double") / nWords, 4)
-    val fracAlpha = round(
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 4)
+    val meanWl = graft.functions.Det.round4(length(regexp_replace(t, " ", "")).cast("double") / nWords)
+    val fracAlpha = graft.functions.Det.round4(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
     val nStop = size(filter(words, w => w.isInCollection(GopherStopwords))).cast("long")
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
-    val symRatio = round((nHash + nEllipsis).cast("double") / nWords, 4)
+    val symRatio = graft.functions.Det.round4((nHash + nEllipsis).cast("double") / nWords)
     val keep = nWords.between(minWords, maxWords) &&
       meanWl.between(3.0, 10.0) && symRatio < 0.1 &&
       fracAlpha > 0.8 && nStop >= 2
@@ -338,7 +338,7 @@ object Curation {
     df.agg(GraftFunctions.kmvSketch(kmvHash(valueCol), k).as("ks"))
       .select(
         when(size(col("ks")) < k, size(col("ks")).cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
+          .otherwise(graft.functions.Det.round(lit((k - 1).toDouble) * lit(4294967296.0) /
             element_at(col("ks"), size(col("ks"))), 1))
           .cast("double").as("estimate"),
         size(col("ks")).cast("long").as("n_kept"))
@@ -376,7 +376,7 @@ object Curation {
     require(k >= 2, s"kmv needs k >= 2, got $k")
     val h = kmvHash(valueCol)
     val est = when(col("n_distinct") <= k, col("n_distinct").cast("double"))
-      .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
+      .otherwise(graft.functions.Det.round(lit((k - 1).toDouble) * lit(4294967296.0) /
         element_at(col("ks"), size(col("ks"))), 1).cast("double"))
     df.agg(
         GraftFunctions.kmvSketch(h, k).as("ks"),
@@ -384,7 +384,7 @@ object Curation {
       .select(
         est.as("estimate"),
         col("n_distinct").cast("long").as("exact"),
-        round(abs(est - col("n_distinct")) * lit(100.0) / col("n_distinct"), 1)
+        graft.functions.Det.round(abs(est - col("n_distinct")) * lit(100.0) / col("n_distinct"), 1)
           .cast("double").as("err_pct"))
   }
 }

@@ -63,7 +63,7 @@ object Rank {
     tf.join(dfreq, "term")
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 4).as("score"))
+        graft.functions.Det.round4(col("tf") * log((col("n_docs") + 1) / (col("df") + 1))).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
@@ -96,7 +96,10 @@ object Rank {
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
           .as("s"))
-      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score"))
+      // decimal-exact sum (partition-order-independent), then the
+      // deterministic double rounding shared with the oracle
+      .groupBy("doc_id").agg(graft.functions.Det.round4(
+        sum(col("s").cast("decimal(30,15)")).cast("double")).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(limit)
   }
 }

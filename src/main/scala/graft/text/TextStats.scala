@@ -56,7 +56,8 @@ object TextStats {
     val lenScore = least(lit(1.0), nWords / 50.0)
     val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
     val stopRatio = stops / greatest(nWords, lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio, 4)
+    graft.functions.Det.round4(
+      lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio)
   }
 
   /** Intra-document repetition (the Gopher-style "repetition" quality
@@ -69,8 +70,8 @@ object TextStats {
   def repetitionRatio(words: Column, n: Int): Column = {
     val grams = graft.text.Curation.rawWordNgrams(words, n)
     when(size(words) < n, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"), 4))
+      graft.functions.Det.round4(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")))
   }
 
   /** Rolling-hash document fingerprint (polynomial hash of the
@@ -145,7 +146,7 @@ object TextStats {
       // then one double division + round(4): no decimal-division scale
       // rules in play (they differ between engines)
       .select(col(idCol), col("n_bigrams"),
-        round(round(col("__s"), 6).cast("double") / col("n_bigrams"), 4).as("nats"))
+        graft.functions.Det.round4(round(col("__s"), 6).cast("double") / col("n_bigrams")).as("nats"))
   }
 
   /** Declarative reference form of [[winnowFingerprints]], kept as the
