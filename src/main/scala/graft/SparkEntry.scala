@@ -376,6 +376,33 @@ object SparkEntry {
       Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
           "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
+    // End-to-end MinHash dedup — the full production pipeline in one
+    // operator: full-recall banded candidate pairs → exact-Jaccard
+    // confirmation (>= 0.8) → connected components → keep the lowest id
+    // per cluster. Every doc appears once with its cluster label and
+    // survivor flag; the oracle replays the whole chain (all-pairs
+    // Jaccard + recursive-CTE closure) in SQL.
+    "q_dedup_minhash_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 5, numPerms = 128, bands = 32, threshold = 0.5)
+      val g = docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
+      val pairs = cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
+        .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
+        .filter(graft.functions.GraftFunctions.jaccardSorted(
+          col("ga.grams"), col("gb.grams")) >= 0.8)
+        .select("id_a", "id_b")
+      val comp = Dedup.components(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // Pairs → clusters: connected components over the embed near-dup
     // graph (min-label propagation; oracle = recursive CTE closure).
     "q_dedup_components" -> ((s, dir) =>
@@ -580,6 +607,11 @@ object SparkEntry {
     "q_domain_mix" -> ((s, dir) =>
       Curation.domainMix(T(s, dir, "documents"), "lang", "doc_id", "text")
         .orderBy("lang", "doc_id")),
+    // Mix-planning table: per-source docs/token totals, corpus share,
+    // cumulative share in largest-first order (the top-p cut finder).
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(T(s, dir, "documents"), "source", "text")
+        .orderBy(col("tokens").desc, col("source"))),
 
     // Multimodal
     "q_mm_meta" -> ((s, dir) =>
@@ -1024,6 +1056,33 @@ object SparkEntry {
         |WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_minhash_e2e" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS grams
+        |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |    FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      AND len(a.grams) >= 0.8 * len(b.grams) AND len(b.grams) >= 0.8 * len(a.grams))
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, CAST(min(label) AS BIGINT) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+        |  coalesce(c.component, d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_components" ->
       """WITH RECURSIVE
         |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1249,6 +1308,16 @@ object SparkEntry {
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) - 1 AS gid
         |FROM documents ORDER BY gid""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tt FROM t)
+        |SELECT source, docs, tokens,
+        |  CAST(floor((tokens / tt) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS share,
+        |  CAST(floor((CAST(sum(tokens) OVER (ORDER BY tokens DESC, source) AS DOUBLE) / tt)
+        |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS cum_share
+        |FROM t, tot ORDER BY tokens DESC, source""".stripMargin,
     "q_domain_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT min(n) AS mn FROM c),

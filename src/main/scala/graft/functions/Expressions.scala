@@ -515,11 +515,18 @@ object GraftFunctions {
       ext.injectFunction((FunctionIdentifier(name), info(name), b))
     }
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    // Runtime twin of injectOptimizerRule (extraOptimizations runs in a
+    // late batch, after InferWindowGroupLimit — TopKRewrite handles both
+    // positions; see its WindowGroupLimit unwrap).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+  }
 
   // Column-API wrappers (functions are resolved from the registry).
   def minhashSig(c: Column, k: Int, numPerms: Int): Column =
@@ -541,6 +548,10 @@ object GraftFunctions {
 
 /** Entry point for spark.sql.extensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.register(ext)
+    // Operator-optimization-batch rule: row_number top-N → bounded-heap
+    // aggregate (graft.plans.TopKRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }

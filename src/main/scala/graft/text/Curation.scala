@@ -307,6 +307,32 @@ object Curation {
       .select(groupCol, idCol)
   }
 
+  /** Token budget per domain — the planning table behind any mix
+    * decision ("which domains dominate, where does the top-p cut
+    * fall"): docs, token totals, corpus share, and the cumulative share
+    * in largest-first order.
+    *
+    * Scale shape: one partial-aggregated shuffle reduces the corpus to
+    * |domains| rows; only the single-row grand total is broadcast. The
+    * cumulative share is a window over the ALREADY-AGGREGATED domain
+    * table (rows = |domains|, not |corpus|) — the one place a
+    * single-partition window is the honest answer, because "cumulative
+    * in global rank order" is inherently sequential and its input is
+    * the reduced table. */
+  def tokenBudget(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).cast("double").as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens").desc, col(groupCol))
+    per.crossJoin(broadcast(total))
+      .select(col(groupCol), col("docs"), col("tokens"),
+        graft.functions.Det.round(col("tokens") / col("__t"), 6).as("share"),
+        graft.functions.Det.round(
+          sum(col("tokens")).over(w).cast("double") / col("__t"), 6).as("cum_share"))
+  }
+
   // ---- KMV distinct-count sketch ---------------------------------------
 
   /** 32-bit content hash for the KMV sketch: both engines compute

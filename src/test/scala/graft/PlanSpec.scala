@@ -61,6 +61,22 @@ class PlanSpec extends SparkSpec {
     try f finally spark.conf.set(key, old)
   }
 
+  test("q_window_topn compiles to the bounded-heap aggregate, not a Window sort") {
+    // graft.plans.TopKRewrite: the REGISTERED query (not a synthetic
+    // twin) must plan as topk_rows partial aggregation with no Window
+    // operator and no per-group sort of the revenue table.
+    val p = planOf(Analytics.windowTopN(spark, sfDir))
+    assert(p.contains("partial_topk_rows"), s"expected heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"Window must be rewritten away:\n$p")
+  }
+
+  test("ann brute-force top-k compiles through the topk rewrite") {
+    val p = planOf(graft.sim.Ann.bruteForceTopK(
+      Tables(spark, sfDir, "embeddings").limit(5),
+      Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", 10))
+    assert(p.contains("partial_topk_rows") && !p.contains("Window"), p)
+  }
+
   test("ngram pairs: salted equi-join on the block key, no corpus-side broadcast") {
     withoutAutoBroadcast {
       val df = graft.dedup.Dedup.ngramJaccardPairs(
