@@ -23,9 +23,11 @@ object Plans {
     ("q5_multijoin", "Only the fixed-size region/nation dims carry broadcast " +
       "hints; supplier is stats/AQE-decided; orders date range pushed to the " +
       "scan; one agg shuffle.", false),
-    ("q_window_topn", "Part join stats/AQE-decided (no hint - part grows with " +
-      "scale); one partial-agg shuffle, one 25-group window shuffle; rank " +
-      "filter before the final sort.", false),
+    ("q_window_topn", "Written as the DECLARATIVE row_number window top-N — " +
+      "and compiled by graft.plans.TopKRewrite (injected optimizer rule) into " +
+      "the bounded-heap topk_rows aggregate: no Window operator, no per-group " +
+      "sort; partial_topk_rows ships <= 3 rows per brand per partition. Part " +
+      "join stats/AQE-decided (no hint - part grows with scale).", false),
     ("q_topk_agg", "The bounded-heap twin: ObjectHashAggregate with " +
       "partial_topk_largest BEFORE its exchange - the shuffle carries at most " +
       "k rows per group per partition instead of every (brand, part) row " +
@@ -88,8 +90,18 @@ object Plans {
       "full-text shuffle); all three model tables are alphabet-bounded true " +
       "dims; decimal-exact per-doc accumulation.", false),
     ("q_keywords", "tf and df keyed aggregates meet in a term equi-join; the " +
-      "1-row corpus constant crosses as a literal broadcast; the rank window " +
-      "partitions per doc — bounded by document length, never corpus-wide.", false))
+      "1-row corpus constant crosses as a literal broadcast; the per-doc top-k " +
+      "compiles through TopKRewrite to a topk_rows heap keyed on doc_id — " +
+      "bounded by document length, never corpus-wide.", false),
+    ("q_dedup_minhash_e2e", "Corpus-scale shape (auto-broadcast disabled): the " +
+      "full dedup pipeline — banded candidate join (exchange-reused signature " +
+      "table), exact-Jaccard confirmation kernel inside the join stage, " +
+      "iterative min-label components over the CONFIRMED pairs only (the " +
+      "tiny graph, not the corpus), and a left join folding survivors back.", true),
+    ("q_token_budget", "Corpus reduces to |domains| rows via one " +
+      "partial-aggregated shuffle; the single-row total crosses as a literal " +
+      "broadcast; the cumulative-share window runs over the already-reduced " +
+      "domain table.", true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

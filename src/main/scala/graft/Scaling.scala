@@ -106,6 +106,26 @@ object Scaling {
         graft.ops.Joins.asofJoin(probe, marker, "user_id", "ts", "ts")
           .select(col("event_id"), col("asof.pid").as("pid"))
       })
+      // TopKRewrite head-to-head: the same declarative row_number top-10
+      // per returnflag (3 groups — the worst case for a per-group sort),
+      // with the rewrite off (Window: full sort of every group) vs on
+      // (topk_rows heap: <= 10 rows per group per partition shuffled).
+      locally {
+        val li = (0 until n).map(i => Tables(spark, sfDir, "lineitem").select(
+          (col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_extendedprice")))
+          .reduce(_.unionByName(_))
+        def topn = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag")
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        }
+        spark.conf.set("spark.graft.topk.rewrite", "false")
+        timeBounded(s"topn_window_${n}x", topn)
+        spark.conf.set("spark.graft.topk.rewrite", "true")
+        timeBounded(s"topn_heap_${n}x", topn)
+      }
       // components runs its own actions (iterative) — time it directly,
       // over PRE-MATERIALIZED pairs so the number measures the
       // iterative algorithm, not a re-run of the pair join timed above

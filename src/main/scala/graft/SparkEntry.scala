@@ -516,6 +516,14 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextStats.lmScore(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // CCNet head/middle/tail: rank-based perplexity terciles over the
+    // in-engine LM score (rank cuts are integer-exact — portable where
+    // interpolated score boundaries are not).
+    "q_ccnet_buckets" -> ((s, dir) =>
+      Curation.rankBuckets(
+          TextStats.lmScore(T(s, dir, "documents"), "doc_id", "text")
+            .select("doc_id", "nats"), "nats", "doc_id")
+        .orderBy("doc_id")),
     "q_sample_pergroup" -> ((s, dir) =>
       Curation.sampleKPerGroup(T(s, dir, "documents"), "source", "doc_id",
           "text", k = 5)
@@ -1194,6 +1202,30 @@ object SparkEntry {
         |JOIN ctx x ON substr(bg.g, 1, 1) = x.a, v
         |GROUP BY bg.doc_id
         |ORDER BY bg.doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(lower(text)) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))) AS g
+        |  FROM n),
+        |model AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY 1),
+        |ctx AS (SELECT substr(g, 1, 1) AS a, sum(c) AS ca FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT substr(g, 2, 1)) AS DOUBLE) AS nv FROM model),
+        |scored AS (SELECT bg.doc_id,
+        |  CAST(floor((CAST(round(sum(CAST(-ln((m.c + 1) / (x.ca + v.nv)) AS DECIMAL(30,15))), 6) AS DOUBLE)
+        |        / count(*)) * 10000 + 0.5) AS DOUBLE) / 10000 AS nats
+        |  FROM bg JOIN model m USING (g)
+        |  JOIN ctx x ON substr(bg.g, 1, 1) = x.a, v
+        |  GROUP BY bg.doc_id),
+        |r AS (SELECT doc_id, nats,
+        |    CAST(row_number() OVER (ORDER BY nats, doc_id) AS BIGINT) - 1 AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM scored)
+        |SELECT doc_id, nats,
+        |  CASE WHEN rk * 3 < nn THEN 'head'
+        |       WHEN rk * 3 < nn * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),

@@ -277,6 +277,28 @@ object Curation {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): rank every row
+    * by a quality score and cut the corpus into head/middle/tail
+    * TERCILES BY RANK, not by interpolated score boundaries. Rank cuts
+    * are integer-exact (`rank*3 < n`), so the assignment is portable
+    * across engines — a value-interpolated tercile boundary is a double
+    * whose last-ulp arithmetic differs between engines and silently
+    * flips boundary docs. Ties on the score are broken by id, making
+    * the order total and the buckets deterministic.
+    *
+    * Scale shape: rides [[assignIds]] (range-partition + per-partition
+    * numbering — no single-partition window over the data); only the
+    * 1-row count crosses as a literal broadcast. */
+  def rankBuckets(df: DataFrame, scoreCol: String, idCol: String): DataFrame = {
+    val ranked = assignIds(df, Seq(scoreCol, idCol), "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col(scoreCol),
+        when(col("__rk") * 3 < col("__n"), "head")
+          .when(col("__rk") * 3 < col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ---- domain mixing ----------------------------------------------------
 
   /** Deterministic uniform domain mix: every group (source/domain) is

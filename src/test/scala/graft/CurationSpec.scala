@@ -232,6 +232,43 @@ class CurationSpec extends SparkSpec {
     assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
   }
 
+  test("tokenBudget: shares sum to ~1, cumulative share is monotone largest-first") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val b = Curation.tokenBudget(docs, "source", "text")
+      .orderBy(col("tokens").desc, col("source"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(b.nonEmpty)
+    assert(math.abs(b.map(_._4).sum - 1.0) < 1e-3)
+    assert(b.last._5 > 0.999 && b.last._5 <= 1.000001)
+    b.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi._3 >= lo._3, "not sorted largest-first")
+      assert(hi._5 <= lo._5 + 1e-12, "cum share must be monotone")
+    case _ => }
+    // docs/token totals reconcile with direct aggregation
+    val direct = docs.groupBy("source")
+      .agg(count(lit(1)).as("d"), sum(size(split(col("text"), " "))).as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    b.foreach { case (s, d, t, _, _) => assert(direct(s) == (d, t), s) }
+  }
+
+  test("rankBuckets: integer-exact rank terciles, ties broken by id, tiny inputs") {
+    val df = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0), (4L, 1.0), (5L, 9.0), (6L, 0.5))
+      .toDF("id", "score")
+    val got = Curation.rankBuckets(df, "score", "id")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    // order: 6(0.5) 2(1.0) 4(1.0 — id tiebreak) 3(2.0) 1(3.0) 5(9.0)
+    assert(got == Map(6L -> "head", 2L -> "head", 4L -> "middle",
+      3L -> "middle", 1L -> "tail", 5L -> "tail"))
+    // tiny inputs follow the same integer rule: n=1 → rank 0 is head;
+    // n=2 → rank 1 has 1*3=3 < 2*2 → middle (no tail until n >= 3)
+    val one = Curation.rankBuckets(Seq((1L, 5.0)).toDF("id", "score"), "score", "id")
+      .as[(Long, Double, String)].collect()
+    assert(one.head._3 == "head")
+    val two = Curation.rankBuckets(Seq((1L, 5.0), (2L, 1.0)).toDF("id", "score"), "score", "id")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(two == Map(2L -> "head", 1L -> "middle"))
+  }
+
   test("lineDedup drops corpus-repeated lines, keeps order, nulls empty docs") {
     val docs = Seq(
       (1L, "unique one\nboilerplate footer\nunique two"),

@@ -123,6 +123,30 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite.maxK")
   }
 
+  test("seeded differential sweep: random data/orderings/k, rule on == rule off") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val n = 3000
+    val data = (0 until n).map { i =>
+      (i.toLong,
+       s"g${rnd.nextInt(7)}",
+       if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(50)),
+       rnd.nextDouble() * 100,
+       s"s${rnd.nextInt(1000)}")
+    }
+    val df = data.toDF("id", "g", "v", "d", "s")
+    for (trial <- 0 until 8) {
+      val k = 1 + rnd.nextInt(12)
+      val keys = rnd.shuffle(List(col("v"), col("d"), col("s"))).take(1 + rnd.nextInt(2))
+        .map(c => if (rnd.nextBoolean()) c.desc else c.asc) :+ col("id").asc // total order
+      val w = Window.partitionBy("g").orderBy(keys: _*)
+      def q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val on = withRule(on = true)(rows(q))
+      val off = withRule(on = false)(rows(q))
+      assert(on == off, s"trial $trial k=$k keys=$keys")
+    }
+  }
+
   test("downstream operators resolve against restored attributes") {
     val agg = topn(3).groupBy("l_returnflag")
       .agg(sum("l_extendedprice").as("s"), max("rn").as("m"))
