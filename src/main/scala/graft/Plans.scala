@@ -101,7 +101,13 @@ object Plans {
     ("q_token_budget", "Corpus reduces to |domains| rows via one " +
       "partial-aggregated shuffle; the single-row total crosses as a literal " +
       "broadcast; the cumulative-share window runs over the already-reduced " +
-      "domain table.", true))
+      "domain table.", true),
+    ("q_bloom_join", "Runtime-filter join at the 100 TB shape " +
+      "(auto-broadcast disabled): the dim's keys partial-aggregate into ONE " +
+      "bounded bloom_agg row (numBits/8 bytes regardless of key count) that " +
+      "broadcasts as a literal; bloom_might_contain runs as a codegen filter " +
+      "in the fact scan stage, so the join exchange carries ~selectivity x " +
+      "|fact| rows; the exact shuffled join then removes false positives.", true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.{Sources, Tables}
 import graft.sources.Sources.{DateRange, Year}
 import graft.ops.{AgeRange, Dates, Expand, Joins, Luts, Standardize}
@@ -684,6 +685,20 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Analytics.q1(s, dir)),
     "q3_join" -> ((s, dir) => Analytics.q3(s, dir)),
     "q5_multijoin" -> ((s, dir) => Analytics.q5(s, dir)),
+    // Runtime-filter join: Bloom over the selective dim's keys kills
+    // fact rows in the scan stage before the join exchange; the exact
+    // join removes false positives, so result ≡ the plain join the
+    // oracle runs.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = T(s, dir, "part").filter(col("p_brand") === "Brand#4")
+      graft.ops.RuntimeFilter.bloomJoin(T(s, dir, "lineitem"), "l_partkey",
+          dim, "p_partkey")
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast(DecimalType(30, 10))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("p_size")
+    }),
     "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
     // Same result through the custom bounded-heap TopKLargest aggregate
     // (map-side partial top-k; shuffle carries ≤ n rows per group per
@@ -1442,6 +1457,17 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    // The Bloom runtime filter must be invisible in the result: the
+    // oracle is the PLAIN join (false positives die in the exact join).
+    "q_bloom_join" ->
+      """SELECT p_size,
+        |  count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#4'
+        |GROUP BY p_size
+        |ORDER BY p_size""".stripMargin,
     // q_topk_agg must reproduce the window-based top-N exactly.
     "q_topk_agg" -> topNPerBrandSql,
     "q_window_topn" -> topNPerBrandSql,

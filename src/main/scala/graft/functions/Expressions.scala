@@ -484,6 +484,144 @@ case class KmvSketch(child: Expression, k: Int,
   }
 }
 
+/** Bloom filter kernel for runtime-filter (semi-join reduction) plans.
+  * Bit placement uses Kirsch–Mitzenmacher double hashing: probe i sets
+  * bit (h + i·mix(h)) & (m-1), so one 64-bit input hash drives all k
+  * probes with no per-probe rehash. Serialized layout (big-endian):
+  * int numHashes, then the bit words — `might_contain` needs no other
+  * side channel. */
+object BloomImpl {
+
+  /** splitmix64 finalizer — derives the probe stride from the input hash. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the k probe bits of `hash` in a word array whose bit count is a
+    * power of two. */
+  def add(words: Array[Long], hash: Long, numHashes: Int): Unit = {
+    val mask = (words.length.toLong << 6) - 1
+    val h2 = mix(hash)
+    var h = hash
+    var i = 0
+    while (i < numHashes) {
+      val bit = h & mask
+      words((bit >>> 6).toInt) |= 1L << (bit & 63L).toInt
+      h += h2
+      i += 1
+    }
+  }
+
+  private def word(bytes: Array[Byte], w: Int): Long = {
+    val o = 4 + (w << 3)
+    ((bytes(o) & 255L) << 56) | ((bytes(o + 1) & 255L) << 48) |
+      ((bytes(o + 2) & 255L) << 40) | ((bytes(o + 3) & 255L) << 32) |
+      ((bytes(o + 4) & 255L) << 24) | ((bytes(o + 5) & 255L) << 16) |
+      ((bytes(o + 6) & 255L) << 8) | (bytes(o + 7) & 255L)
+  }
+
+  /** Probe the serialized filter. No false negatives by construction. */
+  def mightContain(bytes: Array[Byte], hash: Long): Boolean = {
+    val numHashes = ((bytes(0) & 255) << 24) | ((bytes(1) & 255) << 16) |
+      ((bytes(2) & 255) << 8) | (bytes(3) & 255)
+    val numWords = (bytes.length - 4) >>> 3
+    val mask = (numWords.toLong << 6) - 1
+    val h2 = mix(hash)
+    var h = hash
+    var i = 0
+    while (i < numHashes) {
+      val bit = h & mask
+      if ((word(bytes, (bit >>> 6).toInt) & (1L << (bit & 63L).toInt)) == 0L) return false
+      h += h2
+      i += 1
+    }
+    true
+  }
+
+  def serialize(words: Array[Long], numHashes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * words.length)
+    bb.putInt(numHashes)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+}
+
+/** bloom_agg(hash, numBits, numHashes) → binary: a Bloom filter over a
+  * long hash column (callers feed `xxhash64(key)`). The build side of a
+  * runtime filter: the aggregate ships one fixed-size bit array per
+  * partition (numBits/8 bytes — BOUNDED, unlike a collected key set),
+  * merged by OR into a single 1-row result that broadcasts as a
+  * literal-sized payload no matter how many rows it summarizes. */
+case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && numBits <= (1 << 27) && Integer.bitCount(numBits) == 1,
+    s"bloom_agg: numBits must be a power of two in [64, 2^27], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"bloom_agg: numHashes must be in [1, 16], got $numHashes")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomAgg = copy(child = newChildren.head)
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits >>> 6)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomImpl.add(buf, v.asInstanceOf[Long], numHashes)
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = BloomImpl.serialize(buf, numHashes)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomImpl.serialize(buf, numHashes)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long]((bytes.length - 4) >>> 3)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt // numHashes — fixed by the expression instance
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+}
+
+/** bloom_might_contain(bloom, hash) → boolean. The probe side of the
+  * runtime filter: a scan-stage codegen predicate (static-method call,
+  * stays inside WholeStageCodegen), so fact rows whose key cannot be in
+  * the build side die before the join exchange. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(bloom: Any, hash: Any): Any =
+    BloomImpl.mightContain(bloom.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) => s"graft.functions.BloomImpl.mightContain($b, $h)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomMightContain = copy(left = newLeft, right = newRight)
+}
+
 /** Registration: via SparkSessionExtensions (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or at runtime
   * with `ensureRegistered(spark)`. */
@@ -507,7 +645,11 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue())),
     "kmv_sketch" -> (es => KmvSketch(es.head,
-      es(1).eval().asInstanceOf[Number].intValue()))
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "bloom_agg" -> (es => BloomAgg(es.head,
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue())),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1)))
   )
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -544,6 +686,11 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   def kmvSketch(c: Column, k: Int): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
+  def bloomAgg(c: Column, numBits: Int, numHashes: Int): Column =
+    call_function("bloom_agg", c,
+      org.apache.spark.sql.functions.lit(numBits), org.apache.spark.sql.functions.lit(numHashes))
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    call_function("bloom_might_contain", bloom, hash)
 }
 
 /** Entry point for spark.sql.extensions. */
