@@ -144,14 +144,53 @@ object Xlsx {
     else None
   }
 
-  private def toDf(spark: SparkSession, rows: Seq[Array[String]]): DataFrame = {
+  /** Split raw sheet rows into (header names, data rows) — the first
+    * non-empty row is the header; unnamed columns become `_cN`. */
+  private[sources] def splitHeader(rows: Seq[Array[String]]): (Array[String], Seq[Array[String]]) = {
     val nonEmpty = rows.dropWhile(r => r.forall(_ == null))
     require(nonEmpty.nonEmpty, "xlsx sheet has no data rows")
     val header = nonEmpty.head.zipWithIndex.map { case (h, i) =>
       if (h == null || h.isEmpty) s"_c$i" else h
     }
+    (header, nonEmpty.tail)
+  }
+
+  /** The sheets a full read of this file covers, in read order: the
+    * single sheet, or the ascending year-sheet sequence. Mirrors
+    * [[read]]'s sheet resolution; the V2 connector turns each entry
+    * into its own input partition. */
+  def sheetsToRead(path: String, sheet: Option[String]): Seq[String] = withZip(path) { zf =>
+    val names = sheetParts(zf).map(_._1)
+    sheet match {
+      case Some(s) =>
+        if (!names.contains(s)) throw new IllegalArgumentException(
+          s"Sheet $s not found in Excel file at $path (have: ${names.mkString(", ")})")
+        Seq(s)
+      case None if names.size == 1 => names
+      case None => yearSheets(names) match {
+        case Some(ys) => ys.map(_._2)
+        case None => throw new IllegalArgumentException(
+          s"Excel file at $path has ${names.size} sheets and no sheet was " +
+          s"specified (have: ${names.mkString(", ")})")
+      }
+    }
+  }
+
+  /** Executor-side entry for the V2 connector: parse ONE named sheet of
+    * one file into (header, data rows). */
+  def headerAndRows(path: String, sheet: String): (Array[String], Seq[Array[String]]) =
+    withZip(path) { zf =>
+      val parts = sheetParts(zf)
+      val part = parts.toMap.getOrElse(sheet,
+        throw new IllegalArgumentException(
+          s"Sheet $sheet not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+      splitHeader(sheetRows(zf, part, sharedStrings(zf)))
+    }
+
+  private def toDf(spark: SparkSession, rows: Seq[Array[String]]): DataFrame = {
+    val (header, rest) = splitHeader(rows)
     val width = header.length
-    val data = nonEmpty.tail.map { r =>
+    val data = rest.map { r =>
       Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
     }
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))

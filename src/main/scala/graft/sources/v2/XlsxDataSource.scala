@@ -1,0 +1,130 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Xlsx
+
+/** DataSource V2 connector for xlsx: `spark.read.format("graft-xlsx")
+  * .load(path)` — the Spark-native form of the reference's Excel loader
+  * (openpolicedata/data_loaders/excel.py:24), replacing the driver-side
+  * `Xlsx.read` + `parallelize` convenience with a real distributed scan:
+  *
+  *  - **One input partition per (file, sheet)**: a directory of per-
+  *    agency xlsx files (or one workbook's year-sheets, excel.py:215)
+  *    parses fully in parallel ON EXECUTORS — the driver only lists
+  *    sheets. xlsx is a zip (non-splittable), so file×sheet is the
+  *    natural parallelism unit.
+  *  - **Column pruning** (SupportsPushDownRequiredColumns): a projection
+  *    reaches the scan, so readers emit only the requested columns —
+  *    visible as the pruned BatchScan output in `.explain`.
+  *  - **Union-by-name semantics**: each partition projects by column
+  *    NAME against its own file's header (missing columns → null),
+  *    matching the reference's year-sheet concatenation and
+  *    CombinedDataset alignment.
+  *
+  * `path` may be a single .xlsx file or a directory of them; `sheet`
+  * optionally pins one sheet name (otherwise: single sheet, or the
+  * year-sheet sequence). Cells surface as nullable strings — exactly
+  * what the standardization pipeline expects from messy agency files.
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-xlsx"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val splits = XlsxV2.splits(options)
+    // First-seen column order across all (file, sheet) splits; all-string.
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    splits.foreach { case (file, sheet) =>
+      Xlsx.headerAndRows(file, sheet)._1.foreach(seen.add)
+    }
+    require(seen.nonEmpty, s"no columns found under ${options.get("path")}")
+    StructType(seen.toSeq.map(StructField(_, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new XlsxTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object XlsxV2 {
+  /** Resolve the `path` option to the (file, sheet) read units. */
+  def splits(options: CaseInsensitiveStringMap): Seq[(String, String)] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx: `path` option is required"))
+    val sheet = Option(options.get("sheet"))
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
+      else Seq(path)
+    require(files.nonEmpty, s"graft-xlsx: no .xlsx files under $path")
+    files.flatMap(file => Xlsx.sheetsToRead(file, sheet).map(file -> _))
+  }
+}
+
+class XlsxTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-xlsx:" + options.get("path")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(tableSchema, options)
+}
+
+class XlsxScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new XlsxScan(required, XlsxV2.splits(options))
+}
+
+case class XlsxInputPartition(file: String, sheet: String) extends InputPartition
+
+class XlsxScan(required: StructType, splits: Seq[(String, String)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx ${splits.size} sheet(s), columns [${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    splits.map { case (f, s) => XlsxInputPartition(f, s) }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    XlsxReaderFactory(required.fieldNames)
+}
+
+case class XlsxReaderFactory(required: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XlsxInputPartition]
+    new XlsxPartitionReader(p.file, p.sheet, required)
+  }
+}
+
+/** Executor-side reader: parses its one sheet, projects by column NAME
+  * against this file's own header (absent name → null column). */
+class XlsxPartitionReader(file: String, sheet: String, required: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val (header, rows) = Xlsx.headerAndRows(file, sheet)
+  private val idx: Array[Int] = required.map(n => header.indexOf(n)) // -1 → null
+  private val it = rows.iterator
+  private var row: Array[String] = _
+
+  override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
+  override def get(): InternalRow = InternalRow.fromSeq(
+    idx.toIndexedSeq.map { i =>
+      if (i >= 0 && i < row.length && row(i) != null) UTF8String.fromString(row(i)) else null
+    })
+  override def close(): Unit = ()
+}

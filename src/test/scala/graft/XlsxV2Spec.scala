@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Xlsx
+
+/** DataSource V2 xlsx connector: distributed parse (one partition per
+  * file×sheet), column pruning into the scan, union-by-name across
+  * heterogeneous files, sheet selection. */
+class XlsxV2Spec extends SparkSpec {
+
+  private def tmpDir(): java.io.File = {
+    val d = Files.createTempDirectory("graft_xlsxv2_").toFile
+    d.deleteOnExit(); d
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("directory of files reads in parallel, one partition per file") {
+    val dir = tmpDir()
+    (1 to 3).foreach { i =>
+      Xlsx.write(s"$dir/f$i.xlsx", Seq(("Sheet1",
+        Seq(Seq("id", "name"), Seq(s"$i-1", s"n$i-1"), Seq(s"$i-2", s"n$i-2")))))
+    }
+    val df = spark.read.format("graft-xlsx").load(dir.getPath)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 6)
+    assert(df.rdd.getNumPartitions == 3, "expected one input partition per file")
+    assert(df.filter(col("id") === "2-1").select("name").head().getString(0) == "n2-1")
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = tmpDir()
+    Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1",
+      Seq(Seq("a", "b", "c"), Seq("1", "2", "3"), Seq("4", "5", "6")))))
+    val df = spark.read.format("graft-xlsx").load(dir.getPath).select("b")
+    val scan = scanOf(df)
+    assert(scan.output.map(_.name) == Seq("b"), scan.output.toString)
+    assert(df.as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq == Seq("2", "5"))
+  }
+
+  test("year-sheets expand to one partition each and union in year order") {
+    val path = s"${tmpDir()}/years.xlsx"
+    Xlsx.write(path, Seq(
+      ("Data 2020", Seq(Seq("id", "v"), Seq("a", "1"))),
+      ("Data 2019", Seq(Seq("id", "v"), Seq("b", "2")))))
+    val df = spark.read.format("graft-xlsx").load(path)
+    assert(df.rdd.getNumPartitions == 2, "expected one partition per year sheet")
+    assert(df.count() == 2)
+    assert(df.select("id").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("sheet option pins one sheet; unknown sheet fails loud") {
+    val path = s"${tmpDir()}/multi.xlsx"
+    Xlsx.write(path, Seq(
+      ("Alpha", Seq(Seq("x"), Seq("1"))),
+      ("Beta", Seq(Seq("x"), Seq("2")))))
+    val one = spark.read.format("graft-xlsx").option("sheet", "Beta").load(path)
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("2"))
+    val bad = intercept[Exception] {
+      spark.read.format("graft-xlsx").option("sheet", "Nope").load(path).collect()
+    }
+    assert(bad.getMessage.contains("Nope") || bad.getCause != null)
+  }
+
+  test("heterogeneous files align by name, missing columns null") {
+    val dir = tmpDir()
+    Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1", Seq(Seq("id", "race"), Seq("1", "W")))))
+    Xlsx.write(s"$dir/b.xlsx", Seq(("Sheet1", Seq(Seq("id", "gender"), Seq("2", "M")))))
+    val df = spark.read.format("graft-xlsx").load(dir.getPath).orderBy("id")
+    assert(df.columns.toSeq == Seq("id", "race", "gender"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "W" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "M")
+  }
+}
