@@ -107,7 +107,12 @@ object Plans {
       "bounded bloom_agg row (numBits/8 bytes regardless of key count) that " +
       "broadcasts as a literal; bloom_might_contain runs as a codegen filter " +
       "in the fact scan stage, so the join exchange carries ~selectivity x " +
-      "|fact| rows; the exact shuffled join then removes false positives.", true))
+      "|fact| rows; the exact shuffled join then removes false positives.", true),
+    ("q_salted_join", "Skew-safe join at the 100 TB shape (auto-broadcast " +
+      "disabled): fact shuffles on (key, salt) so a pathologically hot key " +
+      "spreads across 8 reducers; the dim side replicates via a " +
+      "salts-row literal broadcast cross join before its exchange. The salt " +
+      "never reaches the aggregate.", true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

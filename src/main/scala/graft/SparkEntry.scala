@@ -685,6 +685,18 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Analytics.q1(s, dir)),
     "q3_join" -> ((s, dir) => Analytics.q3(s, dir)),
     "q5_multijoin" -> ((s, dir) => Analytics.q5(s, dir)),
+    // Salted skew join: the fact side's hot keys spread over 8 salted
+    // sub-keys; the dim replicates once per salt. The salt must be
+    // invisible in the result — the oracle is the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      graft.ops.Skew.saltedJoin(T(s, dir, "lineitem"), "l_partkey",
+          T(s, dir, "part").select("p_partkey", "p_brand"), "p_partkey", salts = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast(DecimalType(30, 10))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("p_brand")
+    }),
     // Runtime-filter join: Bloom over the selective dim's keys kills
     // fact rows in the scan stage before the join exchange; the exact
     // join removes false positives, so result ≡ the plain join the
@@ -1457,6 +1469,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    // The salt must be invisible in the result: the oracle is the
+    // PLAIN join.
+    "q_salted_join" ->
+      """SELECT p_brand,
+        |  count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     // The Bloom runtime filter must be invisible in the result: the
     // oracle is the PLAIN join (false positives die in the exact join).
     "q_bloom_join" ->

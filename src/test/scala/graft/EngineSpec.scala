@@ -361,6 +361,23 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the plain join, incl. a pathological hot key") {
+    // 10k rows on ONE key plus a uniform tail — the shape that
+    // straggles a single reducer in a plain shuffled join
+    val fact = ((1 to 10000).map(i => (42L, i.toLong)) ++
+      (1 to 1000).map(i => (i.toLong % 50, 100000L + i))).toDF("k", "payload")
+    val dim = (0L to 60L).map(k => (k, s"d$k")).toDF("dk", "tag")
+    Seq(1, 8).foreach { s =>
+      val got = graft.ops.Skew.saltedJoin(fact, "k", dim, "dk", s)
+      val want = fact.join(dim, col("k") === col("dk"))
+      assert(got.count() == want.count(), s"salts=$s")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"salts=$s")
+    }
+    // salt columns must not leak into the output
+    assert(!graft.ops.Skew.saltedJoin(fact, "k", dim, "dk", 4)
+      .columns.exists(_.contains("salt")))
+  }
+
   test("multimodal feature extraction: stable histograms, batch shape preserved") {
     val docs = graft.sources.Tables(spark, sfDir, "documents").limit(50)
     val feats = Binary.extractFeatures(spark,
