@@ -511,6 +511,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
         .orderBy("term_id")),
+    // Long-tail inverted index: full posting lists only where df bounds
+    // them (≤ 1/25 of the corpus); hot terms are excluded by design
+    // (sharded at scale).
+    "q_postings" -> ((s, dir) =>
+      Rank.postings(T(s, dir, "documents"), "doc_id", "text", denom = 25)
+        .orderBy("term")),
     "q_keywords" -> ((s, dir) =>
       Rank.keywords(T(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")),
@@ -1213,6 +1219,17 @@ object SparkEntry {
         |      WHERE term <> '' GROUP BY term)
         |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS term_id
         |FROM d WHERE df >= 100 ORDER BY term_id""".stripMargin,
+    "q_postings" ->
+      """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS term
+        |  FROM s WHERE len(w) >= 2),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |             array_to_string(list_sort(list(doc_id)), ',') AS docs
+        |      FROM b WHERE regexp_matches(term, '^\S+ \S+$') GROUP BY term),
+        |n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT term, df, docs FROM d, n WHERE df * 25 <= nn ORDER BY term""".stripMargin,
     "q_lm_score" ->
       """WITH n AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(lower(text)) >= 2),

@@ -27,6 +27,37 @@ object Rank {
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Long-tail inverted index over word BIGRAMS: one row per term
+    * whose df is at most a 1/denom fraction of the corpus, carrying the
+    * full ascending posting list (comma-joined — a string survives
+    * every engine's row canonicalizer; a raw array does not). The df
+    * cutoff is the honesty knob at 100 TB: a hot term's posting list is
+    * corpus-sized and would be sharded (delta-encoded blocks keyed by
+    * (term, shard)), never carried as one aggregate row — this operator
+    * serves the long tail, where the fraction bounds every list. The
+    * cutoff compares integers (`df * denom <= n`), so the selection is
+    * engine-portable. One keyed shuffle; map-side partial collect_list;
+    * the 1-row corpus count crosses as a literal broadcast. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               denom: Int = 25): DataFrame = {
+    require(denom >= 1, s"postings: denom must be >= 1, got $denom")
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .selectExpr("doc_id",
+        "explode(array_distinct(transform(sequence(0, size(w) - 2), " +
+          "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))) AS term")
+      .filter(col("term").rlike("^\\S+ \\S+$"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    terms.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * denom <= col("__n"))
+      .drop("__n")
+  }
+
   /** Tokenizer-style vocabulary table: terms appearing in at least
     * `minDf` documents, with stable ids assigned by (document
     * frequency desc, term) rank. The corpus-sized work is the keyed
