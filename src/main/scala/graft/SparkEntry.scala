@@ -750,6 +750,11 @@ object SparkEntry {
     // duplicates (DedupSpec covers the duplicate-dropping case).
     "q_stream_dedupe" -> ((s, dir) =>
       Streams.dedupeStream(s, dir).orderBy("event_id")),
+    // Streaming near-dup dedup on an md5-minhash signature built from
+    // builtin functions only — the oracle recomputes the signature
+    // bit-for-bit and takes min(doc_id) per group.
+    "q_stream_neardup" -> ((s, dir) =>
+      Streams.neardupStream(s, dir).orderBy("keep_id")),
     "q_stream_enrich" -> ((s, dir) =>
       Streams.enrich(s, dir).orderBy("window_start_us", "tier")),
     "q_stream_joined" -> ((s, dir) =>
@@ -1571,6 +1576,24 @@ object SparkEntry {
     "q_stream_dedupe" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    // The md5-minhash signature is rebuilt here from the same builtin
+    // primitives (md5, min over distinct 5-gram shingles), so streaming
+    // survivor choice (min doc_id per signature) is fully checkable.
+    "q_stream_neardup" ->
+      """WITH nrm AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS grams
+        |  FROM nrm),
+        |s AS (SELECT doc_id,
+        |    list_min(list_transform(grams, x -> md5(x || '#0'))) || '|' ||
+        |    list_min(list_transform(grams, x -> md5(x || '#1'))) || '|' ||
+        |    list_min(list_transform(grams, x -> md5(x || '#2'))) || '|' ||
+        |    list_min(list_transform(grams, x -> md5(x || '#3'))) AS sig
+        |  FROM g)
+        |SELECT min(doc_id) AS keep_id, sig FROM s GROUP BY sig
+        |ORDER BY keep_id""".stripMargin,
     "q_stream_joined" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

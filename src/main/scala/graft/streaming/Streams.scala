@@ -189,6 +189,75 @@ object Streams {
   final case class SimDoc(band_id: Int, band_val: Long, doc_id: Long,
                           sim: Long, ts_us: Long)
   final case class NearDup(id_a: Long, id_b: Long, hamming: Int)
+  final case class SigKeep(keep_id: Long, sig: String)
+
+  /** Streaming near-dup dedup (pre-sink): one survivor per MinHash-style
+    * signature, chosen deterministically as the first doc by (event
+    * time, id) within the watermark horizon.
+    *
+    * The signature is `bands` independent min-over-md5 shingle hashes —
+    * band b = min over the doc's distinct 5-char-gram shingles of
+    * md5(gram ++ "#b") — built ENTIRELY from builtin codegen functions,
+    * so a DuckDB oracle reproduces the signature (and therefore the
+    * survivor set) bit-for-bit. That makes this the SQL-verifiable twin
+    * of [[simhashCandidatesStream]] (whose custom kernel needs a
+    * spec-level batch-equivalence check instead): identical-shingle-set
+    * docs always collide; high-Jaccard docs collide with probability
+    * J^bands. Text normalization matches Dedup.normText.
+    *
+    * State per signature is ONE long (the winner id), evicted by
+    * event-time timeout — bounded by the watermark horizon, never the
+    * corpus. Emission is once per signature (Append), on the micro-batch
+    * that first carries it; within that batch rows are sorted so the
+    * winner is order-independent. */
+  def neardupStreamDf(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, bands: Int = 4,
+                      watermarkMinutes: Int = 60): DataFrame = {
+    require(bands >= 1 && bands <= 16, s"bands must be in [1,16], got $bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gapMs = watermarkMinutes * 60L * 1000L
+    val sigCol = concat_ws("|", (0 until bands).map(b =>
+      array_min(transform(col("__grams"),
+        g => md5(concat(g, lit("#" + b)))))): _*)
+    docs
+      .withColumn("__norm", lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      .withColumn("__grams", array_distinct(expr(
+        "transform(sequence(1, greatest(length(__norm) - 4, 1)), i -> substring(__norm, i, 5))")))
+      .withColumn("sig", sigCol)
+      .withWatermark(tsCol, s"$watermarkMinutes minutes")
+      .select(col("sig"), col(idCol).cast("long").as("doc_id"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("__ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, SigKeep](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (sig, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                state.update(sorted.head._2)
+                Iterator.single(SigKeep(sorted.head._2, sig))
+              }
+            state.setTimeoutTimestamp(sorted.map(_._4.getTime).max + gapMs)
+            out
+          }
+      }
+      .toDF()
+  }
+
+  /** Memory-sink wrapper of [[neardupStreamDf]] over the documents
+    * table with a deterministic doc_id-derived event time (oracle
+    * harness; file/kafka sinks at scale). */
+  def neardupStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = readTableStream(spark, dir, "documents")
+      .withColumn("__evt", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    runToMemory(neardupStreamDf(docs, "doc_id", "text", "__evt"),
+      s"graft_stream_neardup_${System.nanoTime()}", OutputMode.Append())
+  }
 
   /** Streaming near-duplicate CANDIDATE generation (pre-sink,
     * unbounded) — the in-flight twin of [[graft.dedup.Dedup.simhashPairs]]:

@@ -317,6 +317,26 @@ class EngineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming near-dup: whitespace/case twins collide, winner is earliest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "  The   quick brown fox jumps over the lazy DOG "), // norm-twin, earlier id
+      (7L, "a completely different document about spark physical plans"),
+      (8L, "a completely different document about spark physical plans")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/docs")
+    val schema = spark.read.parquet(s"$tmp/docs").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/docs")
+      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val got = Streams.runToMemory(
+        Streams.neardupStreamDf(stream, "doc_id", "text", "ts"),
+        s"graft_neardup_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("keep_id").as[Long].collect().toSet
+    // twins (3,10) → 3 wins (earlier event time); twins (7,8) → 7 wins
+    assert(got == Set(3L, 7L))
+  }
+
   test("streaming sessionize drives a distributed file sink (no driver collect)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val path = Streams.runToFileSink(Streams.sessionizeStream(spark, sfDir), tmp)
