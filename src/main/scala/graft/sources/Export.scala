@@ -55,6 +55,22 @@ object Export {
     path
   }
 
+  /** Hive-partitioned parquet layout — the 100 TB twin of the
+    * reference's year-chunked iteration (`load_iter(year=...)` /
+    * split_date_range): data lands under `partCols`-derived directories
+    * (e.g. `year=2021/`), so a year- or agency-filtered read PRUNES
+    * whole partitions at plan time (`PartitionFilters` in the scan —
+    * asserted by ExportSpec) instead of scanning and discarding.
+    * `partCols` must be existing columns; derive them first (e.g.
+    * `withColumn("year", year(col("date")))`). Writes stay fully
+    * distributed; files per partition follow the upstream parallelism. */
+  def toPartitionedParquet(df: DataFrame, outputDir: String,
+                           partCols: Seq[String]): String = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(outputDir)
+    outputDir
+  }
+
   /** `Source.load_from_csv` (data.py): reload a previously-exported
     * table from its canonical filename. */
   def loadCsv(spark: org.apache.spark.sql.SparkSession, outputDir: String,

@@ -189,4 +189,26 @@ class PlanSpec extends SparkSpec {
       "STOPS", Left("2020"))
     assert(csvBack.count() == 5 && csvBack.columns.contains("r_name"))
   }
+
+  test("partitioned export prunes whole partitions on a year filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+    Export.toPartitionedParquet(orders, s"$tmp/orders_by_year", Seq("year"))
+    // layout: one hive directory per year
+    val dirs = new java.io.File(s"$tmp/orders_by_year").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("year=")), dirs.mkString(","))
+    val back = spark.read.parquet(s"$tmp/orders_by_year")
+      .filter(org.apache.spark.sql.functions.col("year") === 1996)
+    val plan = back.queryExecution.executedPlan.toString
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning at plan time), not a post-scan row filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*year[^\\]]*1996.*"),
+      plan.take(1500))
+    val want = orders.filter(org.apache.spark.sql.functions.col("year") === 1996).count()
+    assert(back.count() == want && want > 0)
+  }
 }
