@@ -643,6 +643,15 @@ object SparkEntry {
           Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "payload")
         .orderBy("id")),
+    // Frame sampling with integer-exact byte-window placement. The
+    // oracle mirrors byte windows with CHAR windows — equivalent here
+    // because the corpus is pure ASCII (octet_length ≡ length,
+    // verified), and md5 hashes the same UTF-8 bytes on both engines.
+    "q_mm_frames" -> ((s, dir) =>
+      Binary.sampleFrames(
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload")
+        .orderBy("doc_id", "frame_idx")),
     // Same negative pinning for the WAV parser (EngineSpec covers the
     // positive cases with crafted RIFF headers).
     "q_mm_audiometa" -> ((s, dir) =>
@@ -1436,6 +1445,17 @@ object SparkEntry {
         |   AND symbol_ratio < 0.1 AND frac_alpha_words > 0.8
         |   AND n_stopwords >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      """WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |           FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, text, n, unnest(range(0, 4)) AS fi FROM p),
+        |g AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |        CAST(CASE WHEN n <= 64 THEN 0 ELSE (fi * (n - 64)) // 3 END AS BIGINT) AS off,
+        |        text
+        |      FROM f WHERE n > 64 OR fi = 0)
+        |SELECT doc_id, frame_idx, off,
+        |  md5(substring(text, CAST(off + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     "q_mm_imagemeta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(NULL AS VARCHAR) AS format,

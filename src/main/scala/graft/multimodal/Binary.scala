@@ -234,4 +234,30 @@ object Binary {
         }
       }
   }
+
+  /** Declarative, ORACLE-VERIFIABLE twin of [[frameSampleStub]]: emit
+    * `frames` evenly spaced fixed-width byte windows per payload — one
+    * row per frame with its content hash instead of the raw bytes (a
+    * hex string survives every engine's row canonicalizer; raw binary
+    * does not). Offsets are integer-exact
+    * (`off(i) = i·(n−w) div (frames−1)`), so the window placement is
+    * engine-portable with no double arithmetic; payloads shorter than
+    * one window emit a single frame 0. Pure scan-stage codegen — the
+    * explode fans out rows, never partitions. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frames: Int = 4, window: Int = 64): DataFrame = {
+    require(frames >= 1, s"frames must be >= 1, got $frames")
+    require(window >= 1, s"window must be >= 1, got $window")
+    df.select(col(idCol), col(payloadCol).as("__p"),
+        octet_length(col(payloadCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__p"), col("__n"),
+        explode(sequence(lit(0L), lit((frames - 1).toLong))).as("frame_idx"))
+      .filter(col("__n") > window || col("frame_idx") === 0L)
+      .withColumn("off",
+        when(col("__n") <= window, lit(0L))
+          .otherwise(expr(s"(frame_idx * (__n - $window)) div ${math.max(frames - 1, 1)}")))
+      .select(col(idCol), col("frame_idx"), col("off"),
+        md5(expr(s"substr(__p, off + 1, $window)")).as("frame_md5"))
+  }
 }

@@ -21,7 +21,9 @@ HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
               "q_sample_split", "q_pii_scrub", "q_decontaminate",
               "q_distinct_kmv", "q_pack_chunks",
               "q_asof_join", "q_range_join", "q_line_dedup",
-              "q_gopher_filter", "q_dedup_semantic"]
+              "q_gopher_filter", "q_dedup_semantic",
+              "q_bloom_join", "q_salted_join", "q_postings",
+              "q_token_budget", "q_ccnet_buckets", "q_dedup_minhash_e2e"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
