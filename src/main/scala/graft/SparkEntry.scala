@@ -643,6 +643,18 @@ object SparkEntry {
           Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "payload")
         .orderBy("id")),
+    // Pins the resize mapPartitions KERNEL against SQL: the oracle
+    // re-derives the strided thumb from chars (ASCII corpus) and the
+    // md5s must agree byte-for-byte.
+    "q_mm_resize" -> ((s, dir) =>
+      Binary.resizeStub(s,
+          Binary.withMeta(T(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "payload", targetW = 8, targetH = 8)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          octet_length(col("thumb")).cast("long").as("n_thumb"),
+          md5(col("thumb")).as("thumb_md5"))
+        .orderBy("id")),
     // Frame sampling with integer-exact byte-window placement. The
     // oracle mirrors byte windows with CHAR windows — equivalent here
     // because the corpus is pure ASCII (octet_length ≡ length,
@@ -1445,6 +1457,19 @@ object SparkEntry {
         |   AND symbol_ratio < 0.1 AND frac_alpha_words > 0.8
         |   AND n_stopwords >= 2) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH p AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT id, n, greatest(n // 64, 1) AS stride, text FROM p),
+        |t AS (SELECT id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |        CASE WHEN n = 0 THEN '' ELSE
+        |          list_aggregate(list_transform(range(0, (n - 1) // stride + 1),
+        |            k -> substr(text, CAST(k * stride + 1 AS INT), 1)), 'string_agg', '')
+        |        END AS thumb
+        |      FROM s)
+        |SELECT id, width, height, CAST(length(thumb) AS BIGINT) AS n_thumb,
+        |  md5(thumb) AS thumb_md5
+        |FROM t ORDER BY id""".stripMargin,
     "q_mm_frames" ->
       """WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
         |           FROM documents WHERE length(text) > 0),
