@@ -12,11 +12,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** `maxPartitionBytes` sizes scan splits: at 100 TB the default 128m
+    * yields ~800k input tasks — fine for a 1000-executor cluster, but
+    * raise it (e.g. "512m") when per-row work is light so task-launch
+    * overhead doesn't dominate, and lower it when wide rows or heavy
+    * per-row kernels (decode, minhash) would blow executor memory.
+    * Shuffle partitions should track total cores (AQE coalesces the
+    * small ones back down). */
   def builder(master: String = "local[*]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = 32,
+              maxPartitionBytes: String = "128m"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -25,8 +34,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(master: String = "local[*]",
-                  shufflePartitions: Int = 32): SparkSession = {
-    val s = builder(master, shufflePartitions).getOrCreate()
+                  shufflePartitions: Int = 32,
+                  maxPartitionBytes: String = "128m"): SparkSession = {
+    val s = builder(master, shufflePartitions, maxPartitionBytes).getOrCreate()
     graft.functions.GraftFunctions.ensureRegistered(s)
     s
   }

@@ -202,9 +202,10 @@ object Binary {
       .as[MMRecord]
       .mapPartitions { it =>
         it.map { rec =>
-          val stride = math.max(rec.payload.length / math.max(targetW * targetH, 1), 1)
-          val thumb = rec.payload.indices.collect {
-            case i if i % stride == 0 => rec.payload(i)
+          val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+          val stride = math.max(p.length / math.max(targetW * targetH, 1), 1)
+          val thumb = p.indices.collect {
+            case i if i % stride == 0 => p(i)
           }.toArray
           Resized(rec.id, targetW, targetH, thumb)
         }
@@ -224,13 +225,14 @@ object Binary {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .as[MMRecord]
       .flatMap { rec =>
-        val n = math.min(nFrames, math.max(rec.payload.length, 1))
-        val step = math.max(rec.payload.length / n, 1)
+        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+        val n = math.min(nFrames, math.max(p.length, 1))
+        val step = math.max(p.length / n, 1)
         (0 until n).iterator.map { f =>
           val from = f * step
-          val until = if (f == n - 1) rec.payload.length else math.min((f + 1) * step, rec.payload.length)
+          val until = if (f == n - 1) p.length else math.min((f + 1) * step, p.length)
           Frame(rec.id, f, from.toLong,
-            java.util.Arrays.copyOfRange(rec.payload, from, math.max(until, from)))
+            java.util.Arrays.copyOfRange(p, from, math.max(until, from)))
         }
       }
   }

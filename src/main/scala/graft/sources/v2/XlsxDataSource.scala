@@ -67,7 +67,8 @@ object XlsxV2 {
     val f = new java.io.File(path)
     val files =
       if (f.isDirectory)
-        f.listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
+        Option(f.listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
+          .getOrElse(Array.empty[java.io.File]).map(_.getPath).sorted.toSeq
       else Seq(path)
     require(files.nonEmpty, s"graft-xlsx: no .xlsx files under $path")
     files.flatMap(file => Xlsx.sheetsToRead(file, sheet).map(file -> _))

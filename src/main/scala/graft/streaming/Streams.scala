@@ -221,7 +221,10 @@ object Streams {
       array_min(transform(col("__grams"),
         g => md5(concat(g, lit("#" + b)))))): _*)
     docs
-      .withColumn("__norm", lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+      // null text → empty-string signature (one shared bucket), so the
+      // stateful op never sees a null grouping key
+      .withColumn("__norm",
+        lower(trim(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", " "))))
       .withColumn("__grams", array_distinct(expr(
         "transform(sequence(1, greatest(length(__norm) - 4, 1)), i -> substring(__norm, i, 5))")))
       .withColumn("sig", sigCol)
