@@ -431,6 +431,14 @@ object SparkEntry {
       Dedup.semantic(T(s, dir, "embeddings"), "vec_id", "embedding",
           "label", threshold = 0.3)
         .orderBy("vec_id")),
+    // Exact substring dedup (Lee et al. 2022): maximal token spans whose
+    // 10-token windows repeat corpus-wide — the suffix-array method
+    // re-expressed as gram-count shuffle + gaps-and-islands (47 spans,
+    // max 93 tokens at sf0.01). span_md5 pins the span CONTENT.
+    "q_substr_dedup" -> ((s, dir) =>
+      Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+          k = 10, minCount = 2)
+        .orderBy("doc_id", "span_pos")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -1123,6 +1131,25 @@ object SparkEntry {
         |WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_substr_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 9, 0) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents)),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS gram FROM g),
+        |c AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN c USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_pos,
+        |    CAST(count(*) + 9 AS BIGINT) AS span_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM isl GROUP BY doc_id, grp),
+        |d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents)
+        |SELECT s.doc_id, s.span_pos, s.span_tokens, s.n_grams,
+        |  md5(array_to_string(w[CAST(s.span_pos AS INT):CAST(s.span_pos + s.span_tokens - 1 AS INT)], ' ')) AS span_md5
+        |FROM spans s JOIN d ON s.doc_id = d.doc_id
+        |ORDER BY s.doc_id, span_pos""".stripMargin,
     "q_dedup_minhash_e2e" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id,

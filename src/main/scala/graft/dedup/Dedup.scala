@@ -306,6 +306,67 @@ object Dedup {
         graft.functions.Det.round4(jac).as("jaccard"))
   }
 
+  // ---- Exact repeated-substring spans ----------------------------------
+
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): find every
+    * MAXIMAL token span whose k-token windows each occur >= minCount
+    * times corpus-wide — the spans a substring-level deduplicator would
+    * cut. The reference implementation builds a suffix array; that is a
+    * shared-memory design. The Spark-first equivalent: a span is
+    * repeated iff all of its k-gram windows are repeated, so (1) explode
+    * position-annotated k-grams, (2) one partial-aggregated count
+    * shuffle keyed on the gram, (3) fold repeated positions back via an
+    * equi-join on the gram, (4) merge consecutive repeated positions
+    * into maximal spans per doc (gaps-and-islands over a PER-DOC window
+    * — bounded by doc length, never a global sort), (5) re-join the doc
+    * token array once on the id to emit each span's content hash.
+    * k-grams shorter than k tokens never form (a sub-k doc contributes
+    * no windows), matching the suffix-array method's minimum match
+    * length. At 100 TB the gram join key would be xxhash64(gram); the
+    * string is kept so the DuckDB oracle joins on the same key.
+    *
+    * Returns (idCol, span_pos [1-based token index], span_tokens,
+    * n_grams, span_md5). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minCount: Long = 2): DataFrame = {
+    require(k >= 2, s"repeatedSpans: k must be >= 2, got $k")
+    require(minCount >= 2, s"repeatedSpans: minCount must be >= 2, got $minCount")
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    // Round-robin exchange before the gram projection: spreads per-row
+    // gram work off the single parquet split and acts as the projection
+    // barrier keeping __w an attribute inside the lambdas (the
+    // CollapseProject O(len²) trap — see Curation.rawWordNgrams).
+    val words = docs
+      .select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__w"))
+      .repartition(parts)
+    val idx = when(size(col("__w")) >= k,
+      sequence(lit(1), size(col("__w")) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = words.select(col("__id"),
+      explode(transform(idx, i => struct(i.as("pos"),
+        array_join(slice(col("__w"), i, lit(k)), " ").as("gram")))).as("pg"))
+      .select(col("__id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select("gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    val spans = grams.join(repeated, "gram")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_pos"),
+        (count(lit(1)) + (k - 1)).cast("long").as("span_tokens"),
+        count(lit(1)).cast("long").as("n_grams"))
+    spans.join(words, "__id")
+      .select(col("__id").as(idCol), col("span_pos"), col("span_tokens"),
+        col("n_grams"),
+        md5(array_join(slice(col("__w"), col("span_pos").cast("int"),
+          col("span_tokens").cast("int")), " ")).as("span_md5"))
+  }
+
   // ---- Embedding cosine ------------------------------------------------
 
   /** Embedding-cosine near-dup pairs within IVF-style cells (`cellCol`):

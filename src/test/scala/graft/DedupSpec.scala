@@ -151,4 +151,31 @@ class DedupSpec extends SparkSpec {
     assert(survivors.join(pairs,
       survivors("vec_id") === pairs("id_b"), "inner").count() === 0)
   }
+
+  test("repeatedSpans finds maximal cross-doc spans, merges islands, skips short docs") {
+    def toks(n: Int, tag: String): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // docs 10/11 share an exact 12-token run at different offsets;
+    // doc 12 repeats a 10-token run INSIDE itself (within-doc repeat);
+    // doc 13 is shorter than k (never forms a window); doc 14 is null.
+    val shared = toks(12, "s")
+    val inner = toks(10, "r")
+    val d = Seq(
+      (10L, s"${toks(3, "a")} $shared ${toks(4, "b")}"),
+      (11L, s"$shared ${toks(7, "c")}"),
+      (12L, s"$inner ${toks(5, "d")} $inner"),
+      (13L, toks(6, "e")),
+      (14L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(d, "doc_id", "text", k = 10, minCount = 2)
+      .orderBy("doc_id", "span_pos")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 10: span at token 4 (1-based), 12 tokens, 3 windows
+    // doc 11: same content at token 1 — md5s must agree
+    // doc 12: two 10-token spans (pos 1 and pos 16), 1 window each
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((10L, 4L, 12L, 3L), (11L, 1L, 12L, 3L),
+        (12L, 1L, 10L, 1L), (12L, 16L, 10L, 1L)))
+    assert(got(0)._5 == got(1)._5, "shared span content hash must match")
+    assert(got(2)._5 == got(3)._5, "within-doc repeat content hash must match")
+  }
 }
