@@ -618,6 +618,22 @@ object SparkEntry {
     "q_gopher_filter" -> ((s, dir) =>
       Curation.gopherQuality(T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // C4 cleaning: lines injected (break after every 7th word), half the
+    // lines get terminal punctuation by content hash, and a sprinkle of
+    // docs get the lorem-ipsum / curly-brace kill markers.
+    "q_c4_filter" -> ((s, dir) => {
+      val broken = regexp_replace(col("text"), "((\\w+ ){7})", "$1\n")
+      val punct = array_join(transform(split(broken, "\n"), l =>
+        when(substring(md5(trim(l)), 1, 1) < "8", concat(trim(l), lit(".")))
+          .otherwise(trim(l))), "\n")
+      val injected = concat_ws(" ", punct,
+        when(pmod(col("doc_id"), lit(41)) === 0, lit("lorem ipsum")).otherwise(lit("ok")),
+        when(pmod(col("doc_id"), lit(43)) === 0, lit("{x}")).otherwise(lit("ok")))
+      Curation.c4Clean(
+          T(s, dir, "documents").select(col("doc_id"), injected.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Contiguous global ids without a single-partition window (the
     // offsets fold back from one count per partition).
     "q_assign_ids" -> ((s, dir) =>
@@ -1468,6 +1484,28 @@ object SparkEntry {
         |  string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE cnt < 2) AS kept_text
         |FROM l JOIN c USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_c4_filter" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_replace(text, '((\w+ ){7})', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, array_to_string(list_transform(string_split(t, chr(10)),
+        |    l -> CASE WHEN substr(md5(trim(l)), 1, 1) < '8' THEN trim(l) || '.'
+        |              ELSE trim(l) END), chr(10)) AS t FROM b),
+        |i AS (SELECT doc_id, concat_ws(' ', t,
+        |    CASE WHEN doc_id % 41 = 0 THEN 'lorem ipsum' ELSE 'ok' END,
+        |    CASE WHEN doc_id % 43 = 0 THEN '{x}' ELSE 'ok' END) AS t FROM p),
+        |m AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split(trim(x), ' ')) >= 5) AS kept
+        |  FROM i)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |   AND NOT contains(t, '{')) AS keep,
+        |  CASE WHEN len(kept) = 0 THEN NULL
+        |       ELSE array_to_string(list_transform(kept, x -> trim(x)), chr(10)) END AS cleaned_text
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
         |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),

@@ -218,6 +218,40 @@ object Curation {
       symRatio.as("symbol_ratio"), keep.as("keep"))
   }
 
+  // ---- C4 heuristic cleaning --------------------------------------------
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020, §2.2 of the T5
+    * paper): keep only lines that end in a terminal punctuation mark
+    * (`. ! ? "`) AND contain at least `minLineWords` words; kill the
+    * whole document when fewer than `minSentences` lines survive, or
+    * when it contains "lorem ipsum" (any case) or a curly brace (code
+    * markers). Returns (id, n_lines, n_kept, keep, cleaned_text) with
+    * kept lines rejoined in order; cleaned_text is NULL when nothing
+    * survives.
+    *
+    * Scale shape: pure scan-stage higher-order functions (split /
+    * filter / array_join) — NO shuffle, no state, no UDF; the whole
+    * rule set runs inside WholeStageCodegen on the first pass over the
+    * corpus, which is where a 100 TB pipeline wants its kill rules
+    * (C4 drops ~80% of Common Crawl at this stage, so every byte
+    * filtered here never reaches an exchange). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), " ")) >= minLineWords)
+    val nKept = size(keptLines).cast("long")
+    val bad = lower(t).contains("lorem ipsum") || t.contains("{")
+    val keep = nKept >= minSentences && !bad
+    df.select(col(idCol), size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept"), keep.as("keep"),
+      when(nKept === 0, lit(null).cast("string"))
+        .otherwise(array_join(transform(keptLines, l => trim(l)), "\n"))
+        .as("cleaned_text"))
+  }
+
   // ---- sequence packing -------------------------------------------------
 
   /** GPT-style sequence packing: per shard, documents are concatenated

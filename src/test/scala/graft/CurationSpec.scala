@@ -328,4 +328,31 @@ class CurationSpec extends SparkSpec {
       .head()
     assert(!nulls.getAs[Boolean]("keep"))
   }
+
+  test("c4Clean: line keep rules, doc kill markers, null-safe") {
+    val goodLine = "one two three four five six."
+    val docs = Seq(
+      (1L, s"$goodLine\n$goodLine\nanother fine sentence right here!\nno punct line here at all\nshort one."),
+      (2L, s"$goodLine\n$goodLine"),                        // only 2 sentences -> killed
+      (3L, s"$goodLine\n$goodLine\n$goodLine\ncontains Lorem Ipsum text."), // marker kill
+      (4L, s"$goodLine\n$goodLine\n$goodLine\ncode { block }"),             // brace kill
+      (5L, "nothing qualifies here"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Clean(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ===
+      Seq(true, false, false, false, false, false))
+    // doc 1: 5 lines, 3 kept ("no punct" fails the terminal rule,
+    // "short one." fails the 5-word floor)
+    assert(out(0).getAs[Long]("n_lines") === 5L)
+    assert(out(0).getAs[Long]("n_kept") === 3L)
+    assert(out(0).getAs[String]("cleaned_text") ===
+      s"$goodLine\n$goodLine\nanother fine sentence right here!")
+    // marker kills still report their kept lines (the 4-word marker
+    // line itself fails the 5-word floor)
+    assert(out(2).getAs[Long]("n_kept") === 3L)
+    // nothing kept -> cleaned_text NULL
+    assert(out(4).getAs[String]("cleaned_text") == null)
+    assert(out(5).getAs[Long]("n_lines") === 1L)
+  }
 }
