@@ -585,6 +585,12 @@ object SparkEntry {
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    // DSIR: how much does each doc "look like" the fr-language target
+    // set, under corpus-trained unigram+bigram models.
+    "q_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "fr")
+        .orderBy("doc_id")),
     "q_distinct_kmv" -> ((s, dir) =>
       Curation.kmvDistinct(T(s, dir, "orders"), col("o_custkey"), k = 256)),
     // Incremental dedup demo: the delta is exact copies of the %7 docs
@@ -1412,6 +1418,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM corp JOIN bench USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang = 'fr' AS tgt,
+        |    string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(w) AS feat FROM d),
+        |bi AS (SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS feat FROM d),
+        |f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |m AS (SELECT feat,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns,
+        |    CAST(count(*) AS DOUBLE) AS v FROM m)
+        |SELECT doc_id, tgt AS is_target, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(round(sum(CAST(ln(((m.ct + 1) * (t.ns + t.v)) /
+        |    ((m.cs + 1) * (t.nt + t.v))) AS DECIMAL(30,15))), 6) AS DOUBLE) AS logw
+        |FROM f JOIN m USING (feat), t
+        |GROUP BY doc_id, tgt ORDER BY doc_id""".stripMargin,
     "q_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT
         |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT AS h

@@ -389,6 +389,66 @@ object Curation {
           sum(col("tokens")).over(w).cast("double") / col("__t"), 6).as("cum_share"))
   }
 
+  // ---- DSIR importance weights -----------------------------------------
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by the log-likelihood
+    * ratio of a TARGET-domain bag-of-features model over the SOURCE
+    * model — log w(x) = Σ_f [ln P̂_tgt(f) − ln P̂_src(f)] over the
+    * document's word unigram+bigram occurrences, add-one smoothed.
+    * High-weight source docs "look like" the target domain and get
+    * resampled into the training mix.
+    *
+    * Determinism: the two smoothed lls collapse into ONE ln of a ratio
+    * of exact integer-derived products, truncated to decimal(30,15)
+    * before the per-doc sum — the repo's standard decimal-exact-sum
+    * discipline (see [[graft.text.TextStats.lmScore]]), so accumulation
+    * is partition-order-independent and the oracle matches bit-for-bit.
+    *
+    * Scale shape: one exploded-feature count shuffle trains both models
+    * in a single pass (map-side combine); scoring folds the model back
+    * via an equi-join on the feature — NO explicit broadcast (the model
+    * is corpus-vocabulary-sized; AQE broadcasts only while it truly
+    * fits), and only the 1-row totals cross as a literal broadcast. At
+    * 100 TB the features would be hashed into a fixed bucket count
+    * (DSIR's actual trick, making the model a bounded dim); they stay
+    * strings here so the oracle joins on the same key.
+    *
+    * Returns (idCol, is_target, n_feats, logw). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val words = docs
+      .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
+        split(coalesce(col(textCol), lit("")), " ").as("__w"))
+      .repartition(parts)
+    val bigramIdx = when(size(col("__w")) >= 2, sequence(lit(1), size(col("__w")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val feats = words.select(col(idCol), col("__tgt"),
+      explode(concat(col("__w"),
+        transform(bigramIdx, i =>
+          concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))))
+        .as("feat"))
+    val model = feats.groupBy("feat").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cs"))
+    val tot = model.agg(
+      sum(col("ct")).cast("double").as("nt"),
+      sum(col("cs")).cast("double").as("ns"),
+      count(lit(1)).cast("double").as("v"))
+    feats.join(model, "feat")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("__tgt"),
+        log(((col("ct") + 1) * (col("ns") + col("v"))) /
+            ((col("cs") + 1) * (col("nt") + col("v"))))
+          .cast("decimal(30,15)").as("lr"))
+      .groupBy(col(idCol), col("__tgt"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("__s"))
+      .select(col(idCol), col("__tgt").as("is_target"), col("n_feats"),
+        round(col("__s"), 6).cast("double").as("logw"))
+  }
+
   // ---- KMV distinct-count sketch ---------------------------------------
 
   /** 32-bit content hash for the KMV sketch: both engines compute

@@ -329,6 +329,30 @@ class CurationSpec extends SparkSpec {
     assert(!nulls.getAs[Boolean]("keep"))
   }
 
+  test("dsirWeights: target-like source docs outrank target-unlike ones") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", true),   // target domain
+      (2L, "alpha beta gamma alpha beta", true),
+      (3L, "alpha beta alpha beta gamma", false),  // source, target-like
+      (4L, "delta epsilon delta epsilon zeta", false), // source, unlike
+      (5L, "delta zeta epsilon delta zeta", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .orderBy("doc_id").collect()
+    val w = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    // the target-like source doc must outweigh both unlike source docs
+    assert(w(3L) > w(4L) && w(3L) > w(5L))
+    // target docs score high under their own model
+    assert(w(1L) > w(4L))
+    // feature count = unigrams + bigrams = 5 + 4
+    assert(out.head.getAs[Long]("n_feats") === 9L)
+    // single-word doc: unigram only, no bigram, no crash
+    val one = Curation.dsirWeights(
+      Seq((9L, "alpha", false)).toDF("doc_id", "text", "tgt"),
+      "doc_id", "text", col("tgt")).head()
+    assert(one.getAs[Long]("n_feats") === 1L)
+  }
+
   test("c4Clean: line keep rules, doc kill markers, null-safe") {
     val goodLine = "one two three four five six."
     val docs = Seq(
