@@ -456,6 +456,17 @@ object SparkEntry {
       Ann.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label", 10)
         .orderBy("query_id", "rank")
     }),
+    // Product quantization (Jégou et al. 2011): 64 float dims → 8 codes
+    // against a deterministic 16-entry codebook, queries scored by
+    // integer-micro ADC lookups — every stage (codebook, codes, ranks)
+    // bit-pinned by the oracle. The exact-rerank serving path is
+    // PqSpec-pinned to equal brute force at full shortlist.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.sim.Pq.pqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          k = 10, m = 8, subDim = 8, nCentroids = 16)
+        .orderBy("query_id", "rank")
+    }),
     // SQL-verifiable companion to q_ann_lsh: 16 one-bit bands — a corpus
     // vector is excluded only if its signature disagrees with the query
     // on ALL 16 hyperplanes (probability ~(θ/π)^16; for actual top-k
@@ -1220,6 +1231,33 @@ object SparkEntry {
         |SELECT id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_bruteforce" -> annExactTopKSql,
+    "q_ann_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, e AS cv
+        |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+        |sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+        |cd AS (SELECT v.vec_id, sp.s, cb.cid,
+        |    CAST(floor(list_sum(list_transform(range(1, 9),
+        |      j -> (v.e[CAST(sp.s*8+j AS INT)] - cb.cv[CAST(sp.s*8+j AS INT)])
+        |         * (v.e[CAST(sp.s*8+j AS INT)] - cb.cv[CAST(sp.s*8+j AS INT)])))
+        |      * 1000000 + 0.5) AS BIGINT) AS dm
+        |  FROM v, sp, cb),
+        |code AS (SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, cid) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |qd AS (SELECT cd.vec_id AS query_id, cd.s, cd.cid, cd.dm
+        |  FROM cd WHERE cd.vec_id < 5),
+        |adc AS (SELECT qd.query_id, code.vec_id AS neighbor_id,
+        |    CAST(sum(qd.dm) AS BIGINT) AS adc_micro
+        |  FROM code JOIN qd ON code.s = qd.s AND code.cid = qd.cid
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adc_micro, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // lsh_verify (16 one-bit bands → full-recall candidates) and
     // ivf_verify (nprobe ≥ #cells) are exact by construction — both
     // must reproduce the brute-force top-k.

@@ -1,0 +1,147 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding-scale ANN (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search"): the vector is
+  * split into `m` subspaces, each subspace quantized to its nearest of
+  * `nCentroids` codebook entries, and a corpus vector is stored as `m`
+  * small codes — 64 float dims collapse to 8 bytes, the 32× memory cut
+  * that makes a 100 TB vector corpus fit an ANN serving tier. Queries
+  * score candidates by Asymmetric Distance Computation (ADC): one
+  * per-query table of query-to-centroid sub-distances, then each
+  * candidate's distance is `m` table lookups — no float vector is ever
+  * read at query time.
+  *
+  * Codebook discipline: [[codebook]] builds a DETERMINISTIC codebook
+  * (the subspace slices of the `nCentroids` lowest-id corpus vectors),
+  * so the whole pipeline — codebook, codes, ADC ranks — is exactly
+  * reproducible by the DuckDB oracle. A production system would train
+  * per-subspace k-means instead (see [[graft.sim.Ann.ivfLearned]] for
+  * the seeded-MLlib pattern); every downstream step is codebook-
+  * agnostic, so swapping it in changes no operator code.
+  *
+  * Scale shape: the codebook is a bounded 1-row broadcast (nCentroids
+  * structs — fixed size by construction, NOT corpus-sized). Encoding is
+  * a pure scan-stage expression over the corpus (no shuffle). ADC
+  * scoring broadcasts the small-by-contract query side, exactly like
+  * [[Ann.bruteForceTopK]]; at 100 TB the scored side would additionally
+  * be cell-pruned by an IVF coarse quantizer before ADC.
+  */
+object Pq {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Squared L2 between subspace `s` (0-based) of two double arrays,
+    * dims [s·subDim+1 .. (s+1)·subDim] — a deterministic left fold,
+    * then fixed to MICRO-UNITS (×1e6, half-up, long). Integer
+    * sub-distances make every downstream sum order-independent and the
+    * argmin/rank comparisons integer-exact across engines — the same
+    * reason the repo's double scores round through one spelled-out
+    * formula (graft.functions.Det). */
+  private def subDistMicro(a: Column, b: Column, s: Column, subDim: Int): Column =
+    floor(aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
+      val d = element_at(a, (s * subDim + j).cast("int")) -
+        element_at(b, (s * subDim + j).cast("int"))
+      acc + d * d
+    }) * 1000000.0 + 0.5).cast("long")
+
+  /** Deterministic codebook: one row with `cb` = array of the
+    * `nCentroids` lowest-id corpus vectors in id order (entry i = code
+    * i-1). Bounded by construction — safe to broadcast. The 16-row sort
+    * is a `limit` over the id column, not a corpus sort. */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int): DataFrame = {
+    require(nCentroids >= 2, s"pq: need >= 2 centroids, got $nCentroids")
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(struct(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v")).as("e"))
+      .groupBy()
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(transform(col("es"), e => e.getField("v")).as("cb"))
+  }
+
+  /** Encode every corpus vector as `m` codes (0-based, id-order
+    * tie-break): per subspace, the index of the nearest codebook entry.
+    * Pure scan-stage expression after a 1-row codebook broadcast —
+    * returns (idCol, codes array<int>). */
+  def encode(corpus: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
+             m: Int, subDim: Int): DataFrame = {
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus.repartition(parts)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cb))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          array_min(zip_with(col("cb"),
+            sequence(lit(0), size(col("cb")) - 1),
+            (cvec, cid) => struct(subDistMicro(col("__v"), cvec, s, subDim).as("d"),
+              cid.as("cid"))))
+            .getField("cid")).as("codes"))
+  }
+
+  /** ADC top-k: per query, a subspace×centroid distance table (m ×
+    * nCentroids micro-unit longs — computed once per query), then every
+    * candidate's approximate distance is m integer lookups summed —
+    * order-independent, so ranks are integer-exact across engines with
+    * the id tie-break. Returns (query_id, neighbor_id, adc_micro,
+    * rank). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+              idCol: String, vecCol: String, k: Int, m: Int,
+              subDim: Int): DataFrame = {
+    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), qtab.as("__qtab")))
+    val adc = aggregate(sequence(lit(1), lit(m)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(col("__qtab"), s.cast("int")),
+        (element_at(col("codes"), s.cast("int")) + 1).cast("int")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    q.crossJoin(codes.select(col(idCol).as("neighbor_id"), col("codes")))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The full deterministic PQ pipeline over one corpus: codebook →
+    * encode → ADC top-k. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
+             nCentroids: Int = 16): DataFrame = {
+    val cb = codebook(corpus, idCol, vecCol, nCentroids)
+    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
+    adcTopK(queries, codes, cb, idCol, vecCol, k, m, subDim)
+  }
+
+  /** PQ shortlist + exact rerank — the production serving shape: ADC
+    * prunes the corpus to `shortlist` candidates per query (codes-only
+    * scan), then exact cosine reranks just those. With shortlist ≥
+    * corpus size this EQUALS brute force (PqSpec pins that); at scale
+    * the shortlist bounds the float-vector reads per query. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, shortlist: Int, m: Int = 8,
+                   subDim: Int = 8, nCentroids: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val cand = pqTopK(queries, corpus, idCol, vecCol, shortlist, m, subDim, nCentroids)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(c, "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.Det.round4(
+          graft.functions.GraftFunctions.cosineSim(col("qv"), col("cv"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ann, Pq}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = graft.sources.Tables(spark, sfDir, "embeddings")
+
+  test("encode: m codes per vector, each within the codebook range") {
+    val cb = Pq.codebook(embs, "vec_id", "embedding", nCentroids = 16)
+    val codes = Pq.encode(embs, cb, "vec_id", "embedding", m = 8, subDim = 8)
+    val bad = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c > 15)).count()
+    assert(bad === 0L)
+    assert(codes.count() === embs.count())
+  }
+
+  test("a corpus vector identical to the query attains the minimal ADC distance") {
+    // plant an exact copy of query vec 3 under a fresh id
+    val copy = embs.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(copy)
+    val top = Pq.pqTopK(embs.filter(col("vec_id") === 3), corpus,
+      "vec_id", "embedding", k = corpus.count().toInt, m = 8, subDim = 8)
+    val byId = top.select("neighbor_id", "adc_micro")
+      .as[(Long, Long)].collect().toMap
+    val minAdc = byId.values.min
+    // the copy's code word minimizes every subspace term for this query
+    assert(byId(900003L) === minAdc)
+    assert(byId(3L) === minAdc)
+  }
+
+  test("PQ shortlist + exact rerank at full shortlist equals brute force") {
+    val q = embs.filter(col("vec_id") < 3)
+    val n = embs.count().toInt
+    val got = Pq.pqRerankTopK(q, embs, "vec_id", "embedding",
+        k = 10, shortlist = n)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val want = Ann.bruteForceTopK(q, embs, "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("PQ shortlist recall: a 10x shortlist recovers most of the exact top-10") {
+    val q = embs.filter(col("vec_id") < 3)
+    val short = Pq.pqRerankTopK(q, embs, "vec_id", "embedding",
+        k = 10, shortlist = 100)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(q, embs, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (short & exact).size.toDouble / exact.size
+    // even the untrained lowest-id codebook should route a 10x
+    // shortlist to better than chance (100/2000 = 5%)
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}
