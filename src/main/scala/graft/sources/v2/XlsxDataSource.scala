@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, In, IsNotNull, IsNull, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,43 +86,105 @@ class XlsxTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class XlsxScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new XlsxScan(required, XlsxV2.splits(options))
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(XlsxFilters.supported)
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new XlsxScan(required, XlsxV2.splits(options), pushed)
+}
+
+/** Filter pushdown for the all-string xlsx schema: rows failing a
+  * pushed predicate are dropped INSIDE the partition reader, during the
+  * single pass over the sheet — they never materialize as Spark rows,
+  * the xlsx analogue of a parquet scan's PushedFilters.
+  *
+  * Only predicates whose null semantics match SQL's under a plain
+  * boolean evaluation are accepted: every supported leaf evaluates to
+  * FALSE on a null cell (exactly SQL's "null never passes a filter"),
+  * and And/Or over false-on-null leaves agree with three-valued logic
+  * wherever the filter decides to keep or drop. `Not` is deliberately
+  * unsupported (Not(EqualTo) on a null cell would keep a row SQL
+  * drops); unsupported shapes stay in Spark's post-scan Filter. */
+object XlsxFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v.isInstanceOf[String]
+    case In(_, vs) => vs != null && vs.forall(_.isInstanceOf[String])
+    case _: IsNull | _: IsNotNull => true
+    case _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** Evaluate over a cell lookup (None = null cell / absent column). */
+  def eval(f: Filter, get: String => Option[String]): Boolean = f match {
+    case EqualTo(a, v) => get(a).contains(v.asInstanceOf[String])
+    case In(a, vs) => get(a).exists(x => vs.exists(v => v.asInstanceOf[String] == x))
+    case IsNull(a) => get(a).isEmpty
+    case IsNotNull(a) => get(a).nonEmpty
+    case StringStartsWith(a, p) => get(a).exists(_.startsWith(p))
+    case StringEndsWith(a, s) => get(a).exists(_.endsWith(s))
+    case StringContains(a, s) => get(a).exists(_.contains(s))
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case _ => true // unreachable: only supported() filters are pushed
+  }
 }
 
 case class XlsxInputPartition(file: String, sheet: String) extends InputPartition
 
-class XlsxScan(required: StructType, splits: Seq[(String, String)])
-    extends Scan with Batch {
+class XlsxScan(required: StructType, splits: Seq[(String, String)],
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-xlsx ${splits.size} sheet(s), columns [${required.fieldNames.mkString(",")}]"
+    s"graft-xlsx ${splits.size} sheet(s), columns [${required.fieldNames.mkString(",")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     splits.map { case (f, s) => XlsxInputPartition(f, s) }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    XlsxReaderFactory(required.fieldNames)
+    XlsxReaderFactory(required.fieldNames, pushed)
 }
 
-case class XlsxReaderFactory(required: Array[String]) extends PartitionReaderFactory {
+case class XlsxReaderFactory(required: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.file, p.sheet, required)
+    new XlsxPartitionReader(p.file, p.sheet, required, pushed)
   }
 }
 
-/** Executor-side reader: parses its one sheet, projects by column NAME
-  * against this file's own header (absent name → null column). */
-class XlsxPartitionReader(file: String, sheet: String, required: Array[String])
-    extends PartitionReader[InternalRow] {
+/** Executor-side reader: parses its one sheet, applies the pushed
+  * filters against this file's own header (absent name → null), then
+  * projects by column NAME (absent name → null column). */
+class XlsxPartitionReader(file: String, sheet: String, required: Array[String],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   private val (header, rows) = Xlsx.headerAndRows(file, sheet)
   private val idx: Array[Int] = required.map(n => header.indexOf(n)) // -1 → null
+  private val filterIdx: Map[String, Int] =
+    pushed.flatMap(_.references).distinct.map(n => n -> header.indexOf(n)).toMap
   private val it = rows.iterator
   private var row: Array[String] = _
 
-  override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
+  private def cell(name: String): Option[String] = {
+    val i = filterIdx.getOrElse(name, -1)
+    if (i >= 0 && i < row.length) Option(row(i)) else None
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      row = it.next()
+      if (pushed.forall(XlsxFilters.eval(_, cell))) return true
+    }
+    false
+  }
   override def get(): InternalRow = InternalRow.fromSeq(
     idx.toIndexedSeq.map { i =>
       if (i >= 0 && i < row.length && row(i) != null) UTF8String.fromString(row(i)) else null

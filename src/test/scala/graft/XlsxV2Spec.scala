@@ -68,6 +68,45 @@ class XlsxV2Spec extends SparkSpec {
     assert(bad.getMessage.contains("Nope") || bad.getCause != null)
   }
 
+  test("filter pushdown reaches the scan and drops rows inside the reader") {
+    val dir = tmpDir()
+    Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1",
+      Seq(Seq("agency", "year"), Seq("Austin PD", "2020"), Seq("Dallas PD", "2021"),
+        Seq("Austin PD", "2021")))))
+    val df = spark.read.format("graft-xlsx").load(dir.getPath)
+      .filter(col("agency") === "Austin PD")
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("EqualTo(agency,Austin PD)"),
+      scan.scan.description())
+    assert(df.count() == 2)
+    // compound And + prefix filters push too
+    val both = spark.read.format("graft-xlsx").load(dir.getPath)
+      .filter(col("agency").startsWith("Austin") && col("year") === "2021")
+    assert(scanOf(both).scan.description().contains("StringStartsWith"),
+      scanOf(both).scan.description())
+    assert(both.count() == 1)
+  }
+
+  test("pushed filters keep SQL null semantics; Not stays post-scan") {
+    val dir = tmpDir()
+    // row 2 has no value in col b (short row -> null cell)
+    Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1",
+      Seq(Seq("a", "b"), Seq("1", "x"), Seq("2"), Seq("3", "y")))))
+    def base = spark.read.format("graft-xlsx").load(dir.getPath)
+    // null cell never passes an equality pushed into the reader
+    assert(base.filter(col("b") === "x").count() == 1)
+    assert(base.filter(col("b").isNull).count() == 1)
+    assert(base.filter(col("b").isNotNull).count() == 2)
+    // Not(...) must NOT be pushed (null would wrongly pass); Spark's
+    // post-scan filter still drops the null row
+    val neg = base.filter(!(col("b") === "x"))
+    assert(!scanOf(neg).scan.description().contains("Not("),
+      scanOf(neg).scan.description())
+    assert(neg.count() == 1)
+    // Or over false-on-null leaves agrees with three-valued logic
+    assert(base.filter(col("b") === "x" || col("a") === "2").count() == 2)
+  }
+
   test("heterogeneous files align by name, missing columns null") {
     val dir = tmpDir()
     Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1", Seq(Seq("id", "race"), Seq("1", "W")))))
