@@ -112,7 +112,24 @@ object Plans {
       "disabled): fact shuffles on (key, salt) so a pathologically hot key " +
       "spreads across 8 reducers; the dim side replicates via a " +
       "salts-row literal broadcast cross join before its exchange. The salt " +
-      "never reaches the aggregate.", true))
+      "never reaches the aggregate.", true),
+    ("q_substr_dedup", "Exact substring dedup at the 100 TB shape " +
+      "(auto-broadcast disabled): position-annotated k-grams behind a " +
+      "round-robin exchange, ONE partial-aggregated count shuffle keyed on " +
+      "the gram, repeated positions fold back via a gram equi-join, islands " +
+      "merge in a PER-DOC window (bounded by doc length), and the span text " +
+      "re-joins the token arrays on the id — no corpus-side broadcast " +
+      "anywhere.", true),
+    ("q_dsir_weights", "DSIR at the 100 TB shape (auto-broadcast disabled): " +
+      "one exploded-feature shuffle trains target+source counts in a single " +
+      "pass (map-side combine); scoring folds the model back via a " +
+      "feature-keyed equi-join; only the 1-row totals cross as a literal " +
+      "broadcast; the per-doc sum is a decimal-exact partial aggregate.", true),
+    ("q_ann_pq", "Product quantization: the codebook is a bounded 1-row " +
+      "broadcast (16 vectors by construction — NOT corpus-sized); encoding " +
+      "is a pure scan-stage projection; ADC scoring broadcasts only the " +
+      "small-by-contract query table and ranks on integer micro-distances " +
+      "with a per-query window.", false))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

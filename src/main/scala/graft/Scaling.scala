@@ -91,6 +91,11 @@ object Scaling {
         "doc_id", "text", 2))
       time(s"semantic_${n}x", graft.dedup.Dedup.semantic(
         embs, "vec_id", "embedding", "label", 0.3))
+      time(s"substr_spans_${n}x", graft.dedup.Dedup.repeatedSpans(
+        docs, "doc_id", "text", k = 10, minCount = 2))
+      timeBounded(s"dsir_${n}x", graft.text.Curation.dsirWeights(
+        docs, "doc_id", "text",
+        isTarget = pmod(col("doc_id"), lit(10)) === 0))
       timeBounded(s"domain_mix_${n}x", graft.text.Curation.domainMix(
         docs.withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(5)))),
         "grp", "doc_id", "text"))
