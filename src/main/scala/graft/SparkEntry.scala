@@ -253,6 +253,22 @@ object SparkEntry {
       rawsDf(s, ageRaws)
         .select(col("id"), col("raw"), AgeRange.ageRangeStd(col("raw")).as("age_range_std"))
         .orderBy("id")),
+    // Scalar age standardization over an injected messy column: junk,
+    // negatives, >120, zero, one -9999 sentinel, and a ".4" decimal.
+    "q_std_age" -> ((s, dir) => {
+      val raw = when(pmod(col("doc_id"), lit(13)) === 0, lit("UNKNOWN"))
+        .when(pmod(col("doc_id"), lit(17)) === 0, lit("-5"))
+        .when(pmod(col("doc_id"), lit(19)) === 0, lit("150"))
+        .when(pmod(col("doc_id"), lit(23)) === 0, lit("0"))
+        .when(col("doc_id") === 7, lit("-9999"))
+        .when(pmod(col("doc_id"), lit(29)) === 0,
+          concat((pmod(col("doc_id"), lit(80)) + 1).cast("string"), lit(".4")))
+        .otherwise((pmod(col("doc_id"), lit(90)) + 1).cast("string"))
+      AgeRange.standardizeAge(
+          T(s, dir, "documents").select(col("doc_id"), raw.as("raw")),
+          "doc_id", "raw")
+        .orderBy("doc_id")
+    }),
     "q_std_injury" -> ((s, dir) =>
       rawsDf(s, injuryRaws)
         .select(col("id"), col("raw"), Luts.injuryStd(col("raw")).as("injury_std"))
@@ -1040,6 +1056,25 @@ object SparkEntry {
       s"""SELECT id, raw, ${AgeRange.ageRangeStdSql} AS age_range_std
          |FROM (VALUES ${valuesSql(ageRaws)}) AS t(id, raw)
          |ORDER BY id""".stripMargin,
+    "q_std_age" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'UNKNOWN'
+        |         WHEN doc_id % 17 = 0 THEN '-5'
+        |         WHEN doc_id % 19 = 0 THEN '150'
+        |         WHEN doc_id % 23 = 0 THEN '0'
+        |         WHEN doc_id = 7 THEN '-9999'
+        |         WHEN doc_id % 29 = 0 THEN CAST(doc_id % 80 + 1 AS VARCHAR) || '.4'
+        |         ELSE CAST(doc_id % 90 + 1 AS VARCHAR) END AS raw
+        |  FROM documents),
+        |a AS (SELECT doc_id, TRY_CAST(raw AS DOUBLE) AS n FROM src),
+        |s AS (SELECT min(n) AS smin, count(*) AS scnt FROM a WHERE n < -1000)
+        |SELECT doc_id, CAST(CASE
+        |    WHEN n IS NULL THEN NULL
+        |    WHEN scnt = 1 AND n = smin THEN NULL
+        |    WHEN n < 0 OR n > 120 THEN NULL
+        |    WHEN round(n) = 0 THEN NULL
+        |    ELSE round(n) END AS INT) AS age
+        |FROM a, s ORDER BY doc_id""".stripMargin,
     "q_std_injury" ->
       s"""SELECT id, raw, ${Luts.injuryStdSql} AS injury_std
          |FROM (VALUES ${valuesSql(injuryRaws)}) AS t(id, raw)

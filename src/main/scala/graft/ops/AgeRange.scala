@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Age-range normalization — the reference's `_create_age_range_lut`
@@ -63,6 +63,35 @@ object AgeRange {
       .when(x === "JUVENILE", lit("0-17"))
       .when(x.rlike("^\\d+$"), bucketed)
       .otherwise(x)
+  }
+
+  /** Single-value age standardization — the reference's
+    * `_standardize_age` scalar path (openpolicedata/preproc.py:2131):
+    * numeric coercion (junk → null), the lone sub-(-1000) sentinel
+    * value nulled when it occurs EXACTLY once (pandas' placeholder-min
+    * fix, preproc.py:2132), out-of-range [0, 120] → null, rounded
+    * (half-even, pandas Series.round), and age 0 → null (preproc.py
+    * :2146). The reference's conversion-rate validation heuristics
+    * belong to column BINDING and live in ops/Identify.
+    *
+    * Scale shape: the sentinel min/count is a 1-row literal broadcast;
+    * everything else is a scan-stage expression. Returns (idCol, age
+    * int). */
+  def standardizeAge(df: DataFrame, idCol: String, rawCol: String): DataFrame = {
+    // try_cast: junk strings coerce to null (ANSI-safe), like pandas
+    // to_numeric(errors="coerce")
+    val base = df.select(col(idCol),
+      expr(s"try_cast(`$rawCol` as double)").as("__n"))
+    val sentinel = base.filter(col("__n") < -1000)
+      .agg(min(col("__n")).as("__smin"), count(lit(1)).as("__scnt"))
+    base.crossJoin(broadcast(sentinel))
+      .select(col(idCol),
+        when(col("__n").isNull, lit(null))
+          .when(col("__scnt") === 1 && col("__n") === col("__smin"), lit(null))
+          .when(col("__n") < 0 || col("__n") > 120, lit(null))
+          .when(bround(col("__n")) === 0, lit(null))
+          .otherwise(bround(col("__n")))
+          .cast("int").as("age"))
   }
 
   /** Matching DuckDB SQL over a column literally named `raw`. */

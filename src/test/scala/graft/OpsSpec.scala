@@ -284,4 +284,27 @@ class OpsSpec extends SparkSpec {
     assert(got(2)._2 === Seq("Jane Roe", "John Doe"))
     assert(got(3)._2 === Seq("A", "B", "C"))
   }
+
+  test("standardizeAge: coercion, sentinel-min, range clamp, half-even round, zero -> null") {
+    val df = Seq(
+      (1, "25"), (2, "junk"), (3, "-5"), (4, "150"), (5, "0"),
+      (6, "-9999"),          // lone sub-(-1000) sentinel -> null
+      (7, "33.4"), (8, "0.5") // half-even: 0.5 -> 0 -> null
+    ).toDF("id", "raw")
+    val got = AgeRange.standardizeAge(df, "id", "raw")
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getInt(1))).toSeq
+    assert(got === Seq(Some(25), None, None, None, None, None, Some(33), None))
+    // a REPEATED sub-(-1000) value is NOT the pandas sentinel fix: it
+    // nulls via the range rule all the same, but so does -999
+    val rep = Seq((1, "-9999"), (2, "-9999"), (3, "40")).toDF("id", "raw")
+    val got2 = AgeRange.standardizeAge(rep, "id", "raw")
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getInt(1))).toSeq
+    assert(got2 === Seq(None, None, Some(40)))
+    // empty sentinel set (no row < -1000): the 1-row aggregate still
+    // produces a row, ages flow through
+    val clean = Seq((1, "18")).toDF("id", "raw")
+    assert(AgeRange.standardizeAge(clean, "id", "raw").head().getInt(1) === 18)
+  }
 }
