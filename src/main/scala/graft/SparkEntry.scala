@@ -837,6 +837,11 @@ object SparkEntry {
       Streams.enrich(s, dir).orderBy("window_start_us", "tier")),
     "q_stream_joined" -> ((s, dir) =>
       Streams.intervalJoin(s, dir).orderBy("click_id", "purchase_id")),
+    // Streaming temporal (as-of) enrichment: emitted once the watermark
+    // finalizes each probe's version set; visibility = events strictly
+    // below the final watermark (max ts - 30min), mirrored by the oracle.
+    "q_stream_asof" -> ((s, dir) =>
+      Streams.temporalEnrich(s, dir).orderBy("event_id")),
 
     // Temporal joins (operators Spark lacks natively; ops/Joins.scala)
     // Backward as-of join: each event → the user's most recent purchase
@@ -1894,6 +1899,17 @@ object SparkEntry {
         |      i -> ord(substr(t, CAST(i AS INT), 1)) // 16 = b)) AS VARCHAR)), ',') AS hist_csv
         |FROM d ORDER BY id""".stripMargin,
 
+    "q_stream_asof" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        |b AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |vis AS (SELECT e.event_id, e.user_id, e.ts FROM events e, m
+        |        WHERE epoch_us(e.ts) < m.mx - 1800000000)
+        |SELECT e.event_id, e.user_id, b.pid AS last_purchase_id,
+        |  epoch_us(e.ts) - epoch_us(b.ts) AS gap_us
+        |FROM vis e ASOF LEFT JOIN b
+        |  ON e.user_id = b.user_id AND e.ts >= b.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH b AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1, 2)

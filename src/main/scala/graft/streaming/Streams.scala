@@ -328,6 +328,92 @@ object Streams {
       .toDF()
   }
 
+  final case class AsofState(dims: List[(Long, Long)], probes: List[(Long, Long)])
+  final case class AsofEnriched(event_id: Long, user_id: Long,
+                                last_purchase_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming temporal (as-of) enrichment — the in-flight twin of
+    * [[graft.ops.Joins.asofJoin]], and the streaming form of a
+    * slowly-changing-dimension join: every event is enriched with the
+    * LATEST purchase (the "dimension version") of the same user at or
+    * before its event time.
+    *
+    * Correctness rule: a probe may only be emitted once the watermark
+    * has passed its event time STRICTLY — from then on no dimension row
+    * with ts <= probe.ts can still arrive, so "latest version at probe
+    * time" is final (the Flink temporal-join visibility rule). Probes
+    * buffer in state until then and flush on event-time timeout;
+    * equal-ts versions resolve to the max id, exactly like the batch
+    * oracle's pre-grouped max.
+    *
+    * State per user is bounded at steady state: pending probes live only
+    * within the watermark horizon, and dimension versions older than the
+    * watermark are evicted down to the single LATEST one (any older
+    * version can never again be "latest at or before" a future probe —
+    * the same retention Flink's temporal join state keeps). Append mode;
+    * file/kafka sinks at scale, memory sink in the oracle harness. */
+  def temporalEnrichStream(spark: SparkSession, dir: String,
+                           watermarkMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val ev = readTableStream(spark, dir, "events")
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "purchase").as("is_dim"),
+        col("ts")) // event-time column must survive for the watermark
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          rows.foreach { case (_, eid, tsUs, isDim, _) =>
+            st = AsofState(
+              if (isDim) (tsUs, eid) :: st.dims else st.dims,
+              (tsUs, eid) :: st.probes)
+          }
+          // flush probes the watermark has passed: their version set is final
+          val (flush, pending) = st.probes.partition(_._1 < wmUs)
+          val out = flush.sortBy(p => (p._1, p._2)).map { case (tsUs, eid) =>
+            val adm = st.dims.filter(_._1 <= tsUs)
+            if (adm.isEmpty) AsofEnriched(eid, user, None, None)
+            else {
+              val bestTs = adm.iterator.map(_._1).max
+              val pid = adm.iterator.filter(_._1 == bestTs).map(_._2).max
+              AsofEnriched(eid, user, Some(pid), Some(tsUs - bestTs))
+            }
+          }
+          // evict versions below the watermark, keeping only the latest
+          val (old, fresh) = st.dims.partition(_._1 < wmUs)
+          val keptOld =
+            if (old.isEmpty) Nil
+            else {
+              val bestTs = old.iterator.map(_._1).max
+              List((bestTs, old.iterator.filter(_._1 == bestTs).map(_._2).max))
+            }
+          val next = AsofState(keptOld ++ fresh, pending)
+          if (next.probes.isEmpty && next.dims.isEmpty) state.remove()
+          else {
+            state.update(next)
+            if (pending.nonEmpty)
+              // strictly above the current watermark or the API rejects it
+              state.setTimeoutTimestamp(math.max(
+                pending.iterator.map(_._1).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Memory-sink run of [[temporalEnrichStream]] (oracle harness). */
+  def temporalEnrich(spark: SparkSession, dir: String,
+                     watermarkMinutes: Int = 30): DataFrame =
+    runToMemory(temporalEnrichStream(spark, dir, watermarkMinutes),
+      s"graft_stream_asof_${System.nanoTime()}", OutputMode.Append())
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start_us: Long, end_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

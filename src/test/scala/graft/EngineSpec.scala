@@ -181,6 +181,29 @@ class EngineSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.sorted == Seq("high", "low"))
   }
 
+  test("streaming temporal enrichment equals the batch as-of join on the visible horizon") {
+    val streamed = Streams.temporalEnrich(spark, sfDir)
+      .orderBy("event_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val e = graft.sources.Tables(spark, sfDir, "events")
+    val mx = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val marker = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("pid"))
+      .withColumn("pts_us", unix_micros(col("ts")))
+    val batch = graft.ops.Joins.asofJoin(
+        e.filter(unix_micros(col("ts")) < mx - 1800000000L), marker,
+        "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("asof.pid").as("pid"),
+        when(col("asof.pid").isNotNull,
+          unix_micros(col("ts")) - col("asof.pts_us")).as("gap_us"))
+      .orderBy("event_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+    // the horizon cut actually withheld the tail events
+    assert(streamed.size < e.count())
+  }
+
   test("stream-stream interval join equals the batch inequality join") {
     val streamed = Streams.intervalJoin(spark, sfDir)
       .orderBy("click_id", "purchase_id")
