@@ -546,6 +546,11 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
         .orderBy("term_id")),
+    // Vocabulary application: every doc encoded as its token-id
+    // sequence under the minDf=100 vocab; OOV -> 0.
+    "q_tokenize" -> ((s, dir) =>
+      Rank.tokenize(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)
+        .orderBy("doc_id")),
     // Long-tail inverted index: full posting lists only where df bounds
     // them (≤ 1/25 of the corpus); hot terms are excluded by design
     // (sharded at scale).
@@ -1372,6 +1377,20 @@ object SparkEntry {
         |      WHERE term <> '' GROUP BY term)
         |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS term_id
         |FROM d WHERE df >= 100 ORDER BY term_id""".stripMargin,
+    "q_tokenize" ->
+      """WITH tt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |            FROM documents),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tt
+        |      WHERE term <> '' GROUP BY term),
+        |v AS (SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS term_id
+        |      FROM d WHERE df >= 100),
+        |s AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term FROM s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(coalesce(v.term_id, 0) AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM t LEFT JOIN v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_postings" ->
       """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |b AS (SELECT DISTINCT doc_id,

@@ -74,6 +74,35 @@ object Rank {
         .orderBy(col("df").desc, col("term"))).cast("long").as("term_id"))
   }
 
+  /** Apply a [[buildVocab]] vocabulary to encode every document as its
+    * token-id sequence — the "tokenize the corpus" step after vocab
+    * training: per token position, the term's vocab id, out-of-vocab →
+    * 0 (the reserved UNK id). Returns (idCol, n_tokens, n_oov,
+    * ids_csv) with ids in original token order; every doc survives
+    * (empty text encodes as the single UNK of its one empty token).
+    *
+    * Scale shape: position-annotated tokens left-join the vocab on the
+    * term (the vocab is language-bounded — AQE broadcasts it while it
+    * fits, and the join stays a hash shuffle beyond that); the id
+    * sequence reassembles in one per-doc aggregation, the same
+    * explode → equi-join → in-order fold-back shape as
+    * [[graft.text.Curation.lineDedup]]. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Long): DataFrame = {
+    val vocab = buildVocab(docs, idCol, textCol, minDf).select("term", "term_id")
+    val toks = docs.select(col(idCol),
+      posexplode(split(lower(coalesce(col(textCol), lit(""))), " "))
+        .as(Seq("pos", "term")))
+    toks.join(vocab, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("term_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("term_id"), lit(0L)).as("tid")))),
+          s => s.getField("tid").cast("string")), ",").as("ids_csv"))
+  }
+
   /** Top-k TF-IDF keywords per document: score = tf * ln((N+1)/(df+1))
     * (add-one smoothed idf), rounded to 4 decimals BEFORE ranking so
     * ties break identically everywhere (then term asc). Returns

@@ -178,6 +178,22 @@ class AnnTextSpec extends SparkSpec {
     assert(v == Seq(("alpha", 3L, 1L), ("beta", 2L, 2L)))
   }
 
+  test("tokenize: in-order ids under the trained vocab, OOV -> 0, every doc kept") {
+    import graft.text.Rank
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta alpha"), (3L, "alpha zeta zeta"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // vocab at minDf=2: alpha=1, beta=2 (df desc, term asc); rest OOV
+    val got = Rank.tokenize(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "1,2,0"),
+      (2L, 2L, 0L, "2,1"),
+      (3L, 3L, 2L, "1,0,0"),
+      (4L, 1L, 1L, "0"))) // null text -> one empty token, UNK
+  }
+
   test("keywords: rare repeated terms outrank corpus-universal ones") {
     import graft.text.Rank
     val docs = Seq(
