@@ -659,19 +659,18 @@ object SparkEntry {
     // C4 cleaning: lines injected (break after every 7th word), half the
     // lines get terminal punctuation by content hash, and a sprinkle of
     // docs get the lorem-ipsum / curly-brace kill markers.
-    "q_c4_filter" -> ((s, dir) => {
-      val broken = regexp_replace(col("text"), "((\\w+ ){7})", "$1\n")
-      val punct = array_join(transform(split(broken, "\n"), l =>
-        when(substring(md5(trim(l)), 1, 1) < "8", concat(trim(l), lit(".")))
-          .otherwise(trim(l))), "\n")
-      val injected = concat_ws(" ", punct,
-        when(pmod(col("doc_id"), lit(41)) === 0, lit("lorem ipsum")).otherwise(lit("ok")),
-        when(pmod(col("doc_id"), lit(43)) === 0, lit("{x}")).otherwise(lit("ok")))
+    "q_c4_filter" -> ((s, dir) =>
       Curation.c4Clean(
-          T(s, dir, "documents").select(col("doc_id"), injected.as("text")),
+          T(s, dir, "documents").select(col("doc_id"), c4Injected.as("text")),
           "doc_id", "text")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+    // The full curation gauntlet with kill provenance: dup -> c4 ->
+    // gopher -> lm_tail over the same injected line corpus.
+    "q_curation_e2e" -> ((s, dir) =>
+      Curation.curationPipeline(
+          T(s, dir, "documents").select(col("doc_id"), c4Injected.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
     // Contiguous global ids without a single-partition window (the
     // offsets fold back from one count per partition).
     "q_assign_ids" -> ((s, dir) =>
@@ -887,6 +886,33 @@ object SparkEntry {
   /** Exact cosine top-10 for query vecs vec_id < 5 — the oracle for
     * q_ann_bruteforce and for the exact-by-construction ANN verify
     * variants (q_ann_lsh_verify, q_ann_ivf_verify). */
+  /** Deterministic line/punctuation/marker injection shared by
+    * q_c4_filter and q_curation_e2e (the corpus has no newlines or
+    * punctuation of its own): break after every 7th word, terminal "."
+    * on half the lines by content hash, lorem-ipsum / brace markers on
+    * a sprinkle of docs. */
+  private def c4Injected: org.apache.spark.sql.Column = {
+    val broken = regexp_replace(col("text"), "((\\w+ ){7})", "$1\n")
+    val punct = array_join(transform(split(broken, "\n"), l =>
+      when(substring(md5(trim(l)), 1, 1) < "8", concat(trim(l), lit(".")))
+        .otherwise(trim(l))), "\n")
+    concat_ws(" ", punct,
+      when(pmod(col("doc_id"), lit(41)) === 0, lit("lorem ipsum")).otherwise(lit("ok")),
+      when(pmod(col("doc_id"), lit(43)) === 0, lit("{x}")).otherwise(lit("ok")))
+  }
+
+  /** The matching DuckDB CTE chain: yields `inj(doc_id, t)`. */
+  private val c4InjectedSql: String =
+    """b AS (SELECT doc_id,
+      |    regexp_replace(text, '((\w+ ){7})', '\1' || chr(10), 'g') AS t
+      |  FROM documents),
+      |p AS (SELECT doc_id, array_to_string(list_transform(string_split(t, chr(10)),
+      |    l -> CASE WHEN substr(md5(trim(l)), 1, 1) < '8' THEN trim(l) || '.'
+      |              ELSE trim(l) END), chr(10)) AS t FROM b),
+      |inj AS (SELECT doc_id, concat_ws(' ', t,
+      |    CASE WHEN doc_id % 41 = 0 THEN 'lorem ipsum' ELSE 'ok' END,
+      |    CASE WHEN doc_id % 43 = 0 THEN '{x}' ELSE 'ok' END) AS t FROM p)""".stripMargin
+
   private val annExactTopKSql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |q AS (SELECT * FROM v WHERE vec_id < 5),
@@ -1607,20 +1633,12 @@ object SparkEntry {
         |FROM l JOIN c USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_c4_filter" ->
-      """WITH b AS (SELECT doc_id,
-        |    regexp_replace(text, '((\w+ ){7})', '\1' || chr(10), 'g') AS t
-        |  FROM documents),
-        |p AS (SELECT doc_id, array_to_string(list_transform(string_split(t, chr(10)),
-        |    l -> CASE WHEN substr(md5(trim(l)), 1, 1) < '8' THEN trim(l) || '.'
-        |              ELSE trim(l) END), chr(10)) AS t FROM b),
-        |i AS (SELECT doc_id, concat_ws(' ', t,
-        |    CASE WHEN doc_id % 41 = 0 THEN 'lorem ipsum' ELSE 'ok' END,
-        |    CASE WHEN doc_id % 43 = 0 THEN '{x}' ELSE 'ok' END) AS t FROM p),
+      s"""WITH $c4InjectedSql,
         |m AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
         |    list_filter(string_split(t, chr(10)), x ->
-        |      regexp_matches(trim(x), '[.!?"]$')
+        |      regexp_matches(trim(x), '[.!?"]$$')
         |      AND len(string_split(trim(x), ' ')) >= 5) AS kept
-        |  FROM i)
+        |  FROM inj)
         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
@@ -1628,6 +1646,55 @@ object SparkEntry {
         |  CASE WHEN len(kept) = 0 THEN NULL
         |       ELSE array_to_string(list_transform(kept, x -> trim(x)), chr(10)) END AS cleaned_text
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_curation_e2e" ->
+      s"""WITH $c4InjectedSql,
+        |fp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(t, '\\s+', ' ', 'g')))) AS f FROM inj),
+        |kk AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+        |dup AS (SELECT doc_id, doc_id <> keep_id AS is_dup FROM fp JOIN kk USING (f)),
+        |c4 AS (SELECT doc_id,
+        |    (len(list_filter(string_split(t, chr(10)), x ->
+        |       regexp_matches(trim(x), '[.!?"]$$')
+        |       AND len(string_split(trim(x), ' ')) >= 5)) >= 3
+        |     AND NOT contains(lower(t), 'lorem ipsum')
+        |     AND NOT contains(t, '{')) AS c4keep
+        |  FROM inj),
+        |gw AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM inj),
+        |gq AS (SELECT doc_id,
+        |    (CAST(len(ws) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND (CAST(floor((len(replace(t, ' ', '')) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000) BETWEEN 3.0 AND 10.0
+        |     AND (CAST(floor(((len(t) - len(replace(t, '#', '')) + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000) < 0.1
+        |     AND (CAST(floor((len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000) > 0.8
+        |     AND CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) >= 2) AS gkeep
+        |  FROM gw),
+        |n AS (SELECT doc_id, lower(t) AS t FROM inj WHERE length(lower(t)) >= 2),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))) AS g
+        |  FROM n),
+        |model AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY 1),
+        |ctx AS (SELECT substr(g, 1, 1) AS a, sum(c) AS ca FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT substr(g, 2, 1)) AS DOUBLE) AS nv FROM model),
+        |scored AS (SELECT bg.doc_id,
+        |    CAST(floor((CAST(round(sum(CAST(-ln((m.c + 1) / (x.ca + v.nv)) AS DECIMAL(30,15))), 6) AS DOUBLE)
+        |          / count(*)) * 10000 + 0.5) AS DOUBLE) / 10000 AS nats
+        |  FROM bg JOIN model m USING (g)
+        |  JOIN ctx x ON substr(bg.g, 1, 1) = x.a, v
+        |  GROUP BY bg.doc_id),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY nats, doc_id) AS BIGINT) - 1 AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM scored),
+        |lt AS (SELECT doc_id, rk * 3 >= nn * 2 AS is_tail FROM r),
+        |fin AS (SELECT d.doc_id,
+        |    CASE WHEN dup.is_dup THEN 'duplicate'
+        |         WHEN NOT c4.c4keep THEN 'c4'
+        |         WHEN NOT gq.gkeep THEN 'gopher'
+        |         WHEN coalesce(lt.is_tail, FALSE) THEN 'lm_tail' END AS reason
+        |  FROM inj d
+        |  JOIN dup USING (doc_id) JOIN c4 USING (doc_id) JOIN gq USING (doc_id)
+        |  LEFT JOIN lt USING (doc_id))
+        |SELECT doc_id, reason IS NULL AS keep, reason
+        |FROM fin ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
         |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),

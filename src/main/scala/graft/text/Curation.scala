@@ -389,6 +389,55 @@ object Curation {
           sum(col("tokens")).over(w).cast("double") / col("__t"), 6).as("cum_share"))
   }
 
+  // ---- end-to-end curation pipeline ------------------------------------
+
+  /** The standard curation gauntlet in one operator — exact dedup, C4
+    * line rules, Gopher quality rules, then the CCNet perplexity-tail
+    * cut — with PROVENANCE: every document gets the FIRST stage that
+    * killed it as its `reason` (null = survived all four). This is the
+    * shape a production corpus actually flows through (Dolma, RefinedWeb,
+    * FineWeb pipelines), and per-stage attribution is what you tune mix
+    * decisions against.
+    *
+    * Stage order (cheap→expensive is the scan order at scale; reasons
+    * report the FIRST kill): duplicate (non-canonical copy of an exact
+    * fingerprint group) → c4 → gopher → lm_tail (worst rank-tercile of
+    * the in-engine char-bigram cross-entropy).
+    *
+    * Scale shape: each stage is itself scale-shaped ([[c4Clean]] and
+    * [[gopherQuality]] pure scan-stage; the fingerprint group and LM
+    * model keyed aggregates; [[rankBuckets]] rides assignIds); the
+    * stages meet in id-keyed equi-joins. Returns (idCol, keep,
+    * reason). */
+  def curationPipeline(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol),
+      md5(graft.dedup.Dedup.normText(col(textCol))).as("__fp"))
+    val keep0 = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep"))
+    val dup = fp.join(keep0, "__fp")
+      .select(col(idCol), (col(idCol) =!= col("__keep")).as("__dup"))
+    val c4 = c4Clean(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("__c4"))
+    val gq = gopherQuality(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("__gq"))
+    val lm = graft.text.TextStats.lmScore(docs, idCol, textCol)
+    val tail = rankBuckets(lm.select(col(idCol), col("nats")), "nats", idCol)
+      .select(col(idCol), (col("bucket") === "tail").as("__lmtail"))
+    docs.select(col(idCol))
+      .join(dup, idCol)
+      .join(c4, idCol)
+      .join(gq, idCol)
+      // lmScore drops sub-2-char docs; they simply skip the LM stage
+      .join(tail, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__dup"), "duplicate")
+          .when(!col("__c4"), "c4")
+          .when(!col("__gq"), "gopher")
+          .when(coalesce(col("__lmtail"), lit(false)), "lm_tail")
+          .as("reason"))
+      .select(col(idCol), col("reason").isNull.as("keep"), col("reason"))
+  }
+
   // ---- DSIR importance weights -----------------------------------------
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection

@@ -329,6 +329,30 @@ class CurationSpec extends SparkSpec {
     assert(!nulls.getAs[Boolean]("keep"))
   }
 
+  test("curationPipeline: first-kill provenance, duplicate beats every later stage") {
+    // a doc that passes c4+gopher: 60 words in punctuated 6-word lines,
+    // stopword-bearing, alpha words
+    val good = (1 to 10).map(i =>
+      s"the quick brown fox line$i jumps.").mkString("\n")
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                        // exact copy -> duplicate (not c4/gopher)
+      (3L, "short no punct"),            // killed by c4 (no qualifying lines)
+      (4L, good.replace(".", ".") + "\n" + ("#### #### #### ####. " * 12).trim)
+    ).toDF("doc_id", "text")
+    val got = Curation.curationPipeline(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(got(0)._1 == 1L && got(1)._2 == false &&
+      got(1)._3.contains("duplicate"), got.toString)
+    assert(got(2)._3.contains("c4"))
+    // doc 1 and 4 get SOME verdict from the lm/gopher stages without
+    // crashing; reasons come only from the known set
+    val allowed = Set("duplicate", "c4", "gopher", "lm_tail")
+    assert(got.flatMap(_._3).forall(allowed))
+    // keep flag is exactly reason-is-null
+    assert(got.forall(r => r._2 == r._3.isEmpty))
+  }
+
   test("dsirWeights: target-like source docs outrank target-unlike ones") {
     val docs = Seq(
       (1L, "alpha beta alpha beta alpha", true),   // target domain
