@@ -483,6 +483,15 @@ object SparkEntry {
           k = 10, m = 8, subDim = 8, nCentroids = 16)
         .orderBy("query_id", "rank")
     }),
+    // FAISS-style IVF-PQ composition, registered in its exactness form
+    // (nprobe >= |cells|, shortlist >= |corpus| -> must equal brute
+    // force); pruned settings are the serving shape (PqSpec).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.sim.Pq.ivfPqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          "label", k = 10, nprobe = 1000, shortlist = 10000000)
+        .orderBy("query_id", "rank")
+    }),
     // SQL-verifiable companion to q_ann_lsh: 16 one-bit bands — a corpus
     // vector is excluded only if its signature disagrees with the query
     // on ALL 16 hyperplanes (probability ~(θ/π)^16; for actual top-k
@@ -1335,6 +1344,9 @@ object SparkEntry {
     "q_ann_lsh_verify" -> annExactTopKSql,
     "q_ann_ivf_verify" -> annExactTopKSql,
     "q_ann_ivf_learned" -> annExactTopKSql,
+    // IVF-PQ in its exactness form (full probe + full shortlist + exact
+    // rerank) must reproduce the brute-force top-k.
+    "q_ann_ivfpq" -> annExactTopKSql,
 
     "q_lang_id" -> {
       val hits = TextStats.stopwords.map { case (lang, list) =>

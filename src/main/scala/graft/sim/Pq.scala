@@ -118,6 +118,77 @@ object Pq {
     adcTopK(queries, codes, cb, idCol, vecCol, k, m, subDim)
   }
 
+  /** FAISS-style IVF-PQ — the composed production ANN topology: the
+    * coarse quantizer routes each query to its `nprobe` nearest cells
+    * (cosine to the per-cell mean centroid, as [[Ann.ivfTopK]]), PQ
+    * codes score ONLY the probed cells' members by ADC, and the ADC
+    * shortlist is exactly reranked with the float vectors. At 100 TB
+    * the scan touches nprobe/|cells| of the corpus and reads 8-byte
+    * codes, not 256-byte vectors, until the final rerank of
+    * `shortlist` rows per query.
+    *
+    * Exactness pin: with nprobe >= |cells| AND shortlist >= |corpus|
+    * this equals brute force — the registered oracle form (same
+    * pattern as q_ann_ivf_verify); pruned settings trade recall for
+    * touched cells × codes. Returns (query_id, neighbor_id, cos,
+    * rank). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, cellCol: String, k: Int, nprobe: Int,
+                shortlist: Int, m: Int = 8, subDim: Int = 8,
+                nCentroids: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    // coarse routing: tiny cells×dim centroid table, broadcast
+    val cents = Ann.centroids(corpus, cellCol, vecCol)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        Ann.cosine(col("qv"), col("centroid")).as("ccos"))
+      .withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe)
+      .select("query_id", "cell")
+    // PQ codes carry their cell for the probe join
+    val cb = codebook(corpus, idCol, vecCol, nCentroids)
+    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
+      .join(corpus.select(col(idCol), col(cellCol).as("cell")), idCol)
+    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
+    val qt = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), qtab.as("__qtab")))
+    val adc = aggregate(sequence(lit(1), lit(m)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(col("__qtab"), s.cast("int")),
+        (element_at(col("codes"), s.cast("int")) + 1).cast("int")))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    val cand = probes
+      .join(codes.select(col("cell"), col(idCol).as("neighbor_id"), col("codes")), "cell")
+      .join(qt, "query_id")
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_micro"))
+      .withColumn("sl", row_number().over(wAdc))
+      .filter(col("sl") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rerank of the shortlist
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.repartition(parts).select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(c, "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.Det.round4(
+          graft.functions.GraftFunctions.cosineSim(col("qv"), col("cv"))).as("cos"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** PQ shortlist + exact rerank — the production serving shape: ADC
     * prunes the corpus to `shortlist` candidates per query (codes-only
     * scan), then exact cosine reranks just those. With shortlist ≥

@@ -45,6 +45,32 @@ class PqSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("IVF-PQ: exactness form equals brute force; pruned form stays inside probed cells") {
+    val q = embs.filter(col("vec_id") < 3)
+    val exact = Pq.ivfPqTopK(q, embs, "vec_id", "embedding", "label",
+        k = 10, nprobe = 1000, shortlist = 10000000)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val bf = Ann.bruteForceTopK(q, embs, "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(exact === bf)
+    // pruned serving shape: k rows per query, every neighbor from a
+    // probed cell (labels are NOT geometric clusters in this corpus, so
+    // recall is nprobe/|cells| by construction — no recall floor here)
+    val pruned = Pq.ivfPqTopK(q, embs, "vec_id", "embedding", "label",
+      k = 10, nprobe = 2, shortlist = 100)
+    val counts = pruned.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 10L) && counts.size == 3)
+    val cellOf = embs.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val probedPerQ = pruned.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(p => cellOf(p._2)).toSet).toMap
+    assert(probedPerQ.values.forall(_.size <= 2), probedPerQ.toString)
+  }
+
   test("PQ shortlist recall: a 10x shortlist recovers most of the exact top-10") {
     val q = embs.filter(col("vec_id") < 3)
     val short = Pq.pqRerankTopK(q, embs, "vec_id", "embedding",
