@@ -892,9 +892,6 @@ object SparkEntry {
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
 
-  /** Exact cosine top-10 for query vecs vec_id < 5 — the oracle for
-    * q_ann_bruteforce and for the exact-by-construction ANN verify
-    * variants (q_ann_lsh_verify, q_ann_ivf_verify). */
   /** Deterministic line/punctuation/marker injection shared by
     * q_c4_filter and q_curation_e2e (the corpus has no newlines or
     * punctuation of its own): break after every 7th word, terminal "."
@@ -922,6 +919,9 @@ object SparkEntry {
       |    CASE WHEN doc_id % 41 = 0 THEN 'lorem ipsum' ELSE 'ok' END,
       |    CASE WHEN doc_id % 43 = 0 THEN '{x}' ELSE 'ok' END) AS t FROM p)""".stripMargin
 
+  /** Exact cosine top-10 for query vecs vec_id < 5 — the oracle for
+    * q_ann_bruteforce and for the exact-by-construction ANN verify
+    * variants (q_ann_lsh_verify, q_ann_ivf_verify, q_ann_ivfpq). */
   private val annExactTopKSql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |q AS (SELECT * FROM v WHERE vec_id < 5),
@@ -1117,8 +1117,8 @@ object SparkEntry {
         |    WHEN n IS NULL THEN NULL
         |    WHEN scnt = 1 AND n = smin THEN NULL
         |    WHEN n < 0 OR n > 120 THEN NULL
-        |    WHEN round(n) = 0 THEN NULL
-        |    ELSE round(n) END AS INT) AS age
+        |    WHEN round_even(n, 0) = 0 THEN NULL
+        |    ELSE round_even(n, 0) END AS INT) AS age
         |FROM a, s ORDER BY doc_id""".stripMargin,
     "q_std_injury" ->
       s"""SELECT id, raw, ${Luts.injuryStdSql} AS injury_std
@@ -1998,7 +1998,9 @@ object SparkEntry {
         |FROM d ORDER BY id""".stripMargin,
 
     "q_stream_asof" ->
-      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      // the horizon is the MILLISECOND-floored Spark watermark (event
+      // times are tracked in ms), not the raw max microsecond
+      """WITH m AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS mx FROM events),
         |b AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |      WHERE event_type = 'purchase' GROUP BY 1, 2),
         |vis AS (SELECT e.event_id, e.user_id, e.ts FROM events e, m

@@ -82,6 +82,28 @@ object Pq {
             .getField("cid")).as("codes"))
   }
 
+  /** One row per query: (query_id, __qtab) where __qtab is the m ×
+    * nCentroids table of micro-unit query-to-centroid sub-distances —
+    * the per-query half of ADC, computed once and broadcast (the query
+    * side is small by contract). */
+  private def queryAdcTable(queries: DataFrame, cb: DataFrame, idCol: String,
+                            vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
+    queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), qtab.as("__qtab"))
+  }
+
+  /** A candidate's ADC distance: m integer table lookups summed in
+    * subspace order — order-independent, so ranks are integer-exact
+    * across engines. Expects `__qtab` and `codes` columns in scope. */
+  private def adcExpr(m: Int): Column =
+    aggregate(sequence(lit(1), lit(m)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(col("__qtab"), s.cast("int")),
+        (element_at(col("codes"), s.cast("int")) + 1).cast("int")))
+
   /** ADC top-k: per query, a subspace×centroid distance table (m ×
     * nCentroids micro-unit longs — computed once per query), then every
     * candidate's approximate distance is m integer lookups summed —
@@ -91,19 +113,11 @@ object Pq {
   def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
               idCol: String, vecCol: String, k: Int, m: Int,
               subDim: Int): DataFrame = {
-    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
-      .crossJoin(broadcast(cb))
-      .select(col("query_id"), qtab.as("__qtab")))
-    val adc = aggregate(sequence(lit(1), lit(m)), lit(0L), (acc, s) =>
-      acc + element_at(element_at(col("__qtab"), s.cast("int")),
-        (element_at(col("codes"), s.cast("int")) + 1).cast("int")))
+    val q = broadcast(queryAdcTable(queries, cb, idCol, vecCol, m, subDim))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     q.crossJoin(codes.select(col(idCol).as("neighbor_id"), col("codes")))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc_micro"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr(m).as("adc_micro"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -154,21 +168,13 @@ object Pq {
     val cb = codebook(corpus, idCol, vecCol, nCentroids)
     val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
       .join(corpus.select(col(idCol), col(cellCol).as("cell")), idCol)
-    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
-    val qt = broadcast(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
-      .crossJoin(broadcast(cb))
-      .select(col("query_id"), qtab.as("__qtab")))
-    val adc = aggregate(sequence(lit(1), lit(m)), lit(0L), (acc, s) =>
-      acc + element_at(element_at(col("__qtab"), s.cast("int")),
-        (element_at(col("codes"), s.cast("int")) + 1).cast("int")))
+    val qt = broadcast(queryAdcTable(queries, cb, idCol, vecCol, m, subDim))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     val cand = probes
       .join(codes.select(col("cell"), col(idCol).as("neighbor_id"), col("codes")), "cell")
       .join(qt, "query_id")
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc_micro"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr(m).as("adc_micro"))
       .withColumn("sl", row_number().over(wAdc))
       .filter(col("sl") <= shortlist)
       .select("query_id", "neighbor_id")

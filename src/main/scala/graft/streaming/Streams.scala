@@ -344,7 +344,10 @@ object Streams {
     * time" is final (the Flink temporal-join visibility rule). Probes
     * buffer in state until then and flush on event-time timeout;
     * equal-ts versions resolve to the max id, exactly like the batch
-    * oracle's pre-grouped max.
+    * oracle's pre-grouped max. Note Spark tracks event time in
+    * MILLISECONDS, so the horizon is the ms-floored max event time
+    * minus the delay — an oracle must floor the same way or events in
+    * the sub-millisecond gap diverge.
     *
     * State per user is bounded at steady state: pending probes live only
     * within the watermark horizon, and dimension versions older than the

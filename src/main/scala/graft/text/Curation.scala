@@ -469,7 +469,10 @@ object Curation {
                   isTarget: Column): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val words = docs
-      .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
+      // a NULL target flag means "not in the target set": it must land
+      // in the SOURCE model (a three-valued !NULL would count it in
+      // neither model, silently shifting every weight)
+      .select(col(idCol), coalesce(isTarget.cast("boolean"), lit(false)).as("__tgt"),
         split(coalesce(col(textCol), lit("")), " ").as("__w"))
       .repartition(parts)
     val bigramIdx = when(size(col("__w")) >= 2, sequence(lit(1), size(col("__w")) - 1))

@@ -186,7 +186,9 @@ class EngineSpec extends SparkSpec {
       .orderBy("event_id")
       .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
     val e = graft.sources.Tables(spark, sfDir, "events")
-    val mx = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // Spark tracks event time (and thus the watermark) in MILLISECONDS:
+    // the visibility horizon is the ms-floored max, minus the delay
+    val mx = e.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
     val marker = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("pid"))
       .withColumn("pts_us", unix_micros(col("ts")))
