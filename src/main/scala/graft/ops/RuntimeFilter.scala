@@ -28,18 +28,25 @@ import graft.functions.GraftFunctions
 object RuntimeFilter {
 
   /** Fact rows whose key MIGHT be in `dim`'s key set (no false
-    * negatives). The filter is a codegen predicate in the fact scan
-    * stage; the 1-row build aggregate is partial-aggregated (each build
-    * partition ships one bit array, OR-merged). */
+    * negatives). The 1-row build aggregate is partial-aggregated (each
+    * build partition ships one bit array, OR-merged) and then
+    * materialized INTO A LITERAL — exactly the mechanism of Spark's own
+    * runtime bloom filter (a scalar subquery whose result is injected
+    * into the plan). The eager numBits/8-byte collect is bounded by
+    * construction, independent of dim size; the probe is then a pure
+    * codegen predicate in the fact scan stage. (Attaching the bitmap as
+    * a COLUMN via a broadcast cross join is the tempting lazy spelling,
+    * and a trap: the nested-loop join copies the bitmap into every
+    * joined row — numBits/8 bytes PER FACT ROW of row-write cost,
+    * observed as a 40x slowdown at sf0.1.) */
   def bloomPrefilter(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       numBits: Int = 1 << 22, numHashes: Int = 6): DataFrame = {
     GraftFunctions.ensureRegistered(fact.sparkSession)
-    val build = dim.agg(
-      GraftFunctions.bloomAgg(xxhash64(col(dimKey)), numBits, numHashes).as("__bloom"))
-    fact.crossJoin(broadcast(build)) // 1 row, bounded bytes — always safe
-      .where(GraftFunctions.bloomMightContain(col("__bloom"), xxhash64(col(factKey))))
-      .drop("__bloom")
+    val bloom: Array[Byte] = dim
+      .agg(GraftFunctions.bloomAgg(xxhash64(col(dimKey)), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]]("__bloom")
+    fact.where(GraftFunctions.bloomMightContain(lit(bloom), xxhash64(col(factKey))))
   }
 
   /** Exact inner join with the Bloom prefilter applied to the fact side

@@ -86,9 +86,12 @@ class BloomSpec extends SparkSpec {
       val joinAt = math.max(plan.indexOf("SortMergeJoin"), plan.indexOf("ShuffledHashJoin"))
       assert(joinAt >= 0, "expected a shuffled join under disabled auto-broadcast")
       assert(probeAt > joinAt, "bloom probe should be a child (printed after) the join")
-      // exactly the 1-row bloom build may broadcast — never the dim itself
+      // the bloom reaches the probe as a LITERAL (Spark's own runtime-
+      // filter mechanism) — NO broadcast exchange anywhere: not the dim,
+      // and not the bitmap-as-column cross join (which would copy the
+      // bitmap into every fact row)
       val bc = plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
-      assert(bc == 1, s"expected exactly the bloom build broadcast, saw $bc")
+      assert(bc == 0, s"expected a literal bloom probe with no broadcast, saw $bc")
     } finally spark.conf.set(key, dflt)
   }
 }
