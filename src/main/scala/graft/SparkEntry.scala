@@ -455,6 +455,12 @@ object SparkEntry {
       Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
           k = 10, minCount = 2)
         .orderBy("doc_id", "span_pos")),
+    // ...and the removal step: all but the corpus-global first
+    // occurrence of each repeated span cut, text reassembled.
+    "q_substr_scrub" -> ((s, dir) =>
+      Dedup.scrubRepeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+          k = 10, minCount = 2)
+        .orderBy("doc_id")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -1263,6 +1269,38 @@ object SparkEntry {
         |  md5(array_to_string(w[CAST(s.span_pos AS INT):CAST(s.span_pos + s.span_tokens - 1 AS INT)], ' ')) AS span_md5
         |FROM spans s JOIN d ON s.doc_id = d.doc_id
         |ORDER BY s.doc_id, span_pos""".stripMargin,
+    "q_substr_scrub" ->
+      """WITH g AS (
+        |  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 9, 0) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents)),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS gram FROM g),
+        |c AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN c USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS sp,
+        |    CAST(count(*) + 9 AS BIGINT) AS st
+        |  FROM isl GROUP BY doc_id, grp),
+        |d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |withmd AS (SELECT s.doc_id, s.sp, s.st,
+        |    md5(array_to_string(w[CAST(s.sp AS INT):CAST(s.sp + s.st - 1 AS INT)], ' ')) AS md
+        |  FROM spans s JOIN d USING (doc_id)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY md ORDER BY doc_id, sp) AS occ
+        |  FROM withmd),
+        |rm AS (SELECT doc_id, list({'s': sp, 'e': sp + st - 1}) AS rr
+        |  FROM ranked WHERE occ > 1 GROUP BY doc_id),
+        |out AS (SELECT d.doc_id, w,
+        |    CASE WHEN rr IS NULL THEN w
+        |         ELSE list_transform(list_filter(range(1, len(w) + 1),
+        |            i -> len(list_filter(rr, r -> i >= r.s AND i <= r.e)) = 0),
+        |            i -> w[CAST(i AS INT)]) END AS kept
+        |  FROM d LEFT JOIN rm USING (doc_id))
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+        |  CASE WHEN len(kept) = 0 THEN NULL
+        |       ELSE array_to_string(kept, ' ') END AS scrubbed
+        |FROM out ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_e2e" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id,

@@ -367,6 +367,47 @@ object Dedup {
           col("span_tokens").cast("int")), " ")).as("span_md5"))
   }
 
+  /** The removal step of exact substring dedup (Lee et al. 2022 §4:
+    * "we remove all but one occurrence"): every repeated span found by
+    * [[repeatedSpans]] is cut from the corpus EXCEPT its corpus-global
+    * first occurrence — canonical = lowest (doc, position) per span
+    * CONTENT hash, so one copy of every duplicated passage survives
+    * somewhere. Token ranges are cut per doc and the text reassembled
+    * in order. Returns (idCol, n_tokens, n_removed, scrubbed).
+    *
+    * Scale shape: rides [[repeatedSpans]] (gram-count shuffle + per-doc
+    * islands); the first-occurrence choice is a window over the SPAN
+    * LIST partitioned by content hash (bounded by the duplicate count,
+    * not the corpus); removal ranges fold back via one id-keyed join
+    * and the cut itself is a scan-stage higher-order filter. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, minCount: Long = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minCount)
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_md5")).orderBy(col(idCol), col("span_pos"))
+    val rm = spans
+      .withColumn("__occ", row_number().over(wOcc))
+      .filter(col("__occ") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_pos").as("s"),
+        (col("span_pos") + col("span_tokens") - 1).as("e"))).as("__rr"))
+    val base = docs.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), " ").as("__w"))
+    val idx = sequence(lit(1), size(col("__w")))
+    val kept = when(col("__rr").isNull, col("__w"))
+      .otherwise(transform(
+        filter(idx, i => size(filter(col("__rr"),
+          r => i >= r.getField("s") && i <= r.getField("e"))) === 0),
+        i => element_at(col("__w"), i.cast("int"))))
+    base.join(rm, Seq(idCol), "left")
+      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(kept)).cast("long").as("n_removed"),
+        // fully-scrubbed doc → NULL, matching lineDedup's convention
+        // (and DuckDB's string_agg-over-nothing)
+        when(size(kept) === 0, lit(null).cast("string"))
+          .otherwise(array_join(kept, " ")).as("scrubbed"))
+  }
+
   // ---- Embedding cosine ------------------------------------------------
 
   /** Embedding-cosine near-dup pairs within IVF-style cells (`cellCol`):

@@ -178,4 +178,22 @@ class DedupSpec extends SparkSpec {
     assert(got(0)._5 == got(1)._5, "shared span content hash must match")
     assert(got(2)._5 == got(3)._5, "within-doc repeat content hash must match")
   }
+
+  test("scrubRepeatedSpans keeps exactly the corpus-global first occurrence") {
+    def toks(n: Int, tag: String): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = toks(12, "s")
+    val d = Seq(
+      (10L, s"${toks(3, "a")} $shared ${toks(4, "b")}"), // first occurrence -> kept
+      (11L, s"$shared ${toks(7, "c")}"),                 // later occurrence -> cut
+      (12L, shared),                                     // whole doc is the span -> NULL
+      (13L, toks(6, "e"))                                // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(d, "doc_id", "text", k = 10, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == (10L, 19L, 0L, s"${toks(3, "a")} $shared ${toks(4, "b")}"))
+    assert(got(1) == (11L, 19L, 12L, toks(7, "c")))
+    assert(got(2)._3 == 12L && got(2)._4 == null)
+    assert(got(3) == (13L, 6L, 0L, toks(6, "e")))
+  }
 }
