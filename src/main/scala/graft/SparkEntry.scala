@@ -861,6 +861,18 @@ object SparkEntry {
     // below the final watermark (max ts - 30min), mirrored by the oracle.
     "q_stream_asof" -> ((s, dir) =>
       Streams.temporalEnrich(s, dir).orderBy("event_id")),
+    // Stateless streaming curation gate: C4 clean -> Gopher score on
+    // the cleaned text, in-flight, zero state — identical operators
+    // serve batch and stream, so the oracle is simply the batch chain.
+    "q_stream_quality" -> ((s, dir) => {
+      val docs = Streams.readTableStream(s, dir, "documents")
+        .select(col("doc_id"), c4Injected.as("text"))
+      Streams.runToMemory(
+          Streams.curationGateStream(docs, "doc_id", "text"),
+          s"graft_stream_quality_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("doc_id")
+    }),
 
     // Temporal joins (operators Spark lacks natively; ops/Joins.scala)
     // Backward as-of join: each event → the user's most recent purchase
@@ -2035,6 +2047,31 @@ object SparkEntry {
         |      i -> ord(substr(t, CAST(i AS INT), 1)) // 16 = b)) AS VARCHAR)), ',') AS hist_csv
         |FROM d ORDER BY id""".stripMargin,
 
+    "q_stream_quality" ->
+      s"""WITH $c4InjectedSql,
+        |cl AS (SELECT doc_id,
+        |    coalesce(CASE WHEN len(kept) = 0 THEN NULL
+        |         ELSE array_to_string(list_transform(kept, x -> trim(x)), chr(10)) END,
+        |      '') AS t
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split(t, chr(10)), x ->
+        |        regexp_matches(trim(x), '[.!?"]$$')
+        |        AND len(string_split(trim(x), ' ')) >= 5) AS kept
+        |    FROM inj) k),
+        |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM cl),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(floor((len(replace(t, ' ', '')) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_word_len,
+        |    CAST(floor((len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS frac_alpha_words,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopwords,
+        |    CAST(floor(((len(t) - len(replace(t, '#', '')) + (len(t) - len(replace(t, '...', ''))) / 3) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS symbol_ratio
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+        |  symbol_ratio,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio < 0.1 AND frac_alpha_words > 0.8
+        |   AND n_stopwords >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_stream_asof" ->
       // the horizon is the MILLISECOND-floored Spark watermark (event
       // times are tracked in ms), not the raw max microsecond

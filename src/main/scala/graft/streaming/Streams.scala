@@ -328,6 +328,20 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming curation gate (pre-sink, unbounded): C4 line cleaning
+    * feeding Gopher quality scoring on the CLEANED text — the stateless
+    * head of the curation gauntlet running in-flight, one pass, ZERO
+    * streaming state (both stages are pure scan-stage expressions, so
+    * the same operators serve batch backfill and the live firehose
+    * unchanged — the lambda-architecture-free property you want from a
+    * declarative pipeline). Append mode, no watermark needed. */
+  def curationGateStream(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val cleaned = graft.text.Curation.c4Clean(docs, idCol, textCol)
+      .select(col(idCol), coalesce(col("cleaned_text"), lit("")).as("__t"))
+    graft.text.Curation.gopherQuality(cleaned, idCol, "__t")
+  }
+
   final case class AsofState(dims: List[(Long, Long)], probes: List[(Long, Long)])
   final case class AsofEnriched(event_id: Long, user_id: Long,
                                 last_purchase_id: Option[Long], gap_us: Option[Long])
