@@ -163,6 +163,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring spans / DSIR: no corpus-side broadcast, no cross product") {
+    withoutAutoBroadcast {
+      val docs = Tables(spark, sfDir, "documents")
+      val pspan = planOf(graft.dedup.Dedup.repeatedSpans(
+        docs, "doc_id", "text", k = 10, minCount = 2))
+      assert(!pspan.contains("BroadcastExchange") && !pspan.contains("CartesianProduct"),
+        s"gram/word sides are corpus-derived, must not broadcast:\n$pspan")
+      // dsir's ONLY broadcast is the bounded 1-row totals (a literal
+      // nested-loop over one row); the feature-model join must shuffle
+      val pdsir = planOf(graft.text.Curation.dsirWeights(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0))
+      val bc = pdsir.sliding("BroadcastExchange".length)
+        .count(_ == "BroadcastExchange")
+      assert(bc <= 1, s"only the 1-row totals may broadcast, saw $bc:\n$pdsir")
+      assert(pdsir.contains("SortMergeJoin") || pdsir.contains("ShuffledHashJoin"),
+        s"feature-model join must be a shuffled join:\n$pdsir")
+    }
+  }
+
+  test("bloom prefilter: the bitmap is a literal probe, zero broadcast exchanges") {
+    withoutAutoBroadcast {
+      val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+      val dim = Tables(spark, sfDir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val p = planOf(graft.ops.RuntimeFilter.bloomPrefilter(li, "l_partkey", dim, "p_partkey"))
+      assert(p.contains("bloom_might_contain"), p)
+      assert(!p.contains("BroadcastExchange") && !p.contains("Join"),
+        s"prefilter must be a pure scan-stage literal probe:\n$p")
+    }
+  }
+
   test("topk_agg: bounded-heap aggregate partial-aggregates before the shuffle") {
     val p = planOf(graft.analytics.Analytics.windowTopNAgg(spark, sfDir))
     // partial_topk_largest under ObjectHashAggregate BEFORE the exchange
