@@ -489,6 +489,12 @@ object SparkEntry {
           k = 10, m = 8, subDim = 8, nCentroids = 16)
         .orderBy("query_id", "rank")
     }),
+    // One deterministic Lloyd iteration (the learned-quantizer training
+    // step): integer-micro assignment + decimal-exact per-dim means.
+    "q_kmeans_iter" -> ((s, dir) =>
+      graft.sim.Kmeans.lloydIteration(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, dim = 64)
+        .orderBy("cluster", "dim")),
     // FAISS-style IVF-PQ composition, registered in its exactness form
     // (nprobe >= |cells|, shortlist >= |corpus| -> must equal brute
     // force); pruned settings are the serving shape (PqSpec).
@@ -1361,6 +1367,25 @@ object SparkEntry {
         |SELECT id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_bruteforce" -> annExactTopKSql,
+    "q_kmeans_iter" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, e AS cv
+        |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT v.vec_id, cb.cid,
+        |    CAST(floor(list_sum(list_transform(range(1, 65),
+        |      j -> (v.e[CAST(j AS INT)] - cb.cv[CAST(j AS INT)])
+        |         * (v.e[CAST(j AS INT)] - cb.cv[CAST(j AS INT)])))
+        |      * 1000000 + 0.5) AS BIGINT) AS dm
+        |  FROM v, cb),
+        |a AS (SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |x AS (SELECT a.cluster, generate_subscripts(v.e, 1) AS dim, unnest(v.e) AS x
+        |  FROM a JOIN v USING (vec_id))
+        |SELECT cluster, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor((CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*))
+        |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin,
     "q_ann_pq" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, e AS cv

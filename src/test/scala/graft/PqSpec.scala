@@ -71,6 +71,30 @@ class PqSpec extends SparkSpec {
     assert(probedPerQ.values.forall(_.size <= 2), probedPerQ.toString)
   }
 
+  test("lloydIteration: every cluster owns its seed vector; means are member averages") {
+    import graft.sim.Kmeans
+    val out = Kmeans.lloydIteration(embs, "vec_id", "embedding", k = 8, dim = 64)
+      .collect()
+    assert(out.length === 8 * 64)
+    // each cluster's member count is the same across its 64 dims
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).toSet).toMap
+    assert(byCluster.size === 8 && byCluster.values.forall(_.size == 1))
+    // the seed vectors are their own nearest centroid (distance 0), so
+    // every cluster is non-empty and counts sum to the corpus
+    assert(byCluster.values.map(_.head).sum === embs.count())
+    assert(byCluster.values.forall(_.head >= 1L))
+    // a singleton-cluster sanity: planting one far-away vector makes it
+    // a seed whose cluster mean IS the vector (exact reproduction)
+    val far = Seq((-1L, Array.fill(64)(100.0f))).toDF("vec_id", "embedding")
+    val out2 = Kmeans.lloydIteration(
+      embs.select("vec_id", "embedding").unionByName(far),
+      "vec_id", "embedding", k = 8, dim = 64)
+    val c0 = out2.collect().filter(_.getAs[Int]("cluster") == 0)
+    assert(c0.length === 64 && c0.forall(_.getAs[Long]("n") == 1L))
+    assert(c0.forall(_.getAs[Double]("mean") == 100.0))
+  }
+
   test("PQ shortlist recall: a 10x shortlist recovers most of the exact top-10") {
     val q = embs.filter(col("vec_id") < 3)
     val short = Pq.pqRerankTopK(q, embs, "vec_id", "embedding",
