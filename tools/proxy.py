@@ -23,7 +23,10 @@ HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
               "q_asof_join", "q_range_join", "q_line_dedup",
               "q_gopher_filter", "q_dedup_semantic",
               "q_bloom_join", "q_salted_join", "q_postings",
-              "q_token_budget", "q_ccnet_buckets", "q_dedup_minhash_e2e"]
+              "q_token_budget", "q_ccnet_buckets", "q_dedup_minhash_e2e",
+              "q_substr_dedup", "q_substr_scrub", "q_dsir_weights",
+              "q_c4_filter", "q_curation_e2e", "q_ann_pq",
+              "q_ann_ivfpq", "q_kmeans_iter", "q_tokenize"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
