@@ -129,7 +129,17 @@ object Plans {
       "broadcast (16 vectors by construction — NOT corpus-sized); encoding " +
       "is a pure scan-stage projection; ADC scoring broadcasts only the " +
       "small-by-contract query table and ranks on integer micro-distances " +
-      "with a per-query window.", false))
+      "with a per-query window.", false),
+    ("q_substr_scrub", "Span removal at the 100 TB shape (auto-broadcast " +
+      "disabled): rides the repeatedSpans pipeline, picks the corpus-global " +
+      "first occurrence in a window over the SPAN list (bounded by the " +
+      "duplicate count, not the corpus), folds removal ranges back via one " +
+      "id-keyed join, and cuts tokens in a scan-stage higher-order filter.", true),
+    ("q_kmeans_iter", "One Lloyd iteration: bounded 1-row centroid " +
+      "broadcast, integer-micro argmin assignment in the scan stage, and " +
+      "the ONLY shuffle is the (cluster, dim) partial aggregate — k x dim " +
+      "output rows with map-side combine; decimal sums keep the means " +
+      "partition-order-independent.", false))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -93,9 +93,17 @@ object Scaling {
         embs, "vec_id", "embedding", "label", 0.3))
       time(s"substr_spans_${n}x", graft.dedup.Dedup.repeatedSpans(
         docs, "doc_id", "text", k = 10, minCount = 2))
+      time(s"substr_scrub_${n}x", graft.dedup.Dedup.scrubRepeatedSpans(
+        docs, "doc_id", "text", k = 10, minCount = 2))
       timeBounded(s"dsir_${n}x", graft.text.Curation.dsirWeights(
         docs, "doc_id", "text",
         isTarget = pmod(col("doc_id"), lit(10)) === 0))
+      timeBounded(s"curation_e2e_${n}x", graft.text.Curation.curationPipeline(
+        docs.select(col("doc_id"),
+          regexp_replace(col("text"), "((\\w+ ){7})", "$1\n").as("text")),
+        "doc_id", "text"))
+      timeBounded(s"kmeans_iter_${n}x", graft.sim.Kmeans.lloydIteration(
+        embs, "vec_id", "embedding", k = 8, dim = 64))
       timeBounded(s"domain_mix_${n}x", graft.text.Curation.domainMix(
         docs.withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(5)))),
         "grp", "doc_id", "text"))
