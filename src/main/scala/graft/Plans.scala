@@ -136,10 +136,12 @@ object Plans {
       "duplicate count, not the corpus), folds removal ranges back via one " +
       "id-keyed join, and cuts tokens in a scan-stage higher-order filter.", true),
     ("q_kmeans_iter", "One Lloyd iteration: bounded 1-row centroid " +
-      "broadcast, integer-micro argmin assignment in the scan stage, and " +
-      "the ONLY shuffle is the (cluster, dim) partial aggregate — k x dim " +
-      "output rows with map-side combine; decimal sums keep the means " +
-      "partition-order-independent.", false))
+      "broadcast (k-row TakeOrdered seed gather), integer-micro argmin " +
+      "assignment in the scan stage, and the only DATA-SIZED shuffle is " +
+      "the (cluster, dim) partial aggregate — k x dim output rows with " +
+      "map-side combine (the round-robin repartition before assignment " +
+      "spreads the local single parquet split; real scans have real " +
+      "splits); decimal sums keep the means partition-order-independent.", false))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,7 +163,19 @@ object Plans {
     val dflt = spark.conf.get(key)
     notes.foreach { case (name, note, atScale) =>
       spark.conf.set(key, if (atScale) "-1" else dflt)
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // q_bloom_join: render with a small bitmap (the registered 2^22
+      // bits would print a ~1 MB hex literal twice — the plan SHAPE is
+      // identical at any size, and the shape is what this doc pins)
+      val df =
+        if (name == "q_bloom_join") {
+          import org.apache.spark.sql.functions._
+          val dim = graft.sources.Tables(spark, sfDir, "part")
+            .filter(col("p_brand") === "Brand#4")
+          graft.ops.RuntimeFilter.bloomJoin(
+              graft.sources.Tables(spark, sfDir, "lineitem"), "l_partkey",
+              dim, "p_partkey", numBits = 1 << 10)
+            .groupBy("p_size").agg(count(lit(1)).as("n_lines"))
+        } else SparkEntry.queries(name)(spark, sfDir)
       println(s"\n## $name\n")
       println(note)
       println()

@@ -93,8 +93,13 @@ object Scaling {
         embs, "vec_id", "embedding", "label", 0.3))
       time(s"substr_spans_${n}x", graft.dedup.Dedup.repeatedSpans(
         docs, "doc_id", "text", k = 10, minCount = 2))
+      // force the token-cut projection into the timed action: a bare
+      // count() would let Catalyst prune the scrubbed column (and with
+      // it the whole spans lineage) out of the job
       time(s"substr_scrub_${n}x", graft.dedup.Dedup.scrubRepeatedSpans(
-        docs, "doc_id", "text", k = 10, minCount = 2))
+          docs, "doc_id", "text", k = 10, minCount = 2)
+        .filter(col("n_removed") >= 0 &&
+          length(coalesce(col("scrubbed"), lit(""))) >= 0))
       timeBounded(s"dsir_${n}x", graft.text.Curation.dsirWeights(
         docs, "doc_id", "text",
         isTarget = pmod(col("doc_id"), lit(10)) === 0))

@@ -367,13 +367,24 @@ object Dedup {
           col("span_tokens").cast("int")), " ")).as("span_md5"))
   }
 
-  /** The removal step of exact substring dedup (Lee et al. 2022 §4:
-    * "we remove all but one occurrence"): every repeated span found by
-    * [[repeatedSpans]] is cut from the corpus EXCEPT its corpus-global
-    * first occurrence — canonical = lowest (doc, position) per span
-    * CONTENT hash, so one copy of every duplicated passage survives
-    * somewhere. Token ranges are cut per doc and the text reassembled
-    * in order. Returns (idCol, n_tokens, n_removed, scrubbed).
+  /** The removal step of exact substring dedup (in the spirit of Lee
+    * et al. 2022 §4's "remove all but one occurrence"): every repeated
+    * span found by [[repeatedSpans]] is cut from the corpus EXCEPT its
+    * corpus-global first occurrence — canonical = lowest (doc,
+    * position) per span CONTENT hash. Token ranges are cut per doc and
+    * the text reassembled in order. Returns (idCol, n_tokens,
+    * n_removed, scrubbed).
+    *
+    * Semantics note (a deliberate difference from the suffix-array
+    * algorithm): deduplication is keyed on the MAXIMAL span's content.
+    * When the same passage occurs with different maximal extents
+    * (e.g. doc A repeats passage P with extra repeated context around
+    * it while doc B has only P), the spans hash differently and each
+    * extent keeps its own first occurrence — overlapping-extent
+    * duplicates are retained, where the paper's substring granularity
+    * would cut them. Span-content keying is what makes the removal set
+    * well-defined without iteration (cutting one occurrence never
+    * changes another span's hash) and exactly SQL-checkable.
     *
     * Scale shape: rides [[repeatedSpans]] (gram-count shuffle + per-doc
     * islands); the first-occurrence choice is a window over the SPAN

@@ -19,40 +19,42 @@ import org.apache.spark.sql.functions._
   *    (partition-order-independent) divided as a double through the
   *    repo's one rounding formula.
   *
-  * Scale shape: the only shuffle is the (cluster, dim) partial
-  * aggregate — k×dim output rows; iterating = re-broadcasting the
-  * k×dim result as the next init. At 100 TB this is exactly
-  * map-side-combined mean aggregation, the canonical distributed
-  * k-means. Returns (cluster, dim [1-based], n, mean). */
+  * Scale shape: the only DATA-SIZED shuffle is the (cluster, dim)
+  * partial aggregate — k×dim output rows with map-side combine (the
+  * round-robin `repartition` before assignment spreads the local
+  * single parquet split and disappears at scale where the scan has
+  * real splits; the seed selection is a bounded k-row TakeOrdered
+  * gather); iterating = re-broadcasting the k×dim result as the next
+  * init. At 100 TB this is the canonical distributed k-means.
+  *
+  * Edge contract: if two of the k lowest-id seed vectors are
+  * IDENTICAL, every vector nearest to both resolves to the lower
+  * index (integer tie-break), the higher seed's cluster ends empty
+  * and emits no rows — callers iterating should treat a missing
+  * cluster id as "merge happened", exactly as Lloyd's does.
+  * Returns (cluster, dim [1-based], n, mean). */
 object Kmeans {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** Integer-micro squared L2 over the full vector (deterministic
-    * left fold, ×1e6, half-up — see graft.functions.Det). */
-  private def microDist(a: Column, b: Column, dim: Int): Column =
-    floor(aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, j) => {
-      val d = element_at(a, j.cast("int")) - element_at(b, j.cast("int"))
-      acc + d * d
-    }) * 1000000.0 + 0.5).cast("long")
 
   def lloydIteration(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, dim: Int): DataFrame = {
     require(k >= 2, s"kmeans: need k >= 2, got $k")
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
-    val cents = corpus.orderBy(col(idCol)).limit(k)
-      .select(struct(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("v")).as("e"))
-      .groupBy()
-      .agg(array_sort(collect_list(col("e"))).as("es"))
-      .select(transform(col("es"), e => e.getField("v")).as("cb"))
+    // same deterministic seed discipline as the PQ codebook — shared
+    // code so the trainer and the quantizer can never diverge
+    val cents = Pq.codebook(corpus, idCol, vecCol, k)
+    // full-vector micro distance = the PQ sub-distance over one
+    // subspace spanning all dims
+    def microDist(a: Column, b: Column): Column =
+      Pq.subDistMicro(a, b, lit(0), dim)
     val assigned = corpus.repartition(parts)
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .crossJoin(broadcast(cents))
       .select(col(idCol), col("__v"),
         array_min(zip_with(col("cb"),
           sequence(lit(0), size(col("cb")) - 1),
-          (cvec, cid) => struct(microDist(col("__v"), cvec, dim).as("d"),
+          (cvec, cid) => struct(microDist(col("__v"), cvec).as("d"),
             cid.as("cid"))))
           .getField("cid").as("cluster"))
     assigned

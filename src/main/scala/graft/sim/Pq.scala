@@ -41,7 +41,7 @@ object Pq {
     * argmin/rank comparisons integer-exact across engines — the same
     * reason the repo's double scores round through one spelled-out
     * formula (graft.functions.Det). */
-  private def subDistMicro(a: Column, b: Column, s: Column, subDim: Int): Column =
+  private[sim] def subDistMicro(a: Column, b: Column, s: Column, subDim: Int): Column =
     floor(aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, j) => {
       val d = element_at(a, (s * subDim + j).cast("int")) -
         element_at(b, (s * subDim + j).cast("int"))
