@@ -820,6 +820,18 @@ object SparkEntry {
             .cast("double").as("revenue"))
         .orderBy("p_size")
     }),
+    // Damped PageRank over the customer–supplier purchase graph, 3
+    // exact rounds (decimal-exact contribution sums, Det-rounded
+    // scores) — the link-analysis signal of a crawl-curation pipeline.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.analytics.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
     "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
     // Same result through the custom bounded-heap TopKLargest aggregate
     // (map-side partial top-k; shuffle carries ≤ n rows per group per
@@ -1367,6 +1379,29 @@ object SparkEntry {
         |SELECT id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_bruteforce" -> annExactTopKSql,
+    "q_pagerank" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT sym.dst AS node, CAST(p.pr / p.deg AS DECIMAL(38,18)) AS c
+           |  FROM sym JOIN p${i - 1} p ON sym.src = p.node),
+           |p$i AS (SELECT c$i.node, d.deg,
+           |    CAST(floor((CAST(sum(c) AS DOUBLE) * 0.85 + (1.0 - 0.85) / n.nn)
+           |      * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS pr
+           |  FROM c$i JOIN deg d ON c$i.node = d.node, n
+           |  GROUP BY c$i.node, d.deg, n.nn)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+         |p0 AS (SELECT node, deg,
+         |    CAST(floor((1.0 / nn) * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS pr
+         |  FROM deg, n),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, deg, pr FROM p3 ORDER BY node""".stripMargin
+    },
     "q_kmeans_iter" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, e AS cv

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the link-analysis
+  * shape (host ranking, citation weight) a crawl-curation pipeline
+  * runs beside the text filters. Complements
+  * [[graft.dedup.Dedup.components]] (min-label propagation): same
+  * per-round join-shuffle pattern, but with NUMERIC state that must
+  * stay bit-identical across engines.
+  *
+  * Determinism discipline (the repo's standard): each node's incoming
+  * contributions are exact decimals (decimal(38,18) cast of a
+  * deterministic double division), summed exactly (order-independent),
+  * and the new score rounds through the one spelled-out formula
+  * (graft.functions.Det) before feeding the next round — so a DuckDB
+  * oracle replays every iteration bit-for-bit with unrolled CTEs.
+  *
+  * Scale shape per iteration: ONE hash-shuffled equi-join (edges ⋈
+  * scores on the source node — AQE picks the strategy; scores are
+  * node-sized) + one partial-aggregated sum keyed on the destination;
+  * the node count crosses as a 1-row literal broadcast. The edge list
+  * is never collected, and iterations do not grow the plan (each round
+  * re-derives from the previous round's aggregate, the
+  * components-style loop without its lineage trap since depth is a
+  * fixed small constant here).
+  */
+object Graph {
+
+  /** Damped PageRank over an UNDIRECTED graph (edges are
+    * symmetrized), `iterations` exact rounds from the uniform start.
+    * Every node appearing in any edge gets a score; rounds use
+    * PR' = (1-d)/N + d·Σ PR(u)/deg(u). Returns (node, deg, pr). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85,
+               digits: Int = 9): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"pageRank: iterations must be in [1,20], got $iterations")
+    val sym = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("src"),
+        col(srcCol).cast("string").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val nTab = broadcast(deg.agg(count(lit(1)).cast("double").as("__n")))
+    var pr = deg.crossJoin(nTab)
+      .select(col("node"), col("deg"),
+        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = sym.join(pr, sym("src") === pr("node"))
+        .select(col("dst").as("node"),
+          (col("pr") / col("deg")).cast("decimal(38,18)").as("__c"))
+      pr = contrib.groupBy("node")
+        .agg(sum(col("__c")).as("__s"))
+        .join(deg, "node")
+        .crossJoin(nTab)
+        .select(col("node"), col("deg"),
+          graft.functions.Det.round(
+            col("__s").cast("double") * damping +
+              (lit(1.0) - damping) / col("__n"), digits).as("pr"))
+    }
+    pr
+  }
+}

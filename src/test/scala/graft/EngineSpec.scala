@@ -181,6 +181,29 @@ class EngineSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.sorted == Seq("high", "low"))
   }
 
+  test("pageRank: mass conserved, hubs outrank leaves, deterministic") {
+    import graft.analytics.Graph
+    // star: hub h connected to 5 leaves, plus a detached pair a-b
+    val edges = (Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+      ("h", "l5"), ("a", "b"))).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Double]("pr"))).toMap
+    assert(pr.size === 8)
+    assert(pr("h")._1 === 5L && pr("a")._1 === 1L)
+    // the hub dominates every leaf; detached pair nodes are equal
+    assert(pr("h")._2 > pr("l1")._2 * 2)
+    assert(pr("a")._2 === pr("b")._2)
+    assert((1 to 5).map(i => pr(s"l$i")._2).distinct.size === 1)
+    // total mass ~ 1 (rounding each iteration leaks < 1e-6 here)
+    val mass = pr.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass $mass")
+    // same input twice -> bit-identical scores (the determinism pin)
+    val again = Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("pr")).toMap
+    assert(pr.view.mapValues(_._2).toMap === again)
+  }
+
   test("streaming temporal enrichment equals the batch as-of join on the visible horizon") {
     val streamed = Streams.temporalEnrich(spark, sfDir)
       .orderBy("event_id")
