@@ -832,6 +832,23 @@ object SparkEntry {
       graft.analytics.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),
+    // "Customers who bought X also bought Y": supplier-supplier Jaccard
+    // from shared customers, pairs generated per basket (never an
+    // item-item cross join); deliverable = top-5 similar items per item
+    // (scale-invariant, unlike an absolute similarity threshold — the
+    // declarative row_number form rides the TopKRewrite heap).
+    "q_cooccur" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val sim = graft.analytics.Graph.coPurchaseSimilarity(edges, "cust", "supp",
+        threshold = 0.01)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item_a").orderBy(col("jaccard").desc, col("item_b"))
+      sim.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("item_a", "rnk")
+    }),
     "q_window_topn" -> ((s, dir) => Analytics.windowTopN(s, dir)),
     // Same result through the custom bounded-heap TopKLargest aggregate
     // (map-side partial top-k; shuffle carries ≤ n rows per group per
@@ -1379,6 +1396,26 @@ object SparkEntry {
         |SELECT id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ann_bruteforce" -> annExactTopKSql,
+    "q_cooccur" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS b, l_suppkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ok AS (SELECT b FROM e GROUP BY b HAVING count(*) <= 100000),
+        |e2 AS (SELECT e.b, e.i FROM e JOIN ok USING (b)),
+        |deg AS (SELECT i AS item, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY 1),
+        |p AS (SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM e2 l JOIN e2 r ON l.b = r.b AND l.i < r.i GROUP BY 1, 2),
+        |j AS (SELECT * FROM (
+        |    SELECT item_a, item_b, shared,
+        |      CAST(floor((CAST(shared AS DOUBLE) / (da.deg + db.deg - shared))
+        |        * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
+        |    FROM p JOIN deg da ON item_a = da.item JOIN deg db ON item_b = db.item)
+        |  WHERE jaccard >= 0.01)
+        |SELECT item_a, item_b, shared, jaccard, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item_a
+        |      ORDER BY jaccard DESC, item_b) AS INTEGER) AS rnk
+        |  FROM j)
+        |WHERE rnk <= 5
+        |ORDER BY item_a, rnk""".stripMargin,
     "q_pagerank" -> {
       def iter(i: Int): String =
         s"""c$i AS (SELECT sym.dst AS node, CAST(p.pr / p.deg AS DECIMAL(38,18)) AS c

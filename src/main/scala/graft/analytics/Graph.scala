@@ -63,4 +63,39 @@ object Graph {
     }
     pr
   }
+
+  /** Item-item similarity from co-occurrence in baskets (the
+    * "customers who bought X also bought Y" / co-citation shape):
+    * Jaccard between two items' basket sets, computed WITHOUT an
+    * item-item cross join — pairs are generated per basket by a
+    * self-equi-join on the basket key, so the shuffle is keyed on
+    * baskets and the pair count is Σ_b |b|², not |items|².
+    *
+    * The quadratic-per-basket term is the real scale hazard: a single
+    * degenerate mega-basket (a crawler account, a shared login)
+    * contributes |b|² pairs. `maxBasket` drops baskets above the cap
+    * BEFORE pairing — the co-occurrence analogue of a stopword list,
+    * and the knob that bounds the worst key at 100 TB (AQE skew-join
+    * splitting handles the survivors). Returns (item_a, item_b,
+    * shared, jaccard) for pairs at or above `threshold`. */
+  def coPurchaseSimilarity(edges: DataFrame, basketCol: String,
+                           itemCol: String, threshold: Double,
+                           maxBasket: Int = 100000): DataFrame = {
+    val e = edges.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val ok = e.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket).select("b")
+    val e2 = e.join(ok, "b")
+    val deg = e2.groupBy(col("i").as("item")).agg(count(lit(1)).cast("long").as("deg"))
+    val pairs = e2.as("l").join(e2.as("r"),
+        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    pairs
+      .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")
+      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("shared"),
+        graft.functions.Det.round4(col("shared").cast("double") /
+          (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -204,6 +204,33 @@ class EngineSpec extends SparkSpec {
     assert(pr.view.mapValues(_._2).toMap === again)
   }
 
+  test("coPurchaseSimilarity: per-basket pairing, mega-basket cap, exact jaccard") {
+    import graft.analytics.Graph
+    val edges = Seq(
+      // items x,y share baskets 1,2; y,z share basket 2 only
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "z"),
+      // mega-basket touching everything — must be excluded by the cap
+      (9L, "x"), (9L, "y"), (9L, "z"), (9L, "w")
+    ).toDF("basket", "item")
+    val got = Graph.coPurchaseSimilarity(edges, "basket", "item",
+        threshold = 0.0, maxBasket = 3)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // with basket 9 dropped: deg x=2,y=2,z=2; xy shared 2 -> 2/(2+2-2)=1.0;
+    // xz shared 1 -> 1/3; yz shared 1 -> 1/3; w appears ONLY in the
+    // dropped basket -> no pairs at all
+    assert(got == Seq(
+      ("x", "y", 2L, 1.0),
+      ("x", "z", 1L, 0.3333),
+      ("y", "z", 1L, 0.3333)))
+    // without the cap the mega-basket inflates every pair
+    val uncapped = Graph.coPurchaseSimilarity(edges, "basket", "item",
+      threshold = 0.0).count()
+    assert(uncapped == 6L) // all C(4,2) pairs co-occur via basket 9
+  }
+
   test("streaming temporal enrichment equals the batch as-of join on the visible horizon") {
     val streamed = Streams.temporalEnrich(spark, sfDir)
       .orderBy("event_id")
