@@ -130,6 +130,17 @@ object Plans {
       "is a pure scan-stage projection; ADC scoring broadcasts only the " +
       "small-by-contract query table and ranks on integer micro-distances " +
       "with a per-query window.", false),
+    ("q_pagerank", "Damped PageRank, 3 unrolled rounds (auto-broadcast " +
+      "disabled): per round ONE hash-shuffled edges-scores equi-join plus a " +
+      "partial-aggregated decimal contribution sum keyed on the destination; " +
+      "the node count crosses as a 1-row literal broadcast; the edge list is " +
+      "never collected and the plan depth is the fixed iteration count.", true),
+    ("q_cooccur", "Co-occurrence similarity at the 100 TB shape " +
+      "(auto-broadcast disabled): pairs form in a self-equi-join KEYED ON THE " +
+      "BASKET (shuffle = basket key, pair volume = sum of per-basket " +
+      "squares, never an item-item cross join); the mega-basket cap filters " +
+      "before pairing; degree tables fold back via item-keyed joins and the " +
+      "top-5 window compiles through the TopKRewrite heap.", true),
     ("q_substr_scrub", "Span removal at the 100 TB shape (auto-broadcast " +
       "disabled): rides the repeatedSpans pipeline, picks the corpus-global " +
       "first occurrence in a window over the SPAN list (bounded by the " +

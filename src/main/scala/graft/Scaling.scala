@@ -109,6 +109,17 @@ object Scaling {
         "doc_id", "text"))
       timeBounded(s"kmeans_iter_${n}x", graft.sim.Kmeans.lloydIteration(
         embs, "vec_id", "embedding", k = 8, dim = 64))
+      locally {
+        val ev = Tables(spark, sfDir, "events")
+        val baskets = (0 until n).map(i => ev.select(
+          (col("user_id") + lit(i * 10000000L)).as("b"), col("event_type").as("i")))
+          .reduce(_.unionByName(_))
+        timeBounded(s"cooccur_${n}x", graft.analytics.Graph.coPurchaseSimilarity(
+          baskets, "b", "i", threshold = 0.0))
+        timeBounded(s"pagerank_${n}x", graft.analytics.Graph.pageRank(
+          baskets.select(concat(lit("u"), col("b")).as("src"), col("i").as("dst")),
+          "src", "dst", iterations = 3))
+      }
       timeBounded(s"domain_mix_${n}x", graft.text.Curation.domainMix(
         docs.withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(5)))),
         "grp", "doc_id", "text"))
