@@ -174,19 +174,12 @@ object Plans {
     val dflt = spark.conf.get(key)
     notes.foreach { case (name, note, atScale) =>
       spark.conf.set(key, if (atScale) "-1" else dflt)
-      // q_bloom_join: render with a small bitmap (the registered 2^22
-      // bits would print a ~1 MB hex literal twice — the plan SHAPE is
-      // identical at any size, and the shape is what this doc pins)
+      // q_bloom_join: render the REAL registered query, just with a
+      // small bitmap (2^22 bits would print a ~1 MB hex literal twice;
+      // the plan SHAPE is identical at any size)
       val df =
-        if (name == "q_bloom_join") {
-          import org.apache.spark.sql.functions._
-          val dim = graft.sources.Tables(spark, sfDir, "part")
-            .filter(col("p_brand") === "Brand#4")
-          graft.ops.RuntimeFilter.bloomJoin(
-              graft.sources.Tables(spark, sfDir, "lineitem"), "l_partkey",
-              dim, "p_partkey", numBits = 1 << 10)
-            .groupBy("p_size").agg(count(lit(1)).as("n_lines"))
-        } else SparkEntry.queries(name)(spark, sfDir)
+        if (name == "q_bloom_join") SparkEntry.bloomJoinQuery(spark, sfDir, 1 << 10)
+        else SparkEntry.queries(name)(spark, sfDir)
       println(s"\n## $name\n")
       println(note)
       println()

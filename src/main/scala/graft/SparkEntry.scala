@@ -810,16 +810,7 @@ object SparkEntry {
     // fact rows in the scan stage before the join exchange; the exact
     // join removes false positives, so result ≡ the plain join the
     // oracle runs.
-    "q_bloom_join" -> ((s, dir) => {
-      val dim = T(s, dir, "part").filter(col("p_brand") === "Brand#4")
-      graft.ops.RuntimeFilter.bloomJoin(T(s, dir, "lineitem"), "l_partkey",
-          dim, "p_partkey")
-        .groupBy("p_size")
-        .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice").cast(DecimalType(30, 10))), 2)
-            .cast("double").as("revenue"))
-        .orderBy("p_size")
-    }),
+    "q_bloom_join" -> ((s, dir) => bloomJoinQuery(s, dir, 1 << 22)),
     // Damped PageRank over the customer–supplier purchase graph, 3
     // exact rounds (decimal-exact contribution sums, Det-rounded
     // scores) — the link-analysis signal of a crawl-curation pipeline.
@@ -944,6 +935,22 @@ object SparkEntry {
   )
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
+
+  /** The q_bloom_join query with a caller-chosen bitmap size — one
+    * builder for both the registered query (2^22 bits) and the plan
+    * render (graft.Plans passes small bits so PLANS.md doesn't embed a
+    * megabyte hex literal; the plan SHAPE is identical). */
+  private[graft] def bloomJoinQuery(s: SparkSession, dir: String,
+                                    numBits: Int): DataFrame = {
+    val dim = T(s, dir, "part").filter(col("p_brand") === "Brand#4")
+    graft.ops.RuntimeFilter.bloomJoin(T(s, dir, "lineitem"), "l_partkey",
+        dim, "p_partkey", numBits = numBits)
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice").cast(DecimalType(30, 10))), 2)
+          .cast("double").as("revenue"))
+      .orderBy("p_size")
+  }
 
   /** Deterministic line/punctuation/marker injection shared by
     * q_c4_filter and q_curation_e2e (the corpus has no newlines or
@@ -1417,11 +1424,16 @@ object SparkEntry {
         |WHERE rnk <= 5
         |ORDER BY item_a, rnk""".stripMargin,
     "q_pagerank" -> {
+      // the teleport constant must be THE SAME DOUBLE Spark folds
+      // (1.0-0.85 in IEEE = 0.15000000000000002); DuckDB would fold
+      // (1.0 - 0.85) decimal-exact to 0.15 = a DIFFERENT double, so the
+      // round-trip string of the Scala value is cast instead
+      val teleport = (1.0 - 0.85).toString
       def iter(i: Int): String =
         s"""c$i AS (SELECT sym.dst AS node, CAST(p.pr / p.deg AS DECIMAL(38,18)) AS c
            |  FROM sym JOIN p${i - 1} p ON sym.src = p.node),
            |p$i AS (SELECT c$i.node, d.deg,
-           |    CAST(floor((CAST(sum(c) AS DOUBLE) * 0.85 + (1.0 - 0.85) / n.nn)
+           |    CAST(floor((CAST(sum(c) AS DOUBLE) * 0.85 + CAST('$teleport' AS DOUBLE) / n.nn)
            |      * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS pr
            |  FROM c$i JOIN deg d ON c$i.node = d.node, n
            |  GROUP BY c$i.node, d.deg, n.nn)""".stripMargin

@@ -58,8 +58,12 @@ object Graph {
         .crossJoin(nTab)
         .select(col("node"), col("deg"),
           graft.functions.Det.round(
+            // teleport constant folded in SCALA doubles (1.0-0.85 =
+            // 0.15000000000000002); an oracle must use the same double,
+            // not a decimal-exact 0.15 (DuckDB folds decimal literals
+            // exactly — the round-trip string pins it)
             col("__s").cast("double") * damping +
-              (lit(1.0) - damping) / col("__n"), digits).as("pr"))
+              lit(1.0 - damping) / col("__n"), digits).as("pr"))
     }
     pr
   }

@@ -6,14 +6,20 @@ the "fast single-node engine" yardstick for BENCH comparisons; note
 local-mode Spark carries ~0.3-1s fixed scheduling/codegen overhead per
 query that a real cluster amortizes.
 
-Usage: python3 tools/proxy.py [sfdir] [reps]
+Usage: python3 tools/proxy.py [sfdir] [reps] [--count-wrap]
+
+--count-wrap runs each oracle under SELECT count(*) FROM (...), which
+lets DuckDB skip the final ORDER BY materialization (the methodology
+of BASELINE_PROXY.md's round-5 table; slightly flatters DuckDB).
 """
 import json, sys, time
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+WRAP = "--count-wrap" in sys.argv
+SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+REPS = int(ARGS[1]) if len(ARGS) > 1 else 5
 
 HEADLINERS = ["q1_agg", "q3_join", "q5_multijoin", "q_window_topn",
               "q_topk_agg", "q_skew_agg", "q_dedup_exact", "q_lang_id",
@@ -46,15 +52,17 @@ def main():
     for q in HEADLINERS:
         if q not in oracle:
             continue
+        sql = f"SELECT count(*) FROM ({oracle[q]})" if WRAP else oracle[q]
         best = None
         for _ in range(REPS):
             t0 = time.perf_counter()
-            con.sql(oracle[q]).fetchall()
+            con.sql(sql).fetchall()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[q] = round(best, 3)
     print(json.dumps({"metric": "duckdb_proxy", "unit": "sec", "sf": SF,
-                      "reps": REPS, "stat": "min", "queries": out}))
+                      "reps": REPS, "stat": "min", "count_wrap": WRAP,
+                      "queries": out}))
 
 
 if __name__ == "__main__":
