@@ -17,10 +17,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt, 1)
+    // Optional comma-separated subset for targeted runs (regression
+    // attribution, scale spot checks); empty/unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -29,11 +34,15 @@ object Bench {
     // Single-rep runs keep the old untimed warmup pass (JIT + codegen +
     // parquet footers); with reps > 1 the first rep plays that role and
     // the minimum strips it.
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     if (reps == 1 && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var err: Option[String] = None
       var r = 0

@@ -20,6 +20,7 @@ object Scaling {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the 100 TB join path
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -815,11 +815,15 @@ object SparkEntry {
     // exact rounds (decimal-exact contribution sums, Det-rounded
     // scores) — the link-analysis signal of a crawl-curation pipeline.
     "q_pagerank" -> ((s, dir) => {
+      // Distinct on the INT pair before the string concat: the dedup
+      // shuffle moves 2 longs/row instead of 2 strings/row, and the
+      // downstream symmetrize-distinct inside pageRank sees only the
+      // surviving pairs.
       val edges = T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
       graft.analytics.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     }),

@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * scores on the source node — AQE picks the strategy; scores are
   * node-sized) + one partial-aggregated sum keyed on the destination;
   * the node count crosses as a 1-row literal broadcast. The edge list
-  * is never collected, and iterations do not grow the plan (each round
-  * re-derives from the previous round's aggregate, the
-  * components-style loop without its lineage trap since depth is a
-  * fixed small constant here).
+  * is never collected. The symmetrized edge list and the degree table
+  * are materialized ONCE before the loop (the components-style mat():
+  * localCheckpoint + fresh LogicalRDD, which also resets the inherited
+  * sizeInBytes estimate), and each round's score table is materialized
+  * before feeding the next round — so iteration n never re-runs the
+  * upstream edge derivation (a fact-fact join at 100 TB) and the plan
+  * stays one-round deep regardless of `iterations`.
   */
 object Graph {
 
@@ -37,22 +40,34 @@ object Graph {
                digits: Int = 9): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"pageRank: iterations must be in [1,20], got $iterations")
-    val sym = edges.select(col(srcCol).cast("string").as("src"),
+    val spark = edges.sparkSession
+    // Materialize AND reset statistics — see Dedup.components for why
+    // localCheckpoint alone is not enough (inherited sizeInBytes
+    // estimates multiply across the per-round joins).
+    def mat(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    // Edge list and degrees computed ONCE: the caller's `edges` is
+    // typically itself a fact-fact join + distinct, and every round
+    // joins against it — without materialization each round re-runs
+    // that whole derivation.
+    val sym = mat(edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .unionByName(edges.select(col(dstCol).cast("string").as("src"),
         col(srcCol).cast("string").as("dst")))
-      .distinct()
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("long").as("deg"))
+      .distinct())
+    val deg = mat(sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg")))
     val nTab = broadcast(deg.agg(count(lit(1)).cast("double").as("__n")))
-    var pr = deg.crossJoin(nTab)
+    var pr = mat(deg.crossJoin(nTab)
       .select(col("node"), col("deg"),
-        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr"))
+        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr")))
     for (_ <- 1 to iterations) {
       val contrib = sym.join(pr, sym("src") === pr("node"))
         .select(col("dst").as("node"),
           (col("pr") / col("deg")).cast("decimal(38,18)").as("__c"))
-      pr = contrib.groupBy("node")
+      pr = mat(contrib.groupBy("node")
         .agg(sum(col("__c")).as("__s"))
         .join(deg, "node")
         .crossJoin(nTab)
@@ -63,7 +78,7 @@ object Graph {
             // not a decimal-exact 0.15 (DuckDB folds decimal literals
             // exactly — the round-trip string pins it)
             col("__s").cast("double") * damping +
-              lit(1.0 - damping) / col("__n"), digits).as("pr"))
+              lit(1.0 - damping) / col("__n"), digits).as("pr")))
     }
     pr
   }
