@@ -100,6 +100,17 @@ object SparkEntry {
     null, "John Doe", " Jane Roe / John Doe ", "A/B/C", "",
     "O'Brien, Patrick", "SMITH JR./ DOE SR.")
 
+  // std_with_counts injury test vectors (_converters.py:975 region,
+  // preproc.py check_for_multiple): count-multiplied items, bare
+  // multi-item cells, whole-cell standardization beating the token
+  // parse (contains-keyword rules), reference quirks (digit-only →
+  // nothing, trailing count ignored, absurd count → keep whole).
+  private val injuryCountRaws: Seq[String] = Seq(
+    "2 Injured 1 Deceased", "Deceased Injured", "No Injury",
+    "Complaint Of Pain", "2 Gibberish Xyz", null, "6", "2 Injured 1",
+    "99999999999 Injured", "", "3 Laceration", "3 - Laceration",
+    "1 Killed 2 Injured", "Fatal", "Unknown")
+
   private val countRaws: Seq[String] = Seq(
     "2 - Black 1 - White", "1 - Asian", "3 - Am. Ind.", "White", null, "",
     "1 - White 1 - Black 1 - Hispanic", "2-White", "10 - Pacific Islander",
@@ -240,6 +251,15 @@ object SparkEntry {
           "item_num", itemNum = 0)
         .select(col("id"), col("item_num"), col("value"),
           Luts.raceStd(col("value")).as("race_std"))
+        .orderBy("id", "item_num")),
+    // std_with_counts, injury MultType (_converters.py:975): converter-
+    // GUIDED greedy parse — not SQL-expressible, so the oracle is the
+    // hand-derived expected table for the fixture (a VALUES literal,
+    // like the other converter fixtures).
+    "q_expand_injury" -> ((s, dir) =>
+      Expand.expandInjuryCounts(rawsDf(s, injuryCountRaws), "raw", "value",
+          "item_num")
+        .select(col("id"), col("item_num"), col("value"))
         .orderBy("id", "item_num")),
     // standardize_name (preproc.py:1424): null → UNSPECIFIED, '/'-held
     // multi-name cells split into trimmed parts (pipe-joined here so
@@ -399,6 +419,15 @@ object SparkEntry {
     // per cluster. Every doc appears once with its cluster label and
     // survivor flag; the oracle replays the whole chain (all-pairs
     // Jaccard + recursive-CTE closure) in SQL.
+    // RECALL ASSUMPTION: candidates come from banded MinHash (128
+    // perms, 32 bands × r=4), so a J>=0.8 pair is missed with
+    // P=(1-J^4)^32 ≈ 5e-8 — while the all-pairs oracle never misses.
+    // On THIS corpus no qualifying pair lands in the miss set (the
+    // hash seeds are fixed, so the check is deterministic), but on a
+    // different corpus/scale the suite could in principle diverge
+    // without either engine being wrong. Kept banded deliberately:
+    // the e2e query exists to pin the PRODUCTION pipeline, and
+    // all-pairs candidate generation would not survive 100 TB.
     "q_dedup_minhash_e2e" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val cand = Dedup.minhashPairs(docs, "doc_id", "text",
@@ -1154,6 +1183,32 @@ object SparkEntry {
          |SELECT id, item_num, raw AS value, ${Luts.raceStdSql} AS race_std
          |FROM x ORDER BY id, item_num""".stripMargin
     },
+    // The greedy converter-guided parse is not SQL-expressible; the
+    // oracle is the expected table for injuryCountRaws, hand-derived
+    // from the reference semantics (_converters.py:975): counts
+    // multiply the following item, whole-cell standardization wins
+    // (ids 3,4,10-12,14,15 — note 11 via the LACERATION contains-rule
+    // BEFORE any token parse), digit-only expands to nothing (id 7),
+    // trailing count ignored (id 8), unparseable/absurd kept whole
+    // (ids 5,9), null passes through (id 6).
+    "q_expand_injury" ->
+      """SELECT id, item_num, value FROM (VALUES
+        |  (1, 0, 'INJURED'), (1, 1, 'INJURED'), (1, 2, 'FATAL'),
+        |  (2, 0, 'FATAL'), (2, 1, 'INJURED'),
+        |  (3, 0, 'NO INJURY'),
+        |  (4, 0, 'INJURED'),
+        |  (5, 0, '2 Gibberish Xyz'),
+        |  (6, 0, NULL),
+        |  (7, NULL, NULL),
+        |  (8, 0, 'INJURED'), (8, 1, 'INJURED'),
+        |  (9, 0, '99999999999 Injured'),
+        |  (10, 0, 'UNSPECIFIED'),
+        |  (11, 0, 'INJURED'),
+        |  (12, 0, 'INJURED'),
+        |  (13, 0, 'FATAL'), (13, 1, 'INJURED'), (13, 2, 'INJURED'),
+        |  (14, 0, 'FATAL'),
+        |  (15, 0, 'UNKNOWN')
+        |) AS t(id, item_num, value) ORDER BY id, item_num""".stripMargin,
     "q_std_name" ->
       s"""SELECT id, raw,
          |  CASE WHEN raw IS NULL THEN 'UNSPECIFIED'

@@ -87,12 +87,14 @@ object Expand {
     * INJURED). Cells that standardize whole stay scalar; cells with
     * unparseable leftovers fall back whole (no_id="keep").
     *
-    * Architecture follows the reference exactly: the parse map is built
-    * over the column's DISTINCT values — a vocabulary column, bounded
-    * like the LUT itself, so the distinct collect is driver-safe by the
-    * same contract that makes the reference's map-over-uniques safe.
-    * The map folds back through an equi-join (no broadcast hint; AQE
-    * decides). Returns one row per person with the STANDARDIZED value.
+    * Architecture follows the reference's map-over-uniques shape, but
+    * DISTRIBUTED: the distinct values stay a Dataset and the greedy
+    * parse runs as a typed map on the executors (the parser is plain
+    * Scala), so nothing is ever collected to the driver — a free-text
+    * column with unbounded distincts costs one extra shuffle, not
+    * driver memory. The parse map folds back through an equi-join (no
+    * broadcast hint; AQE decides). Returns one row per person with the
+    * STANDARDIZED value.
     *
     * Faithful reference quirks, kept deliberately: a trailing count
     * with no following item is silently ignored, and a digit-only cell
@@ -107,39 +109,41 @@ object Expand {
     import spark.implicits._
     require(!df.columns.contains("__items"),
       "expandInjuryCounts: column __items collides with the operator's working column")
-    val vals = df.select(col(column)).distinct().as[Option[String]]
-      .collect().flatten
-    val parsed: Seq[(String, Seq[String])] = vals.map { x =>
-      graft.ops.Luts.injuryStdStrict(x) match {
-        case Some(std) => x -> Seq(std) // whole cell standardizes: scalar
-        case None =>
-          var count = 1
-          var cur = ""
-          val out = Seq.newBuilder[String]
-          var failed = false
-          x.split(java.util.regex.Pattern.quote(delim)).foreach { tok =>
-            if (tok.nonEmpty && tok.forall(_.isDigit)) {
-              if (tok.length > 6) failed = true // overflow/absurd count
-              else count = tok.toInt
-            } else {
-              cur = if (cur.isEmpty) tok.trim else cur + " " + tok.trim
-              graft.ops.Luts.injuryStdStrict(cur).foreach { std =>
-                (0 until count).foreach(_ => out += std)
-                count = 1
-                cur = ""
-              }
-            }
-          }
-          if (cur.nonEmpty) failed = true // unparseable leftover
-          if (failed) x -> Seq(x) else x -> out.result()
-      }
-    }.toSeq
-    val mapDf = parsed.toDF(column, "__items")
+    val d = delim // local copy: the closure must not capture the DataFrame
+    val mapDf = df.select(col(column)).na.drop().distinct().as[String]
+      .map(x => (x, parseInjuryCell(x, d))).toDF(column, "__items")
     df.join(mapDf, Seq(column), "left")
       .select(df.columns.filter(_ != column).map(col) :+
         posexplode_outer(coalesce(col("__items"), array(col(column))))
           .as(Seq(posCol, as)): _*)
   }
+
+  /** The converter-guided greedy parse for one (non-null) injury cell —
+    * plain Scala, run distributed inside [[expandInjuryCounts]]. */
+  def parseInjuryCell(x: String, delim: String = " "): Seq[String] =
+    graft.ops.Luts.injuryStdStrict(x) match {
+      case Some(std) => Seq(std) // whole cell standardizes: scalar
+      case None =>
+        var count = 1
+        var cur = ""
+        val out = Seq.newBuilder[String]
+        var failed = false
+        x.split(java.util.regex.Pattern.quote(delim)).foreach { tok =>
+          if (tok.nonEmpty && tok.forall(_.isDigit)) {
+            if (tok.length > 6) failed = true // overflow/absurd count
+            else count = tok.toInt
+          } else {
+            cur = if (cur.isEmpty) tok.trim else cur + " " + tok.trim
+            graft.ops.Luts.injuryStdStrict(cur).foreach { std =>
+              (0 until count).foreach(_ => out += std)
+              count = 1
+              cur = ""
+            }
+          }
+        }
+        if (cur.nonEmpty) failed = true // unparseable leftover
+        if (failed) Seq(x) else out.result()
+    }
 
   /** `std_counts` expansion (_converters.py:975): cells annotated with
     * per-category counts ("2 - Black 1 - White") explode to one row per

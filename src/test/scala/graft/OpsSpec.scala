@@ -274,6 +274,30 @@ class OpsSpec extends SparkSpec {
     assert(quirks(3) === Seq("99999999999 Injured"))
   }
 
+  test("expandInjuryCounts: parse map builds distributed, no driver jobs") {
+    // the r4 verdict's scale fix: the greedy parse must run as a
+    // Dataset map over the distinct values, not a distinct().collect()
+    // on the driver — constructing the operator must launch ZERO jobs
+    // (the old implementation ran the distinct eagerly at build time).
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Seq((1, "2 Injured 1 Deceased"), (2, "Fatal")).toDF("id", "cell")
+      val expanded = Expand.expandInjuryCounts(df, "cell", "v", "item_num")
+      Thread.sleep(300) // listener events post async; a collect-at-build
+                        // would surface its JobStart well within this
+      assert(jobs === 0, "operator construction must not run driver jobs")
+      assert(expanded.orderBy("id", "item_num").as[(Int, Option[Int], Option[String])]
+        .collect().map(_._3.orNull).toSeq ===
+        Seq("INJURED", "INJURED", "FATAL", "FATAL"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("nameParts: null → UNSPECIFIED, '/' cells split into trimmed parts") {
     val df = Seq((1, null: String), (2, "John Doe"), (3, " Jane Roe / John Doe "),
       (4, "A/B/C")).toDF("id", "raw")
