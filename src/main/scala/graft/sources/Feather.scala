@@ -48,44 +48,61 @@ object Feather {
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
-  /** Write a DataFrame to one feather (Arrow IPC) file. */
-  def write(df: DataFrame, path: String): String = {
+  /** Write a DataFrame to one feather (Arrow IPC) file.
+    *
+    * Streams through `toLocalIterator` — one Spark partition in driver
+    * memory at a time — emitting an Arrow record batch every
+    * `batchRows` rows, so driver memory is bounded by one batch + one
+    * partition regardless of table size (the r4 verdict's export fix;
+    * the old path collect()ed the whole table). */
+  def write(df: DataFrame, path: String, batchRows: Int = 1 << 16): String = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
     val schema = df.schema
-    val rows = df.collect()
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(
       new ArrowSchema(java.util.Arrays.asList(schema.fields.map(arrowField): _*)), allocator)
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     val writer = new ArrowFileWriter(root, null, ch)
+    def setCell(r: Row, i: Int, c: Int, f: StructField): Unit = {
+      val v = root.getVector(c)
+      if (r.isNullAt(c)) v.asInstanceOf[FieldVector] match {
+        case fv: BaseFixedWidthVector    => fv.setNull(i)
+        case fv: BaseVariableWidthVector => fv.setNull(i)
+        case fv => throw new IllegalStateException(s"unexpected vector ${fv.getClass}")
+      }
+      else f.dataType match {
+        case IntegerType   => v.asInstanceOf[IntVector].setSafe(i, r.getInt(c))
+        case LongType      => v.asInstanceOf[BigIntVector].setSafe(i, r.getLong(c))
+        case FloatType     => v.asInstanceOf[Float4Vector].setSafe(i, r.getFloat(c))
+        case DoubleType    => v.asInstanceOf[Float8Vector].setSafe(i, r.getDouble(c))
+        case StringType    => v.asInstanceOf[VarCharVector].setSafe(i, r.getString(c).getBytes("UTF-8"))
+        case BooleanType   => v.asInstanceOf[BitVector].setSafe(i, if (r.getBoolean(c)) 1 else 0)
+        case DateType      => v.asInstanceOf[DateDayVector].setSafe(i,
+          r.getDate(c).toLocalDate.toEpochDay.toInt)
+        case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
+          micros(r.getTimestamp(c)))
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+    }
     try {
+      writer.start()
+      val it = df.toLocalIterator()
+      var i = 0
+      var batches = 0
       root.allocateNew()
-      rows.zipWithIndex.foreach { case (r, i) =>
-        schema.fields.zipWithIndex.foreach { case (f, c) =>
-          val v = root.getVector(c)
-          if (r.isNullAt(c)) v.asInstanceOf[FieldVector] match {
-            case fv: BaseFixedWidthVector    => fv.setNull(i)
-            case fv: BaseVariableWidthVector => fv.setNull(i)
-            case fv => throw new IllegalStateException(s"unexpected vector ${fv.getClass}")
-          }
-          else f.dataType match {
-            case IntegerType   => v.asInstanceOf[IntVector].setSafe(i, r.getInt(c))
-            case LongType      => v.asInstanceOf[BigIntVector].setSafe(i, r.getLong(c))
-            case FloatType     => v.asInstanceOf[Float4Vector].setSafe(i, r.getFloat(c))
-            case DoubleType    => v.asInstanceOf[Float8Vector].setSafe(i, r.getDouble(c))
-            case StringType    => v.asInstanceOf[VarCharVector].setSafe(i, r.getString(c).getBytes("UTF-8"))
-            case BooleanType   => v.asInstanceOf[BitVector].setSafe(i, if (r.getBoolean(c)) 1 else 0)
-            case DateType      => v.asInstanceOf[DateDayVector].setSafe(i,
-              r.getDate(c).toLocalDate.toEpochDay.toInt)
-            case TimestampType => v.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
-              micros(r.getTimestamp(c)))
-            case other => throw new IllegalArgumentException(s"unsupported $other")
-          }
+      while (it.hasNext) {
+        val r = it.next()
+        schema.fields.zipWithIndex.foreach { case (f, c) => setCell(r, i, c, f) }
+        i += 1
+        if (i == batchRows) {
+          root.setRowCount(i); writer.writeBatch(); batches += 1
+          root.allocateNew(); i = 0
         }
       }
-      root.setRowCount(rows.length)
-      writer.start()
-      writer.writeBatch()
+      // final partial batch; an empty table still gets one empty batch
+      // (same file shape the single-batch writer produced)
+      if (i > 0 || batches == 0) { root.setRowCount(i); writer.writeBatch() }
       writer.end()
       path
     } finally {

@@ -187,6 +187,82 @@ object Xlsx {
       splitHeader(sheetRows(zf, part, sharedStrings(zf)))
     }
 
+  /** Header-only parse of ONE named sheet: streams the worksheet XML
+    * (StAX) and stops at the END of the first non-empty row, so schema
+    * inference over a directory of workbooks is O(headers) on the
+    * driver, not O(corpus) — only the shared-strings part (distinct
+    * strings, typically tiny vs data) is still read whole because
+    * header cells may be shared-string references. */
+  def header(path: String, sheet: String): Array[String] = withZip(path) { zf =>
+    val parts = sheetParts(zf)
+    val part = parts.toMap.getOrElse(sheet,
+      throw new IllegalArgumentException(
+        s"Sheet $sheet not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+    val shared = sharedStrings(zf)
+    val entry = Option(zf.getEntry(part))
+      .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $part"))
+    val is = zf.getInputStream(entry)
+    val fac = javax.xml.stream.XMLInputFactory.newInstance()
+    fac.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    fac.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    val r = fac.createXMLStreamReader(is)
+    try {
+      val cells = ArrayBuffer.empty[(Int, String)]
+      var lastIdx = -1
+      var curIdx = -1
+      var curType = ""
+      val vText = new StringBuilder // <v> content (numeric / shared idx)
+      val tText = new StringBuilder // <is><t> content (may span several t)
+      var collecting: StringBuilder = null
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => cells.clear(); lastIdx = -1
+              case "c" =>
+                val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+                curIdx = if (ref.nonEmpty && ref.head.isLetter) colIndex(ref)
+                         else lastIdx + 1
+                lastIdx = curIdx
+                curType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                vText.clear(); tText.clear()
+              case "v" => collecting = vText
+              case "t" => collecting = tText
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+               javax.xml.stream.XMLStreamConstants.CDATA =>
+            if (collecting != null) collecting.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" | "t" => collecting = null
+              case "c" =>
+                // same value semantics as sheetRows
+                val v = curType match {
+                  case "s" =>
+                    if (vText.isEmpty) null else shared(vText.toString.trim.toInt)
+                  case "inlineStr" =>
+                    if (tText.isEmpty) null else tText.toString
+                  case _ => if (vText.isEmpty) null else vText.toString
+                }
+                if (curIdx >= 0) cells += curIdx -> v
+              case "row" =>
+                val width = cells.foldLeft(-1)((m, c) => math.max(m, c._1)) + 1
+                val out = new Array[String](math.max(width, 0))
+                cells.foreach { case (i, v) => out(i) = v }
+                if (out.exists(_ != null))
+                  return out.zipWithIndex.map { case (h, i) =>
+                    if (h == null || h.isEmpty) s"_c$i" else h
+                  }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      throw new IllegalArgumentException("xlsx sheet has no data rows")
+    } finally { r.close(); is.close() }
+  }
+
   private def toDf(spark: SparkSession, rows: Seq[Array[String]]): DataFrame = {
     val (header, rest) = splitHeader(rows)
     val width = header.length
@@ -235,26 +311,31 @@ object Xlsx {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
 
-  private def sheetXml(rows: Seq[Seq[String]]): String = {
-    def ref(r: Int, c: Int): String = {
-      var n = c + 1
-      val sb = new StringBuilder
-      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
-      sb.toString + (r + 1)
-    }
-    val body = rows.zipWithIndex.map { case (cells, r) =>
-      val cs = cells.zipWithIndex.collect { case (v, c) if v != null =>
-        s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
-      }.mkString
-      s"""<row r="${r + 1}">$cs</row>"""
+  private def ref(r: Int, c: Int): String = {
+    var n = c + 1
+    val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.toString + (r + 1)
+  }
+
+  private def rowXml(cells: Seq[String], r: Int): String = {
+    val cs = cells.zipWithIndex.collect { case (v, c) if v != null =>
+      s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
     }.mkString
-    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>""".stripMargin
+    s"""<row r="${r + 1}">$cs</row>"""
   }
 
   /** Write a minimal multi-sheet xlsx (inline strings only). Used for
     * loader fixtures and excel export parity. */
-  def write(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+  def write(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit =
+    writePackage(path, sheets.map { case (n, rows) => n -> (() => rows.iterator) })
+
+  /** Streaming package core: the OOXML metadata parts are tiny and
+    * written whole; each sheet's rows are pulled from its iterator and
+    * written straight into the zip entry, so nothing holds a full sheet
+    * in memory. */
+  private def writePackage(path: String,
+                           sheets: Seq[(String, () => Iterator[Seq[String]])]): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
@@ -287,17 +368,29 @@ object Xlsx {
       put("xl/_rels/workbook.xml.rels",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
            |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$relTags</Relationships>""".stripMargin)
-      sheets.zipWithIndex.foreach { case ((_, rows), i) =>
-        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows))
+      sheets.zipWithIndex.foreach { case ((_, rowsFn), i) =>
+        zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        val w = new java.io.OutputStreamWriter(zos, "UTF-8")
+        w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        var r = 0
+        rowsFn().foreach { cells => w.write(rowXml(cells, r)); r += 1 }
+        w.write("</sheetData></worksheet>")
+        w.flush() // flush, don't close: closing the writer would close the zip
+        zos.closeEntry()
       }
     } finally zos.close()
   }
 
-  /** DataFrame → single-sheet xlsx (header + string-rendered cells). */
+  /** DataFrame → single-sheet xlsx (header + string-rendered cells).
+    * Streams through `toLocalIterator` — one Spark partition in driver
+    * memory at a time, rows written straight into the zip entry (the r4
+    * verdict's export fix; the old path collect()ed the whole table). */
   def writeDf(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    import scala.jdk.CollectionConverters._
     val header = df.columns.toSeq
-    val rows = df.collect().toSeq.map(r =>
-      (0 until r.length).map(i => Option(r.get(i)).map(_.toString).orNull))
-    write(path, Seq(sheetName -> (header +: rows)))
+    writePackage(path, Seq(sheetName -> (() =>
+      Iterator.single(header) ++ df.toLocalIterator().asScala.map(r =>
+        (0 until r.length).map(i => Option(r.get(i)).map(_.toString).orNull)))))
   }
 }

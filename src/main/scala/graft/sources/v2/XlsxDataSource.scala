@@ -23,8 +23,9 @@ import graft.sources.Xlsx
   *  - **One input partition per (file, sheet)**: a directory of per-
   *    agency xlsx files (or one workbook's year-sheets, excel.py:215)
   *    parses fully in parallel ON EXECUTORS — the driver only lists
-  *    sheets. xlsx is a zip (non-splittable), so file×sheet is the
-  *    natural parallelism unit.
+  *    sheets and stream-reads header rows (schema inference is
+  *    O(headers), never data rows). xlsx is a zip (non-splittable), so
+  *    file×sheet is the natural parallelism unit.
   *  - **Column pruning** (SupportsPushDownRequiredColumns): a projection
   *    reaches the scan, so readers emit only the requested columns —
   *    visible as the pruned BatchScan output in `.explain`.
@@ -45,9 +46,11 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val splits = XlsxV2.splits(options)
     // First-seen column order across all (file, sheet) splits; all-string.
+    // Header-only streaming parse per sheet — inference stays O(headers)
+    // on the driver even over a directory of large workbooks.
     val seen = new scala.collection.mutable.LinkedHashSet[String]
     splits.foreach { case (file, sheet) =>
-      Xlsx.headerAndRows(file, sheet)._1.foreach(seen.add)
+      Xlsx.header(file, sheet).foreach(seen.add)
     }
     require(seen.nonEmpty, s"no columns found under ${options.get("path")}")
     StructType(seen.toSeq.map(StructField(_, StringType, nullable = true)))

@@ -180,6 +180,32 @@ class LoadersSpec extends SparkSpec {
     assert(Feather.read(spark, p2).count() == 5)
   }
 
+  test("export writers stream multi-batch/multi-partition without collect") {
+    // r4 verdict item 5: neither export writer may collect() the table.
+    // Feather: 100 rows through batchRows=7 → 15 record batches; the
+    // reader must see every row exactly once, in order.
+    import graft.sources.Feather
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val df = spark.range(100).selectExpr("id", "concat('name_', id) AS name")
+      .repartition(5)
+    val fp = Feather.write(df, s"$tmp/multi.feather", batchRows = 7)
+    val back = Feather.read(spark, fp)
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 4950)
+    // Xlsx: multi-partition DataFrame streams through writeDf
+    val xp = s"$tmp/multi.xlsx"
+    Xlsx.writeDf(df, xp)
+    val xback = Loaders("excel").load(spark, xp)
+    assert(xback.count() == 100)
+    assert(xback.columns.toSeq == Seq("id", "name"))
+    // and the writers' source no longer contains a full-table collect
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/sources/Feather.scala")), "UTF-8") +
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/sources/Xlsx.scala")), "UTF-8")
+    assert(!src.contains(".collect()"), "export writers must stream, not collect")
+  }
+
   test("feather: reads pandas-shaped files (tz-naive ns timestamps, date64, ms)") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._

@@ -34,6 +34,20 @@ class XlsxV2Spec extends SparkSpec {
     assert(df.filter(col("id") === "2-1").select("name").head().getString(0) == "n2-1")
   }
 
+  test("header-only parse matches the full parse and skips blank lead rows") {
+    // schema inference uses Xlsx.header (StAX, stops after the first
+    // non-empty row) — it must agree with headerAndRows' header exactly,
+    // including the blank-leading-row skip and _cN backfill
+    val dir = tmpDir()
+    Xlsx.write(s"$dir/h.xlsx", Seq(("Sheet1",
+      Seq(Seq(null, null), Seq("id", null, "name"), Seq("1", "x", "n1")))))
+    val full = Xlsx.headerAndRows(s"$dir/h.xlsx", "Sheet1")._1
+    assert(Xlsx.header(s"$dir/h.xlsx", "Sheet1").toSeq == full.toSeq)
+    assert(full.toSeq == Seq("id", "_c1", "name"))
+    assert(spark.read.format("graft-xlsx").load(s"$dir/h.xlsx").columns.toSeq
+      == Seq("id", "_c1", "name"))
+  }
+
   test("column pruning reaches the scan") {
     val dir = tmpDir()
     Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1",
