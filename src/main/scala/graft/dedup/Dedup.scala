@@ -54,9 +54,9 @@ object Dedup {
     * a partial-min aggregation; lineage is truncated per round with
     * localCheckpoint so the plan stays linear in rounds. Converges in
     * O(component diameter) rounds — near-dup clusters are shallow.
-    * At extreme scale the same join primitive supports the
-    * alternating large-star/small-star variant (Kiveris et al. 2014),
-    * which bounds rounds by O(log n) on high-diameter graphs.
+    * For high-diameter (chain-shaped) graphs use [[componentsStars]],
+    * the alternating large-star/small-star variant (Kiveris et al.
+    * 2014) with O(log n) rounds regardless of diameter.
     *
     * Returns (id, component) where component = min id reachable. */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
@@ -110,6 +110,84 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"components: no fixpoint after $maxIter rounds — raise maxIter")
     labels
+  }
+
+  /** Connected components via the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond", §3) — the same contract as [[components]]: candidate
+    * pairs in, (id, component = min reachable id) out.
+    *
+    * Preferable on HIGH-DIAMETER graphs: each alternation roughly
+    * halves path depth geometrically, so rounds are O(log n) regardless
+    * of diameter, where plain min-label propagation tracks the diameter
+    * (pointer jumping helps [[components]] but still walks label chains,
+    * not the edge structure). Near-dup clusters are shallow, so
+    * [[components]] stays the default; this is the scale path for
+    * chain-shaped graphs (e.g. line-dedup overlap chains).
+    *
+    * Round = large-star then small-star, each a keyed min-aggregation +
+    * an equi-join on node id — never a neighbor-list collection, so a
+    * high-degree hub costs a shuffle key, not executor memory. The edge
+    * set is kept DIRECTED larger→smaller and distinct; at fixpoint it
+    * is a star forest rooted at each component's minimum, from which
+    * the labels read off directly. Fixpoint detection uses an
+    * order-independent checksum (count + sum of row hashes) confirmed
+    * by an exact except() before declaring convergence. */
+  def componentsStars(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    def mat(df: DataFrame): DataFrame = { // see components(): fresh stats
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    def checksum(df: DataFrame): (Long, BigDecimal) = {
+      // decimal accumulator: a Long sum of xxhash64 overflows under ANSI
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    val a = col(idA).cast("long")
+    val b = col(idB).cast("long")
+    var edges = mat(pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var sig = checksum(edges)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // large-star: for every node u (symmetric view), connect each
+      // strictly larger neighbor v to m = min(Γ(u) ∪ {u}). Result stays
+      // larger→smaller since v > u >= m.
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: per node u of the directed view (all neighbors are
+      // smaller), connect N(u) ∪ {u} minus the min m to m.
+      val sm = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(sm, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(sm.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      val next = mat(small)
+      val nextSig = checksum(next)
+      // checksum match → confirm exactly (counts equal + distinct sets,
+      // so one except() direction decides set equality)
+      done = nextSig == sig && next.exceptAll(edges).isEmpty
+      edges = next
+      sig = nextSig
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"componentsStars: no fixpoint after $maxIter rounds — raise maxIter")
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 
   // ---- MinHash + LSH ---------------------------------------------------

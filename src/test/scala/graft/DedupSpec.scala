@@ -107,6 +107,37 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("componentsStars agrees with components on a mixed random graph") {
+    val rnd = new scala.util.Random(42)
+    // several clusters of mixed shape: chains, a hub, random extra edges
+    val pairs = (
+      (0 until 20).map(i => (i.toLong, (i + 1).toLong)) ++           // chain 0..20
+      (30 until 40).map(i => (30L, i.toLong + 1)) ++                 // star at 30
+      (0 until 15).map { _ =>                                        // random intra-50..70
+        val x = 50 + rnd.nextInt(20)
+        val y = 50 + (x - 50 + 1 + rnd.nextInt(19)) % 20 // never x itself
+        (x.toLong, y.toLong) } ++
+      Seq((100L, 101L))
+    ).toDF("id_a", "id_b")
+    val expect = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val got = Dedup.componentsStars(pairs).as[(Long, Long)].collect().toMap
+    assert(got == expect, s"stars=$got minlabel=$expect")
+  }
+
+  test("componentsStars: depth-10k path converges within O(log n) rounds") {
+    // r4 verdict item 7: the property the stars variant buys — a path
+    // graph of depth 10^4 (diameter 10^4) must converge in O(log n)
+    // alternations. maxIter=25 IS the assertion (~2·log2(10^4)=27;
+    // min-label would need thousands of rounds without jumping, and
+    // pointer jumping alone still takes ~log2(diameter) label hops on
+    // a chain). All 10^4+1 nodes must land in component 0.
+    val n = 10000
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val labels = Dedup.componentsStars(pairs, maxIter = 25)
+    assert(labels.filter(col("component") =!= 0L).isEmpty)
+    assert(labels.count() == n + 1)
+  }
+
   test("JaccardImpl merge scan equals set-based jaccard") {
     val a = new GenericArrayData(Array[Long](1, 3, 5, 7))
     val b = new GenericArrayData(Array[Long](3, 5, 9))
