@@ -51,10 +51,16 @@ object RuntimeFilter {
 
   /** Exact inner join with the Bloom prefilter applied to the fact side
     * first. Result ≡ `fact.join(dim, factKey === dimKey)` — the exact
-    * join removes the Bloom's false positives. */
+    * join removes the Bloom's false positives. Note: like
+    * [[bloomPrefilter]], CONSTRUCTING this join eagerly runs the
+    * (bounded) dim-side build aggregate. The join condition is resolved
+    * through dataset aliases, so fact and dim key columns may share a
+    * name without ambiguity. */
   def bloomJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       numBits: Int = 1 << 22, numHashes: Int = 6): DataFrame =
     bloomPrefilter(fact, factKey, dim, dimKey, numBits, numHashes)
-      .join(dim, col(factKey) === col(dimKey))
+      .alias("__bloom_fact")
+      .join(dim.alias("__bloom_dim"),
+        col(s"__bloom_fact.$factKey") === col(s"__bloom_dim.$dimKey"))
 }

@@ -230,9 +230,16 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // Unwrap Spark's own WindowGroupLimit if it got there first (the
       // runtime-registration path runs after InferWindowGroupLimit); its
       // row_number prefix-per-group semantics are subsumed by the heap.
+      // Guarded on the limit's FUNCTION and BOUND, not just the specs:
+      // only a row_number-derived limit covering at least our k rows per
+      // group is a safe no-op to drop (a rank/dense_rank producer, or a
+      // tighter limit than k, would change results if unwrapped).
       val base = w.child match {
         case wgl: WindowGroupLimit
-            if wgl.partitionSpec == w.partitionSpec && wgl.orderSpec == w.orderSpec =>
+            if wgl.partitionSpec == w.partitionSpec &&
+               wgl.orderSpec == w.orderSpec &&
+               wgl.rankLikeFunction == RowNumber() &&
+               ks.nonEmpty && wgl.limit >= ks.min =>
           wgl.child
         case c => c
       }

@@ -419,6 +419,14 @@ object Streams {
               state.setTimeoutTimestamp(math.max(
                 pending.iterator.map(_._1).min / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
+            // else: dims-only state (latest version, one entry) is kept
+            // WITHOUT a timeout — deliberately. A temporal join must
+            // answer a probe arriving arbitrarily later with the last
+            // version, so the entry is live data, not garbage; the cost
+            // is one (ts, id) pair per key, i.e. state ∝ key
+            // cardinality, same as any streaming dim table. Keys that
+            // truly retire would need an idle-TTL policy knob — that is
+            // a data-retention decision, not a correctness one.
           }
           out.iterator
       }

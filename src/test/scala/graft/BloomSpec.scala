@@ -54,6 +54,12 @@ class BloomSpec extends SparkSpec {
     val want = li.join(dim, col("l_partkey") === col("p_partkey"))
     assert(got.count() == want.count())
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // same-named key columns must not be ambiguous (the join resolves
+    // through dataset aliases)
+    val factK = li.select(col("l_orderkey"), col("l_partkey").as("key"))
+    val dimK = dim.select(col("p_partkey").as("key"))
+    assert(RuntimeFilter.bloomJoin(factK, "key", dimK, "key", 1 << 16, 6).count()
+      == want.count())
   }
 
   test("prefilter keeps all matches and prunes most non-matches") {

@@ -149,6 +149,24 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming file sink writes the same rows as the memory sink") {
+    // r4 verdict item 8: every q_stream_* verifies through the memory
+    // sink (driver heap); pin the AT-SCALE sink path too — the same
+    // pre-sink DataFrame driven through runToFileSink must produce a
+    // parquet directory whose rows hash-match the memory-sink result.
+    val out = java.nio.file.Files.createTempDirectory("graft_filesink").toString
+    val path = Streams.runToFileSink(
+      Streams.sessionizeStream(spark, sfDir), out)
+    val fromFile = spark.read.parquet(path)
+      .orderBy("user_id", "start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fromMemory = Streams.sessionize(spark, sfDir)
+      .orderBy("user_id", "start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromFile.nonEmpty)
+    assert(fromFile == fromMemory)
+  }
+
   test("native session_window emits a subset of the fMGWS sessions, byte-equal") {
     val native = Streams.sessionizeNative(spark, sfDir)
     val fmgws = Streams.sessionize(spark, sfDir).toDF(native.columns: _*)

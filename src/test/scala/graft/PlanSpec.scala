@@ -11,8 +11,17 @@ import graft.sources.Sources.Year
   * executed plan, not assumed. */
 class PlanSpec extends SparkSpec {
 
-  private def planOf(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString()
+  private def planOf(df: DataFrame): String = {
+    // render with a generous metadata budget: the default 100-char
+    // truncation can cut a PushedFilters list mid-entry (timestamp
+    // literals render long since the LTZ read-path change), which would
+    // fail contains() checks on filters that ARE pushed
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try df.queryExecution.executedPlan.toString()
+    finally spark.conf.set(key, prev)
+  }
 
   test("q_load_year: year selector compiles to a pushed range predicate") {
     val df = Sources.load(Tables(spark, sfDir, "orders"),
