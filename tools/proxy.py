@@ -6,11 +6,14 @@ the "fast single-node engine" yardstick for BENCH comparisons; note
 local-mode Spark carries ~0.3-1s fixed scheduling/codegen overhead per
 query that a real cluster amortizes.
 
-Usage: python3 tools/proxy.py [sfdir] [reps] [--count-wrap]
+Usage: python3 tools/proxy.py [sfdir] [reps] [--count-wrap] [--only=q1,q2]
 
 --count-wrap runs each oracle under SELECT count(*) FROM (...), which
 lets DuckDB skip the final ORDER BY materialization (the methodology
 of BASELINE_PROXY.md's round-5 table; slightly flatters DuckDB).
+--only restricts to the named queries (they need not be headliners) —
+used by the sf1 scale run to drive each query under an external
+timeout (some oracles are all-pairs and infeasible at sf1).
 """
 import json, sys, time
 
@@ -18,6 +21,10 @@ import duckdb
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 WRAP = "--count-wrap" in sys.argv
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = [q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()]
 SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
 REPS = int(ARGS[1]) if len(ARGS) > 1 else 5
 
@@ -49,7 +56,7 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     out = {}
-    for q in HEADLINERS:
+    for q in (ONLY if ONLY is not None else HEADLINERS):
         if q not in oracle:
             continue
         sql = f"SELECT count(*) FROM ({oracle[q]})" if WRAP else oracle[q]
