@@ -924,7 +924,7 @@ object SparkEntry {
     // the cleaned text, in-flight, zero state — identical operators
     // serve batch and stream, so the oracle is simply the batch chain.
     "q_stream_quality" -> ((s, dir) => {
-      val docs = Streams.readTableStream(s, dir, "documents")
+      val docs = Streams.readTableStreamParallel(s, dir, "documents")
         .select(col("doc_id"), c4Injected.as("text"))
       Streams.runToMemory(
           Streams.curationGateStream(docs, "doc_id", "text"),
@@ -2115,12 +2115,13 @@ object SparkEntry {
         |    list_distinct(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
         |      i -> substr(t, CAST(i AS INT), 5))) AS grams
         |  FROM nrm),
+        |h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g),
         |s AS (SELECT doc_id,
-        |    list_min(list_transform(grams, x -> md5(x || '#0'))) || '|' ||
-        |    list_min(list_transform(grams, x -> md5(x || '#1'))) || '|' ||
-        |    list_min(list_transform(grams, x -> md5(x || '#2'))) || '|' ||
-        |    list_min(list_transform(grams, x -> md5(x || '#3'))) AS sig
-        |  FROM g)
+        |    list_min(list_transform(hs, x -> substr(x, 1, 8))) || '|' ||
+        |    list_min(list_transform(hs, x -> substr(x, 9, 8))) || '|' ||
+        |    list_min(list_transform(hs, x -> substr(x, 17, 8))) || '|' ||
+        |    list_min(list_transform(hs, x -> substr(x, 25, 8))) AS sig
+        |  FROM h)
         |SELECT min(doc_id) AS keep_id, sig FROM s GROUP BY sig
         |ORDER BY keep_id""".stripMargin,
     "q_stream_joined" ->

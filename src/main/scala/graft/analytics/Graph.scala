@@ -86,9 +86,9 @@ object Graph {
   /** Item-item similarity from co-occurrence in baskets (the
     * "customers who bought X also bought Y" / co-citation shape):
     * Jaccard between two items' basket sets, computed WITHOUT an
-    * item-item cross join — pairs are generated per basket by a
-    * self-equi-join on the basket key, so the shuffle is keyed on
-    * baskets and the pair count is Σ_b |b|², not |items|².
+    * item-item cross join — pairs are generated map-side from each
+    * basket's sorted distinct item set (one basket-keyed shuffle), so
+    * the pair count is Σ_b |b|², not |items|².
     *
     * The quadratic-per-basket term is the real scale hazard: a single
     * degenerate mega-basket (a crawler account, a shared login)
@@ -100,14 +100,34 @@ object Graph {
   def coPurchaseSimilarity(edges: DataFrame, basketCol: String,
                            itemCol: String, threshold: Double,
                            maxBasket: Int = 100000): DataFrame = {
-    val e = edges.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val ok = e.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
-      .filter(col("__bs") <= maxBasket).select("b")
-    val e2 = e.join(ok, "b")
-    val deg = e2.groupBy(col("i").as("item")).agg(count(lit(1)).cast("long").as("deg"))
-    val pairs = e2.as("l").join(e2.as("r"),
-        col("l.b") === col("r.b") && col("l.i") < col("r.i"))
-      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+    // ONE basket-keyed shuffle: per-basket distinct item set via
+    // collect_set (partial aggregation dedupes map-side), sorted so
+    // pair order and the basket-size cap are deterministic. This
+    // replaces the previous distinct + basket self-join — three
+    // exchanges of the edge table and a shuffle-side join fan-out —
+    // with map-side pair generation: the set stays ≤ maxBasket items
+    // (cap applied BEFORE pairing), and a hot basket costs one task
+    // either way (a join key can't be split by AQE any more than a
+    // generate can).
+    val baskets = edges
+      .groupBy(col(basketCol).as("b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+    // Basket counts per item, from the capped sets (≡ the old per-edge
+    // count after the distinct).
+    val deg = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).cast("long").as("deg"))
+    // Σ_b |b|² pair rows stream through two generates inside one
+    // codegen stage — (pos, item_a) from posexplode, the strictly
+    // greater items from a slice of the sorted set — straight into the
+    // partially-aggregated pair count. No join, and no intermediate
+    // array ever exceeds |b|.
+    val pairs = baskets
+      .select(posexplode(col("items")).as(Seq("p", "item_a")), col("items"))
+      .select(col("item_a"),
+        explode(slice(col("items"), col("p") + lit(2),
+          size(col("items")) - col("p") - lit(1))).as("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).cast("long").as("shared"))
     pairs
       .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")

@@ -31,6 +31,20 @@ object Streams {
         .parquet(dir))
   }
 
+  /** [[readTableStream]] plus a round-robin repartition of the raw
+    * rows. Use for streams whose PRE-shuffle pipeline is expensive
+    * (shingle signatures, C4/Gopher text scoring): a single-file
+    * micro-batch arrives as ONE input partition, and every projection
+    * between the source and the first stateful shuffle then runs on one
+    * core — observed as a 32x slowdown of the near-dup signature
+    * kernel. Light streams skip this (the exchange of raw rows is pure
+    * overhead when the projection is cheap); results are partition-
+    * independent either way (keyed state, deterministic winners). */
+  def readTableStreamParallel(spark: SparkSession, dir: String,
+                              name: String): DataFrame =
+    readTableStream(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Drive an unbounded DataFrame to a memory sink and return the
     * result table — the ORACLE/TEST harness path only: a memory sink
     * materializes in driver heap, so result size is capped there. The
@@ -195,11 +209,17 @@ object Streams {
     * signature, chosen deterministically as the first doc by (event
     * time, id) within the watermark horizon.
     *
-    * The signature is `bands` independent min-over-md5 shingle hashes —
-    * band b = min over the doc's distinct 5-char-gram shingles of
-    * md5(gram ++ "#b") — built ENTIRELY from builtin codegen functions,
-    * so a DuckDB oracle reproduces the signature (and therefore the
-    * survivor set) bit-for-bit. That makes this the SQL-verifiable twin
+    * The signature hashes each distinct 5-char-gram shingle ONCE with
+    * md5; band b is the min over grams of the digest's hex slice
+    * [b*w, (b+1)*w) where w = 32/bands. Disjoint slices of one 128-bit
+    * digest are independent in the random-oracle sense (the
+    * one-permutation-hashing observation, Li et al. 2012), so banding
+    * recall matches `bands` independent hashes at 1/bands of the hash
+    * cost — the signature kernel dominated this operator's runtime
+    * (the previous per-band md5(gram ++ "#b") form was 4x the hashing
+    * plus a 32-char hex array materialized per band). Built ENTIRELY
+    * from builtin codegen functions, so a DuckDB oracle reproduces the
+    * signature (and therefore the survivor set) bit-for-bit. That makes this the SQL-verifiable twin
     * of [[simhashCandidatesStream]] (whose custom kernel needs a
     * spec-level batch-equivalence check instead): identical-shingle-set
     * docs always collide; high-Jaccard docs collide with probability
@@ -213,13 +233,18 @@ object Streams {
   def neardupStreamDf(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, bands: Int = 4,
                       watermarkMinutes: Int = 60): DataFrame = {
-    require(bands >= 1 && bands <= 16, s"bands must be in [1,16], got $bands")
+    require(bands >= 1 && 32 % bands == 0,
+      s"bands must divide the 32-hex-char md5 digest, got $bands")
     val spark = docs.sparkSession
     import spark.implicits._
     val gapMs = watermarkMinutes * 60L * 1000L
+    val w = 32 / bands
+    // __h is its own column (not inlined into sigCol): referenced
+    // `bands` times, and CollapseProject keeps multiply-referenced
+    // non-cheap expressions in their own projection, so the md5 array
+    // is computed once per doc, not once per band.
     val sigCol = concat_ws("|", (0 until bands).map(b =>
-      array_min(transform(col("__grams"),
-        g => md5(concat(g, lit("#" + b)))))): _*)
+      array_min(transform(col("__h"), x => substring(x, b * w + 1, w)))): _*)
     docs
       // null text → empty-string signature (one shared bucket), so the
       // stateful op never sees a null grouping key
@@ -227,6 +252,7 @@ object Streams {
         lower(trim(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", " "))))
       .withColumn("__grams", array_distinct(expr(
         "transform(sequence(1, greatest(length(__norm) - 4, 1)), i -> substring(__norm, i, 5))")))
+      .withColumn("__h", transform(col("__grams"), g => md5(g)))
       .withColumn("sig", sigCol)
       .withWatermark(tsCol, s"$watermarkMinutes minutes")
       .select(col("sig"), col(idCol).cast("long").as("doc_id"),
@@ -256,7 +282,7 @@ object Streams {
     * table with a deterministic doc_id-derived event time (oracle
     * harness; file/kafka sinks at scale). */
   def neardupStream(spark: SparkSession, dir: String): DataFrame = {
-    val docs = readTableStream(spark, dir, "documents")
+    val docs = readTableStreamParallel(spark, dir, "documents")
       .withColumn("__evt", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
     runToMemory(neardupStreamDf(docs, "doc_id", "text", "__evt"),
       s"graft_stream_neardup_${System.nanoTime()}", OutputMode.Append())
