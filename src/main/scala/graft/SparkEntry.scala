@@ -376,7 +376,7 @@ object SparkEntry {
       // it would run 2x on one core.
       val g = docs.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
+          graft.functions.GraftFunctions.gramHashes(col("text"), 5).as("grams"))
       pairs.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
         .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
         .select(col("id_a"), col("id_b"),
@@ -434,7 +434,7 @@ object SparkEntry {
         k = 5, numPerms = 128, bands = 32, threshold = 0.5)
       val g = docs.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          array_sort(transform(Dedup.charNgrams(col("text"), 5), x => xxhash64(x))).as("grams"))
+          graft.functions.GraftFunctions.gramHashes(col("text"), 5).as("grams"))
       val pairs = cand.join(g.as("ga"), col("id_a") === col("ga.doc_id"))
         .join(g.as("gb"), col("id_b") === col("gb.doc_id"))
         .filter(graft.functions.GraftFunctions.jaccardSorted(

@@ -216,7 +216,10 @@ object Dedup {
             .cast("string")))).as(Seq("band_id", "band_hash")))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing
-    * components. */
+    * components. Declarative reference form — the pairs pipeline uses
+    * the codegen `sig_agree` (identical value; the zip_with form
+    * allocates two arrays per pair, which dominated candidate
+    * estimation at tens of millions of LSH candidates). */
   def estJaccard(sigA: Column, sigB: Column, numPerms: Int): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / numPerms
 
@@ -260,7 +263,8 @@ object Dedup {
       .join(sigs.withColumnRenamed("sig", "sig_b"), col("id_b") === col("id"))
       .drop("id")
       .select(col("id_a"), col("id_b"),
-        graft.functions.Det.round4(estJaccard(col("sig_a"), col("sig_b"), numPerms)).as("est_jaccard"))
+        graft.functions.Det.round4(graft.functions.GraftFunctions.sigAgree(
+          col("sig_a"), col("sig_b"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -345,7 +349,7 @@ object Dedup {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val grams = docs.repartition(parts)
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_sort(transform(charNgrams(col(textCol), n), g => xxhash64(g))).as("grams"))
+        graft.functions.GraftFunctions.gramHashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")).cast("double"))
     // Pair enumeration: shuffled equi-join on the block key — NEVER a
     // broadcast of the corpus-sized gram table (an explicit broadcast()

@@ -65,6 +65,56 @@ object MinHashImpl {
   }
 }
 
+object GramHashImpl {
+  /** Sorted DISTINCT 64-bit FNV-1a hashes of the k-char shingles of the
+    * normalized text — the hashed-gram-set form the exact-Jaccard
+    * confirm joins and the n-gram similarity join consume. One pass +
+    * one primitive sort; the declarative twin
+    * (array_sort(transform(charNgrams(t,k), xxhash64))) materializes a
+    * corpus-sized STRING array first, ~5x this kernel's cost. The hash
+    * family differs from xxhash64 deliberately: downstream consumers
+    * compare JACCARD VALUES (set sizes are preserved modulo ~1e-13
+    * 64-bit collisions), so any well-distributed hash is value-equal —
+    * same argument the declarative form already relies on vs the
+    * string-gram oracle. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val s = MinHashImpl.normalize(text.toString)
+    val n = s.length
+    val last = if (n <= k) 0 else n - k
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** gram_hashes(text, k) → sorted distinct array<bigint> shingle hashes. */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"gram_hashes: shingle size k must be > 0, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    GramHashImpl.compute(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashImpl.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 /** minhash_sig(text, k, numPerms) → array<bigint> signature. */
 case class MinHashSig(child: Expression, k: Int, numPerms: Int)
     extends UnaryExpression {
@@ -198,6 +248,39 @@ case class JaccardSorted(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardImpl.jaccard($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreeImpl {
+  /** Fraction of positions where two equal-length long arrays agree —
+    * the MinHash Jaccard estimate between two signatures. Single
+    * positional scan, zero allocation: the declarative
+    * zip_with+filter+size form allocates two intermediate arrays per
+    * pair, which at tens of millions of LSH candidate pairs was the
+    * single largest cost in the MinHash pipeline. Mismatched lengths
+    * (foreign inputs, never produced by minhash_sig) estimate 0. */
+  def agree(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
+    var i = 0
+    var eq = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}
+
+/** sig_agree(array<bigint>, array<bigint>) → double fraction of agreeing
+  * positions (MinHash signature Jaccard estimate). */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agree"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreeImpl.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgreeImpl.agree($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SigAgree =
     copy(left = newLeft, right = newRight)
 }
 
@@ -637,6 +720,9 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
+    "sig_agree" -> (es => SigAgree(es(0), es(1))),
+    "gram_hashes" -> (es => GramHashes(es.head,
+      es(1).eval().asInstanceOf[Number].intValue())),
     "lsh_sig" -> (es => LshSignature(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
     "topk_largest" -> (es => TopKLargest(es.head,
@@ -677,6 +763,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def jaccardSorted(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
+  def sigAgree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
+  def gramHashes(c: Column, k: Int): Column =
+    call_function("gram_hashes", c, org.apache.spark.sql.functions.lit(k))
   def lshSig(c: Column, numPlanes: Int): Column =
     call_function("lsh_sig", c, org.apache.spark.sql.functions.lit(numPlanes))
   def topKLargest(c: Column, k: Int): Column =

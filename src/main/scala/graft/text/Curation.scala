@@ -489,6 +489,13 @@ object Curation {
       sum(col("ct")).cast("double").as("nt"),
       sum(col("cs")).cast("double").as("ns"),
       count(lit(1)).cast("double").as("v"))
+    // The scoring join takes `model` DIRECTLY off its aggregation
+    // shuffle: AQE reads that stage's true size and broadcasts a small
+    // vocabulary (measured: map-side join at sf1). Deriving a
+    // "lr-per-model-row" table first LOOKS cheaper (log once per
+    // feature, not per occurrence) but inserts a nested-loop totals
+    // join mid-stage, hiding the size from AQE — the scoring join then
+    // degrades to a corpus-sized sort-merge, 3x slower end-to-end.
     feats.join(model, "feat")
       .crossJoin(broadcast(tot))
       .select(col(idCol), col("__tgt"),

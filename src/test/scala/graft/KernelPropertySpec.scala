@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{JaccardImpl, MinHashImpl, SimHashImpl}
+import graft.functions.{GramHashImpl, JaccardImpl, MinHashImpl, SigAgreeImpl, SimHashImpl}
 
 /** Property-style tests for the codegen kernels over seeded random
   * samples — no Spark session needed, these hit the static
@@ -30,6 +30,43 @@ class KernelPropertySpec extends AnyFunSuite {
         if (a.isEmpty && b.isEmpty) 0.0
         else a.intersect(b).size.toDouble / a.union(b).size.toDouble
       assert(JaccardImpl.jaccard(arr(a), arr(b)) == want, s"a=$a b=$b")
+    }
+  }
+
+  test("SigAgreeImpl equals the positional-agreement definition; foreign shapes -> 0") {
+    (1 to Trials).foreach { _ =>
+      val n = 1 + rng.nextInt(128)
+      val a = Array.fill(n)(rng.nextLong() % 8)
+      val b = Array.fill(n)(rng.nextLong() % 8)
+      val want = a.zip(b).count { case (x, y) => x == y }.toDouble / n
+      val got = SigAgreeImpl.agree(new GenericArrayData(a), new GenericArrayData(b))
+      assert(got == want, s"n=$n")
+      assert(SigAgreeImpl.agree(new GenericArrayData(a), new GenericArrayData(a)) == 1.0)
+    }
+    val a = new GenericArrayData(Array(1L, 2L, 3L))
+    assert(SigAgreeImpl.agree(a, new GenericArrayData(Array(1L, 2L))) == 0.0)
+    assert(SigAgreeImpl.agree(new GenericArrayData(Array.empty[Long]),
+      new GenericArrayData(Array.empty[Long])) == 0.0)
+  }
+
+  test("GramHashes: sorted, distinct, one hash per distinct shingle; jaccard equals string-set jaccard") {
+    def naiveGrams(s: String): Set[String] = {
+      val t = s.replaceAll("\\s+", " ").trim.toLowerCase
+      if (t.length <= 5) Set(t.take(5))
+      else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    }
+    (1 to Trials).foreach { _ =>
+      val (ta, tb) = (randomText(), randomText())
+      val ga = GramHashImpl.compute(UTF8String.fromString(ta), 5).toLongArray()
+      val gb = GramHashImpl.compute(UTF8String.fromString(tb), 5).toLongArray()
+      assert(ga.toSeq == ga.toSeq.sorted && ga.toSet.size == ga.length, "sorted+distinct")
+      assert(ga.length == naiveGrams(ta).size, s"gram count for '$ta'")
+      val want =
+        if (naiveGrams(ta).isEmpty && naiveGrams(tb).isEmpty) 0.0
+        else naiveGrams(ta).intersect(naiveGrams(tb)).size.toDouble /
+          naiveGrams(ta).union(naiveGrams(tb)).size
+      val got = JaccardImpl.jaccard(new GenericArrayData(ga), new GenericArrayData(gb))
+      assert(got == want, s"jaccard for '$ta' vs '$tb'")
     }
   }
 
