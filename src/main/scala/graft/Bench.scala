@@ -21,9 +21,17 @@ object Bench {
     // attribution, scale spot checks); empty/unset = the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
       .filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    // Scan splits: the bench tables are one file each, so the 128m
+    // default collapses a multi-row-group fact scan to 1-2 tasks on a
+    // 32-core host. 8m keeps scans parallel wherever the writer produced
+    // multiple row groups (a single row group is never splittable);
+    // overridable for experiments.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -53,6 +61,14 @@ object Bench {
         r += 1
       }
       val ts = times.result()
+      // Post-query hygiene (outside the timers): drop whatever the
+      // query left persisted (iterative operators checkpoint their
+      // RESULT, which must outlive the query but not the suite) and
+      // nudge the ContextCleaner so unreferenced broadcasts/shuffles
+      // actually get removed — otherwise 100+ queries of accumulated
+      // state turn into GC pressure that inflates later timings.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       (name, if (ts.isEmpty) 0.0 else ts.min, err)
     }
     val ok = outcomes.filter(_._3.isEmpty)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev profiling main: run ONE registered query and print its formatted
+  * physical plan plus per-stage wall time / task counts / shuffle and
+  * input volumes, so a slow bench number can be attributed to a stage
+  * rather than guessed at. Usage:
+  *   Profile <sfDir> <queryName> [reps]
+  * (same java -cp recipe as tools/bench.sh; see .claude/skills/verify).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class St(id: Int, nm: String, ms: Long, tasks: Int,
+                  inMb: Double, shRead: Double, shWrite: Double)
+    val stages = ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val dur = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
+        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(80), dur,
+          i.numTasks,
+          i.taskMetrics.inputMetrics.bytesRead / 1e6,
+          i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6,
+          i.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6)
+      }
+    })
+
+    val fn = SparkEntry.queries(name)
+    var r = 0
+    while (r < reps) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== rep $r: $dt%.3f s, $n rows")
+      if (r == reps - 1) {
+        println(f"${"stage"}%8s ${"ms"}%8s ${"tasks"}%6s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s  name")
+        stages.sortBy(_.id).foreach { s =>
+          println(f"${s.id}%8d ${s.ms}%8d ${s.tasks}%6d ${s.inMb}%8.1f ${s.shRead}%8.1f ${s.shWrite}%8.1f  ${s.nm}")
+        }
+      }
+      r += 1
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1")
+      println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+    spark.stop()
+  }
+}

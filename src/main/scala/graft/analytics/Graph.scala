@@ -40,34 +40,31 @@ object Graph {
                digits: Int = 9): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"pageRank: iterations must be in [1,20], got $iterations")
-    val spark = edges.sparkSession
-    // Materialize AND reset statistics — see Dedup.components for why
-    // localCheckpoint alone is not enough (inherited sizeInBytes
-    // estimates multiply across the per-round joins).
-    def mat(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    // Materialize AND reset statistics, releasing superseded rounds —
+    // see graft.ops.Mat for the sizeInBytes-estimate and pinned-blocks
+    // traps this solves.
+    import graft.ops.Mat
     // Edge list and degrees computed ONCE: the caller's `edges` is
     // typically itself a fact-fact join + distinct, and every round
     // joins against it — without materialization each round re-runs
     // that whole derivation.
-    val sym = mat(edges.select(col(srcCol).cast("string").as("src"),
+    val (sym, releaseSym) = Mat.releasable(
+      edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .unionByName(edges.select(col(dstCol).cast("string").as("src"),
         col(srcCol).cast("string").as("dst")))
       .distinct())
-    val deg = mat(sym.groupBy(col("src").as("node"))
+    val (deg, releaseDeg) = Mat.releasable(sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg")))
     val nTab = broadcast(deg.agg(count(lit(1)).cast("double").as("__n")))
-    var pr = mat(deg.crossJoin(nTab)
+    var (pr, releasePr) = Mat.releasable(deg.crossJoin(nTab)
       .select(col("node"), col("deg"),
         graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr")))
     for (_ <- 1 to iterations) {
       val contrib = sym.join(pr, sym("src") === pr("node"))
         .select(col("dst").as("node"),
           (col("pr") / col("deg")).cast("decimal(38,18)").as("__c"))
-      pr = mat(contrib.groupBy("node")
+      val (next, releaseNext) = Mat.releasable(contrib.groupBy("node")
         .agg(sum(col("__c")).as("__s"))
         .join(deg, "node")
         .crossJoin(nTab)
@@ -79,7 +76,11 @@ object Graph {
             // exactly — the round-trip string pins it)
             col("__s").cast("double") * damping +
               lit(1.0 - damping) / col("__n"), digits).as("pr")))
+      releasePr() // superseded round
+      pr = next
+      releasePr = releaseNext
     }
+    releaseSym(); releaseDeg() // final pr is materialized, stand-alone
     pr
   }
 

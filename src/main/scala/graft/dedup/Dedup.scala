@@ -61,34 +61,26 @@ object Dedup {
     * Returns (id, component) where component = min id reachable. */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    // Materialize AND reset statistics. localCheckpoint alone is not
-    // enough for an iterative algorithm: the checkpointed plan INHERITS
-    // the origin plan's sizeInBytes estimate, and every join MULTIPLIES
-    // the two sides' estimates — so round n carries a BigInt of
-    // ~2^n bits and the driver ends up spending whole seconds per round
-    // inside BigInteger.multiply during planning (observed: 4-5x
-    // slowdown per round). Re-wrapping the checkpointed RDD in a fresh
-    // LogicalRDD drops the inherited estimate back to the default.
-    def mat(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    // Materialize AND reset statistics, with per-round release of
+    // superseded checkpoints — see graft.ops.Mat for both the BigInt
+    // sizeInBytes-estimate trap and the pinned-blocks trap this solves.
+    import graft.ops.Mat
     // Edge list materialized ONCE — pair generation is itself an
     // expensive blocked similarity join. Pairs are unique (a, b), so
     // the two directions are already distinct, and duplicate edges
     // would not change a min anyway.
-    val edges = mat(pairs
+    val (edges, releaseEdges) = Mat.releasable(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
-    var labels = mat(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")))
+    var (labels, releaseLabels) = Mat.releasable(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
     var i = 0
     var done = false
     while (!done && i < maxIter) {
       // one-hop: min label among self + neighbors (old label kept for
       // the convergence test)
-      val stepped = mat(labels.join(
+      val (stepped, releaseStepped) = Mat.releasable(labels.join(
           edges.join(labels, edges("dst") === labels("id"))
             .groupBy("src").agg(min("component").as("nbr")),
           labels("id") === col("src"), "left")
@@ -97,16 +89,20 @@ object Dedup {
           labels("component").as("old")))
       // pointer jumping: also adopt the component's own current
       // component — turns O(diameter) rounds into O(log diameter)
-      val jumped = mat(stepped.as("a")
+      val (jumped, releaseJumped) = Mat.releasable(stepped.as("a")
         .join(stepped.select(col("id").as("cid"), col("component").as("cc")),
           col("a.component") === col("cid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("cc"), col("a.component"))).as("component"),
           col("old")))
+      releaseStepped() // jumped is materialized; stepped is superseded
       done = jumped.filter(col("component") < col("old")).isEmpty
+      releaseLabels() // previous round's labels are superseded
       labels = jumped.select("id", "component")
+      releaseLabels = releaseJumped
       i += 1
     }
+    releaseEdges() // the returned labels are materialized, edge-free
     if (!done) throw new IllegalStateException(
       s"components: no fixpoint after $maxIter rounds — raise maxIter")
     labels
@@ -135,11 +131,7 @@ object Dedup {
     * by an exact except() before declaring convergence. */
   def componentsStars(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    def mat(df: DataFrame): DataFrame = { // see components(): fresh stats
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    import graft.ops.Mat // fresh stats + superseded-round release
     def checksum(df: DataFrame): (Long, BigDecimal) = {
       // decimal accumulator: a Long sum of xxhash64 overflows under ANSI
       val r = df.agg(count(lit(1)).as("n"),
@@ -149,7 +141,7 @@ object Dedup {
     }
     val a = col(idA).cast("long")
     val b = col(idB).cast("long")
-    var edges = mat(pairs
+    var (edges, releaseEdges) = Mat.releasable(pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v")).distinct())
     var sig = checksum(edges)
@@ -174,13 +166,15 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-      val next = mat(small)
+      val (next, releaseNext) = Mat.releasable(small)
       val nextSig = checksum(next)
       // checksum match → confirm exactly (counts equal + distinct sets,
       // so one except() direction decides set equality)
       done = nextSig == sig && next.exceptAll(edges).isEmpty
+      releaseEdges() // superseded; the RETURNED final edges stay live
       edges = next
       sig = nextSig
+      releaseEdges = releaseNext
       i += 1
     }
     if (!done) throw new IllegalStateException(

@@ -38,9 +38,14 @@ def rp(t):
     return f"read_parquet('{SRC}/{t}.parquet')"
 
 
-def gen(table, select_for_copy):
+def gen(table, select_for_copy, row_group_size=122880):
+    # Small row groups for the small-but-heavy tables (documents,
+    # embeddings): parquet is only splittable at row-group boundaries,
+    # so a single-row-group file pins the whole scan to ONE Spark task
+    # no matter how many cores the host has.
     parts = " UNION ALL ".join(select_for_copy(i) for i in range(N))
-    con.sql(f"COPY ({parts}) TO '{OUT}/{table}.parquet' (FORMAT parquet)")
+    con.sql(f"COPY ({parts}) TO '{OUT}/{table}.parquet' "
+            f"(FORMAT parquet, ROW_GROUP_SIZE {row_group_size})")
     n = con.sql(
         f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')"
     ).fetchone()[0]
@@ -95,7 +100,7 @@ def doc_text(i):
 gen("documents", lambda i: f"""
   SELECT doc_id + {i * OFF} AS doc_id, {doc_text(i)} AS text, lang,
          source, length({doc_text(i)})::BIGINT AS n_chars
-  FROM {rp('documents')}""")
+  FROM {rp('documents')}""", row_group_size=2000)
 
 
 def emb_expr(i):
@@ -107,6 +112,6 @@ def emb_expr(i):
 
 gen("embeddings", lambda i: f"""
   SELECT vec_id + {i * OFF} AS vec_id, {emb_expr(i)} AS embedding,
-         label FROM {rp('embeddings')}""")
+         label FROM {rp('embeddings')}""", row_group_size=1000)
 
 print(f"done -> {OUT}")
