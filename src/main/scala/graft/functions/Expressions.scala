@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, MapType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,6 +100,65 @@ object GramHashImpl {
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
+}
+
+object BigramCountsImpl {
+  /** Distinct character bigrams of the input with their occurrence
+    * counts — the compressed form of `explode(all bigram instances)`:
+    * per-document row count drops from len-1 to |distinct bigrams|
+    * (bounded by alphabet², typically ~3x fewer on prose), and any
+    * per-instance DECIMAL cost downstream multiplies by the count
+    * exactly instead of being paid per instance.
+    *
+    * Bigrams are consecutive CODE-POINT pairs, matching Spark's
+    * `substr(t, i, 2)` (UTF8String counts code points, not UTF-16
+    * units), so `explode(bigram_counts(t))` is value-equivalent to the
+    * declarative explode of substr windows. Caller lowercases first —
+    * case mapping is left to Catalyst's `lower` so engine semantics
+    * stay pinned there. Map iteration order is unspecified (hash
+    * order); consumers aggregate, so order never reaches a result. */
+  def compute(text: UTF8String): MapData = {
+    val s = text.toString
+    val n = s.length
+    // code-point start offsets (UTF-16 indices)
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0          // start of previous code point
+    var j = 0          // start of current code point
+    if (n > 0) j = i + Character.charCount(s.codePointAt(0))
+    while (j < n) {
+      val next = j + Character.charCount(s.codePointAt(j))
+      val g = s.substring(i, next) // two code points
+      counts.merge(g, 1L, (a, b) => a + b)
+      i = j
+      j = next
+    }
+    val m = counts.size
+    val keys = new Array[Any](m)
+    val vals = new Array[Any](m)
+    val it = counts.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(w) = UTF8String.fromString(e.getKey)
+      vals(w) = e.getValue
+      w += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+}
+
+/** bigram_counts(text) → map<string, bigint> of distinct code-point
+  * bigrams to occurrence counts. */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "bigram_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    BigramCountsImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramCountsImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
 }
 
 /** gram_hashes(text, k) → sorted distinct array<bigint> shingle hashes. */
@@ -723,6 +782,7 @@ object GraftFunctions {
     "sig_agree" -> (es => SigAgree(es(0), es(1))),
     "gram_hashes" -> (es => GramHashes(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
+    "bigram_counts" -> (es => BigramCounts(es.head)),
     "lsh_sig" -> (es => LshSignature(es.head,
       es(1).eval().asInstanceOf[Number].intValue())),
     "topk_largest" -> (es => TopKLargest(es.head,
@@ -766,6 +826,7 @@ object GraftFunctions {
   def sigAgree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
   def gramHashes(c: Column, k: Int): Column =
     call_function("gram_hashes", c, org.apache.spark.sql.functions.lit(k))
+  def bigramCounts(c: Column): Column = call_function("bigram_counts", c)
   def lshSig(c: Column, numPlanes: Int): Column =
     call_function("lsh_sig", c, org.apache.spark.sql.functions.lit(numPlanes))
   def topKLargest(c: Column, k: Int): Column =

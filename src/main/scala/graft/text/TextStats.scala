@@ -117,18 +117,23 @@ object TextStats {
     * aggregation. Docs shorter than one bigram drop (mirrored by the
     * oracle). Returns (id, n_bigrams, nats). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // COUNTED bigrams via the bigram_counts codegen kernel: one row per
+    // DISTINCT bigram per doc (count attached) instead of one row per
+    // instance — ~3x fewer rows on prose, and the per-instance decimal
+    // cast below becomes one exact decimal×count multiply. The explode
+    // of substr windows this replaces was also evaluated once per
+    // consumer subtree (scoring + the model's partial agg; exchange
+    // reuse covers ctx/vocab), doubling the dominant cost.
     val grams = docs
       .select(col(idCol), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= 2)
-      // round-robin exchange: projection barrier keeping `t` an
-      // attribute inside the bigram lambda (CollapseProject would
-      // otherwise inline lower(text) per element → O(len²) per row —
-      // the rawWordNgrams trap), and spreads the per-row gram work off
-      // the single parquet split
+      // round-robin exchange: spreads the per-row kernel work off the
+      // (possibly single) parquet split before the heavy projection
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
-        explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("g"))
-    val model = grams.groupBy("g").agg(count(lit(1)).cast("double").as("c"))
+        explode(graft.functions.GraftFunctions.bigramCounts(col("t"))))
+      .select(col(idCol), col("key").as("g"), col("value").as("k"))
+    val model = grams.groupBy("g").agg(sum(col("k")).cast("double").as("c"))
     val ctx = model.groupBy(substring(col("g"), 1, 1).as("a"))
       .agg(sum(col("c")).as("ca"))
     val vocab = model.agg(
@@ -137,11 +142,17 @@ object TextStats {
       .join(model, "g")
       .join(ctx, substring(col("g"), 1, 1) === col("a"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      // Per-INSTANCE nll truncated to scale 15 exactly as before, then
+      // weighted by the instance count: decimal(20,15) × decimal(10,0)
+      // → decimal(31,15), exact (nll < 1e5 and k < 1e10 by construction,
+      // so neither cast can overflow; the old decimal(30,15) cast and
+      // this one agree — double→decimal rounds at scale 15 either way).
+      .select(col(idCol), col("k"),
         (-log((col("c") + 1) / (col("ca") + col("nv"))))
-          .cast("decimal(30,15)").as("nll"))
+          .cast("decimal(20,15)").as("nll"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("__s"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("nll") * col("k").cast("decimal(10,0)")).as("__s"))
       // exact decimal sum → round(6) → IDENTICAL double on both engines,
       // then one double division + round(4): no decimal-division scale
       // rules in play (they differ between engines)

@@ -70,6 +70,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BigramCounts equals the substr-window multiset for any input, incl. surrogates") {
+    def naive(s: String): Map[String, Long] = {
+      // code-point bigrams, the substr(t, i, 2) definition
+      val cps = s.codePoints().toArray
+      (0 until cps.length - 1).map { i =>
+        new String(cps, i, 2)
+      }.groupBy(identity).map { case (g, occ) => g -> occ.size.toLong }
+    }
+    val texts = Seq("", "a", "ab", "aaa", "ab ab ab", "día año",
+      "a😀b😀", // non-BMP: emoji as single code points
+      randomText(), randomText(), randomText())
+    (texts ++ (1 to Trials).map(_ => randomText())).foreach { t =>
+      val m = graft.functions.BigramCountsImpl.compute(UTF8String.fromString(t))
+      val got = (0 until m.numElements()).map { i =>
+        m.keyArray().getUTF8String(i).toString -> m.valueArray().getLong(i)
+      }.toMap
+      assert(got == naive(t), s"bigram counts for '$t'")
+    }
+  }
+
   test("JaccardImpl is symmetric and bounded") {
     (1 to Trials).foreach { _ =>
       val (a, b) = (randomSet(), randomSet())
