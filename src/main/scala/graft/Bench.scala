@@ -1,4 +1,6 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
@@ -81,7 +83,16 @@ object Bench {
     val errs = outcomes.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min"}"""
+    println(line)
+    // The driver stores only the TAIL of the bench stdout; with 114
+    // queries the single JSON line outgrows that window and the stored
+    // copy becomes unparseable (BENCH_r04.json "parsed": null). Also
+    // write the full line to a repo file so the complete per-query
+    // numbers survive the round regardless of capture width.
+    try Files.write(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")), (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout line remains the contract
     spark.stop()
   }
 }
