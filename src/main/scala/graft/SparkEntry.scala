@@ -398,7 +398,14 @@ object SparkEntry {
         concat_ws(" ", array_sort(split(col("nt"), " "))).as("nt"))
       val all = base.unionByName(perm)
       val pairs = Dedup.simhashPairs(all, "doc_id", "nt", maxHamming = 6)
+      // repartition before the two word-array joins: wa and wb shuffle
+      // on different keys (id_a / id_b), so without a shared exchange
+      // below them each side re-runs the normText + split + sort scan
+      // (measured as two identical 3 s stages at sf1). The round-robin
+      // exchange is an identical subplan in both branches, so
+      // ReuseExchange computes the word arrays once.
       val w = all.select(col("doc_id"), array_sort(split(col("nt"), " ")).as("words"))
+        .repartition(s.sparkContext.defaultParallelism)
       pairs.join(w.as("wa"), col("id_a") === col("wa.doc_id"))
         .join(w.as("wb"), col("id_b") === col("wb.doc_id"))
         .filter(col("wa.words") === col("wb.words"))

@@ -482,26 +482,47 @@ object Curation {
         transform(bigramIdx, i =>
           concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))))
         .as("feat"))
-    val model = feats.groupBy("feat").agg(
+    // Materialize the trained model ONCE (it is vocabulary-sized). The
+    // un-materialized form was computed three times — for the totals,
+    // for the model side of the scoring join, and (because column
+    // pruning makes the three feats exchanges non-identical subplans)
+    // ReuseExchange could not share the exploded-feature pass — and the
+    // static planner, seeing only pre-explode scan estimates, picked
+    // the CORPUS side (millions of exploded rows) as the broadcast
+    // build, a single-threaded hash-table build that dominated the
+    // query (measured at sf1). After Mat the totals and the per-feature
+    // log-ratio are derived from the materialized vocabulary, the
+    // log() runs once per FEATURE instead of once per occurrence.
+    val model = graft.ops.Mat(feats.groupBy("feat").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cs"))
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cs")))
     val tot = model.agg(
       sum(col("ct")).cast("double").as("nt"),
       sum(col("cs")).cast("double").as("ns"),
       count(lit(1)).cast("double").as("v"))
-    // The scoring join takes `model` DIRECTLY off its aggregation
-    // shuffle: AQE reads that stage's true size and broadcasts a small
-    // vocabulary (measured: map-side join at sf1). Deriving a
-    // "lr-per-model-row" table first LOOKS cheaper (log once per
-    // feature, not per occurrence) but inserts a nested-loop totals
-    // join mid-stage, hiding the size from AQE — the scoring join then
-    // degrades to a corpus-sized sort-merge, 3x slower end-to-end.
-    feats.join(model, "feat")
+    // Per-feature log-likelihood ratio, truncated to decimal(30,15)
+    // exactly as the per-occurrence form did: every occurrence of a
+    // feature contributes the identical decimal, so the document sums
+    // (and the oracle) are bit-for-bit unchanged.
+    val lrTab = model
       .crossJoin(broadcast(tot))
-      .select(col(idCol), col("__tgt"),
+      .select(col("feat"),
         log(((col("ct") + 1) * (col("ns") + col("v"))) /
             ((col("cs") + 1) * (col("nt") + col("v"))))
           .cast("decimal(30,15)").as("lr"))
+    // Scoring join: BROADCAST the per-feature table. A shuffle join on
+    // `feat` is wrong twice over — the probe side keys are Zipfian (a
+    // stopword's occurrences all land on one reducer), and the planner
+    // cannot be trusted to pick the build side here (the corpus side's
+    // pre-explode estimate looks small, and both a plain join and an
+    // AQE-replanned one were measured building the hash table over the
+    // MILLIONS of exploded occurrences on one thread). The model is
+    // vocabulary-sized; in DSIR's own formulation features are hashed
+    // into a fixed bucket count precisely so the model stays a bounded
+    // dim — when a free-text vocabulary can outgrow a broadcast, switch
+    // the feats to hashed buckets rather than this join to a shuffle.
+    feats.join(broadcast(lrTab), "feat")
+      .select(col(idCol), col("__tgt"), col("lr"))
       .groupBy(col(idCol), col("__tgt"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("__s"))
       .select(col(idCol), col("__tgt").as("is_target"), col("n_feats"),

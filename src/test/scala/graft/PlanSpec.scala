@@ -179,15 +179,26 @@ class PlanSpec extends SparkSpec {
         docs, "doc_id", "text", k = 10, minCount = 2))
       assert(!pspan.contains("BroadcastExchange") && !pspan.contains("CartesianProduct"),
         s"gram/word sides are corpus-derived, must not broadcast:\n$pspan")
-      // dsir's ONLY broadcast is the bounded 1-row totals (a literal
-      // nested-loop over one row); the feature-model join must shuffle
-      val pdsir = planOf(graft.text.Curation.dsirWeights(
-        docs, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0))
-      val bc = pdsir.sliding("BroadcastExchange".length)
-        .count(_ == "BroadcastExchange")
-      assert(bc <= 1, s"only the 1-row totals may broadcast, saw $bc:\n$pdsir")
-      assert(pdsir.contains("SortMergeJoin") || pdsir.contains("ShuffledHashJoin"),
-        s"feature-model join must be a shuffled join:\n$pdsir")
+      // dsir broadcasts exactly two BOUNDED tables — the 1-row totals
+      // and the vocabulary-sized per-feature lr table (bounded by
+      // DSIR's hashed-feature construction) — and NEVER the corpus:
+      // the exploded-occurrence side must stay streamed. A broadcast
+      // whose subtree contains the Generate (the feature explode) or a
+      // file scan would be a corpus-side build, the measured 100 TB
+      // killer this plan shape exists to avoid.
+      val dsirPlan = graft.text.Curation.dsirWeights(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.GenerateExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      val badBuilds = dsirPlan.collect { case b: BroadcastExchangeExec => b }
+        .filter(b => b.collect {
+          case g: GenerateExec => g
+          case f: FileSourceScanExec => f
+        }.nonEmpty)
+      assert(badBuilds.isEmpty,
+        s"corpus side (explode/scan) must never be a broadcast build:\n$dsirPlan")
     }
   }
 
