@@ -110,20 +110,20 @@ object Graph {
     // (cap applied BEFORE pairing), and a hot basket costs one task
     // either way (a join key can't be split by AQE any more than a
     // generate can).
-    // repartition(n) after the basket aggregate: the agg output is tiny
-    // (|baskets| set rows) so AQE coalesces it — but the NEXT stage
-    // explodes each basket to |b|² pair rows (measured 30 MB in →
-    // 640 MB out at sf1), and a coalesced input serializes that
-    // expansion onto too few cores. An explicit numPartitions is a
-    // REPARTITION_BY_NUM shuffle, which AQE never coalesces, so the
-    // quadratic stage always runs at full parallelism; the extra
-    // exchange moves only the small basket table.
-    val parts = edges.sparkSession.sparkContext.defaultParallelism
+    // Deliberately NO repartition before the pair expansion, although
+    // AQE coalesces the small basket table (30 MB at sf1) to fewer
+    // partitions than cores. Measured head-to-head at sf1, forcing
+    // full parallelism (repartition(32)) LOST: 27.8 s vs 16.8 s min.
+    // The expansion feeds a partial aggregate on (item_a, item_b), and
+    // fewer, larger partitions collapse far more duplicate pairs
+    // map-side (643 MB vs 878 MB shuffled) — for a quadratic expansion
+    // that ends in an aggregate, partial-agg effectiveness beats core
+    // count. At real scale the basket table is large, AQE's
+    // input-sized coalesce never fires, and both concerns vanish.
     val baskets = edges
       .groupBy(col(basketCol).as("b"))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
       .filter(size(col("items")) <= maxBasket)
-      .repartition(parts)
     // Basket counts per item, from the capped sets (≡ the old per-edge
     // count after the distinct).
     val deg = baskets.select(explode(col("items")).as("item"))
