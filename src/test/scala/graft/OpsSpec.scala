@@ -331,4 +331,33 @@ class OpsSpec extends SparkSpec {
     val clean = Seq((1, "18")).toDF("id", "raw")
     assert(AgeRange.standardizeAge(clean, "id", "raw").head().getInt(1) === 18)
   }
+
+  // ---- Mat -------------------------------------------------------------
+
+  test("Mat.releasable: values preserved, blocks tracked, release drops exactly them") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (m1, rel1) = Mat.releasable(
+      Seq(1, 2, 3).toDF("x").select(col("x"), (col("x") * 2).as("y")))
+    val mine = sc.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "localCheckpoint must register persistent blocks")
+    // the materialized frame is a fresh leaf (no upstream lineage to
+    // re-run) and carries the same rows
+    assert(m1.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.getClass.getSimpleName.contains("LogicalRDD")))
+    assert(m1.orderBy("x").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 2), (2, 4), (3, 6)))
+    // a SECOND mat derived from the first stays readable after the
+    // first is released (the iterative-loop pattern: release supersedes)
+    val (m2, rel2) = Mat.releasable(m1.filter(col("x") > 1))
+    rel1()
+    // unpersist is async; poll briefly for the tracked ids to drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (sc.getPersistentRDDs.keySet.intersect(mine).nonEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.getPersistentRDDs.keySet.intersect(mine).isEmpty,
+      "release() must unpersist exactly the checkpoint's blocks")
+    assert(m2.count() === 2, "a later mat must survive releasing its parent")
+    rel2()
+  }
 }
