@@ -11,7 +11,7 @@ import scala.collection.mutable.ArrayBuffer
   * input volumes, so a slow bench number can be attributed to a stage
   * rather than guessed at. Usage:
   *   Profile <sfDir> <queryName> [reps]
-  * (same java -cp recipe as tools/bench.sh; see .claude/skills/verify).
+  * (same java -cp recipe as tools/bench.sh).
   */
 object Profile {
   def main(args: Array[String]): Unit = {

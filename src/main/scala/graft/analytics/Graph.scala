@@ -97,10 +97,123 @@ object Graph {
     * BEFORE pairing — the co-occurrence analogue of a stopword list,
     * and the knob that bounds the worst key at 100 TB (AQE skew-join
     * splitting handles the survivors). Returns (item_a, item_b,
-    * shared, jaccard) for pairs at or above `threshold`. */
+    * shared, jaccard) for pairs at or above `threshold`.
+    *
+    * PACKED-PAIR AGGREGATE: the dominant shuffle — the Σ|b|² pair rows
+    * into the (item_a, item_b) count — is keyed on ONE long
+    * (`item_a << 32 | item_b` lower-masked; a bijection for any two
+    * 32-bit values) instead of a two-column key: half the hash cost and
+    * row width of the hottest exchange. 32-bit-or-narrower item types
+    * pack directly. Wider or non-numeric items are first remapped to
+    * dense int ids through a BROADCAST dictionary (distinct items +
+    * item-ordered row_number) — the item column is a vocabulary-sized
+    * dimension (products, suppliers, hosts), so the dict rides the scan
+    * stage as a broadcast hash join and no extra shuffle of the edge
+    * table is added. Dense ids are assigned in item order, so packed
+    * pair order ≡ the generic path's sort order and results are
+    * identical. When the item vocabulary is too large to broadcast
+    * (≳10M distinct), set `dictPack = false` to keep the two-column
+    * aggregate — correctness is unaffected either way. */
   def coPurchaseSimilarity(edges: DataFrame, basketCol: String,
                            itemCol: String, threshold: Double,
-                           maxBasket: Int = 100000): DataFrame = {
+                           maxBasket: Int = 100000,
+                           dictPack: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    edges.schema(itemCol).dataType match {
+      case ByteType | ShortType | IntegerType =>
+        coPurchasePacked(edges, basketCol, itemCol, threshold, maxBasket)
+      case _ if dictPack =>
+        coPurchaseDictPacked(edges, basketCol, itemCol, threshold, maxBasket)
+      case _ =>
+        coPurchaseGeneric(edges, basketCol, itemCol, threshold, maxBasket)
+    }
+  }
+
+  /** Shared packed core over pre-capped int-item baskets `(b, items:
+    * array<int> sorted asc)`: generates the strictly-increasing pairs,
+    * packs each into one long inside the same codegen stage as the
+    * generates (the shuffle for the hottest aggregate carries a single
+    * 8-byte key), counts, unpacks with pure shift arithmetic (ANSI-safe
+    * — both halves held an int to begin with, so no narrowing cast can
+    * overflow), and joins degrees for the Jaccard. Returns (item_a:int,
+    * item_b:int, shared, jaccard) at or above `threshold`. */
+  private def packedJaccard(baskets: DataFrame, threshold: Double): DataFrame = {
+    val deg = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).cast("long").as("deg"))
+    val pairs = baskets
+      .select(posexplode(col("items")).as(Seq("p", "item_a")), col("items"))
+      .select(col("item_a"),
+        explode(slice(col("items"), col("p") + lit(2),
+          size(col("items")) - col("p") - lit(1))).as("item_b"))
+      .select(shiftleft(col("item_a").cast("long"), 32)
+        .bitwiseOR(col("item_b").cast("long").bitwiseAND(lit(0xffffffffL)))
+        .as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .select(shiftright(col("pk"), 32).cast("int").as("item_a"),
+        shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("item_b"),
+        col("shared"))
+    pairs
+      .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")
+      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("shared"),
+        graft.functions.Det.round4(col("shared").cast("double") /
+          (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit-item fast path: items widen losslessly to int, pack
+    * directly (no dictionary); output item columns cast back to the
+    * input type. */
+  private def coPurchasePacked(edges: DataFrame, basketCol: String,
+                               itemCol: String, threshold: Double,
+                               maxBasket: Int): DataFrame = {
+    val itemType = edges.schema(itemCol).dataType
+    val baskets = edges
+      .select(col(basketCol).as("b"), col(itemCol).cast("int").as("i"))
+      .groupBy("b")
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+    packedJaccard(baskets, threshold)
+      .select(col("item_a").cast(itemType).as("item_a"),
+        col("item_b").cast(itemType).as("item_b"),
+        col("shared"), col("jaccard"))
+  }
+
+  /** Dense-dictionary packed path for wide/non-numeric item types:
+    * distinct items get item-ordered dense int ids (row_number — a
+    * single-partition window, bounded by the same vocabulary size that
+    * makes the dict broadcastable), the edge scan picks its id up via a
+    * broadcast join (no added shuffle of the edge table), the packed
+    * core runs on ids, and two more broadcast joins restore the item
+    * values at pair-result cardinality. Null items drop out at the dict
+    * join exactly as collect_set would drop them. */
+  private def coPurchaseDictPacked(edges: DataFrame, basketCol: String,
+                                   itemCol: String, threshold: Double,
+                                   maxBasket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__item"))
+    val dict = edges.select(col(itemCol).as("__item"))
+      .where(col("__item").isNotNull)
+      .distinct()
+      .select(col("__item"), row_number().over(w).as("__did"))
+    val baskets = edges
+      .select(col(basketCol).as("b"), col(itemCol).as("__item"))
+      .join(broadcast(dict), "__item")
+      .groupBy("b")
+      .agg(sort_array(collect_set(col("__did"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+    packedJaccard(baskets, threshold)
+      .join(broadcast(dict.select(col("__did").as("item_a"),
+        col("__item").as("__va"))), "item_a")
+      .join(broadcast(dict.select(col("__did").as("item_b"),
+        col("__item").as("__vb"))), "item_b")
+      .select(col("__va").as("item_a"), col("__vb").as("item_b"),
+        col("shared"), col("jaccard"))
+  }
+
+  private def coPurchaseGeneric(edges: DataFrame, basketCol: String,
+                                itemCol: String, threshold: Double,
+                                maxBasket: Int): DataFrame = {
     // ONE basket-keyed shuffle: per-basket distinct item set via
     // collect_set (partial aggregation dedupes map-side), sorted so
     // pair order and the basket-size cap are deterministic. This

@@ -243,10 +243,58 @@ class EngineSpec extends SparkSpec {
       ("x", "y", 2L, 1.0),
       ("x", "z", 1L, 0.3333),
       ("y", "z", 1L, 0.3333)))
+    // the dict-packed path (default for strings) and the generic
+    // two-column aggregate agree exactly
+    val generic = Graph.coPurchaseSimilarity(edges, "basket", "item",
+        threshold = 0.0, maxBasket = 3, dictPack = false)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(generic == got)
     // without the cap the mega-basket inflates every pair
     val uncapped = Graph.coPurchaseSimilarity(edges, "basket", "item",
       threshold = 0.0).count()
     assert(uncapped == 6L) // all C(4,2) pairs co-occur via basket 9
+  }
+
+  test("coPurchaseSimilarity packed paths: int direct, long via dict, wide values") {
+    import graft.analytics.Graph
+    // Long items incl. a negative and one far outside 32 bits: the
+    // dense-dict remap must stay a bijection and keep numeric order
+    val edges = Seq(
+      (1L, -7L), (1L, 5L),
+      (2L, -7L), (2L, 5L), (2L, 1L << 40),
+      (3L, 1L << 40),
+      (9L, -7L), (9L, 5L), (9L, 1L << 40), (9L, 11L)
+    ).toDF("basket", "item")
+    val got = Graph.coPurchaseSimilarity(edges, "basket", "item",
+        threshold = 0.0, maxBasket = 3)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (-7L, 5L, 2L, 1.0),
+      (-7L, 1L << 40, 1L, 0.3333),
+      (5L, 1L << 40, 1L, 0.3333)))
+    // output item columns keep the input's long type
+    val schema = Graph.coPurchaseSimilarity(edges, "basket", "item", 0.0).schema
+    assert(schema("item_a").dataType.typeName == "long")
+    // int items take the direct packed path (no dict) — same answer,
+    // int schema preserved
+    val intEdges = Seq(
+      (1, -7), (1, 5),
+      (2, -7), (2, 5), (2, 9),
+      (3, 9),
+      (9, -7), (9, 5), (9, 9), (9, 11)
+    ).toDF("basket", "item")
+    val gotInt = Graph.coPurchaseSimilarity(intEdges, "basket", "item",
+        threshold = 0.0, maxBasket = 3)
+      .orderBy("item_a", "item_b")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(gotInt == Seq(
+      (-7, 5, 2L, 1.0),
+      (-7, 9, 1L, 0.3333),
+      (5, 9, 1L, 0.3333)))
+    assert(Graph.coPurchaseSimilarity(intEdges, "basket", "item", 0.0)
+      .schema("item_a").dataType.typeName == "integer")
   }
 
   test("streaming temporal enrichment equals the batch as-of join on the visible horizon") {
