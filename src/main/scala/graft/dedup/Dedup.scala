@@ -322,11 +322,34 @@ object Dedup {
 
   /** Blocked n-gram Jaccard similarity join: candidates share a blocking
     * key (default: a coarse length bucket + first token), exact Jaccard
-    * on distinct n-gram sets. */
+    * on distinct n-gram sets.
+    *
+    * SCALE SHAPE — two mechanisms bound the quadratic within-block pair
+    * growth the caller's block key alone cannot (at fixed |blk|
+    * cardinality, pairs grow with corpus²):
+    *
+    *  - LENGTH-BAND SUB-BLOCKING (always on): each doc's gram-set size
+    *    is banded on a log scale with base 1/t; jaccard ≥ t implies
+    *    min(|A|,|B|)/max(|A|,|B|) ≥ t, which implies the two bands
+    *    differ by at most 1 — so the left side is replicated across
+    *    {band-1, band, band+1}, the join key becomes (blk, band, salt),
+    *    and every ratio-passing pair still meets exactly once (the
+    *    right side holds one deterministic (band, salt)). This is the
+    *    length-filter equi-join of Vernica et al. (SIGMOD'10) — a
+    *    content-derived refinement that costs 3× left-side replication
+    *    and prunes O(corpus²) same-block/different-length candidates
+    *    BEFORE the join, not after.
+    *
+    *  - PAIR-BUDGET GUARD (`maxCandidatePairs > 0`): a 1-row broadcast
+    *    precount of Σ candidate pairs rides the plan and fails the job
+    *    loud — naming MinHash+LSH as the scale route — before the pair
+    *    stage detonates. Off by default; production pipelines at
+    *    unknown corpus scale should set it. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.4,
-                        saltBuckets: Int = 8): DataFrame = {
+                        saltBuckets: Int = 8,
+                        maxCandidatePairs: Long = 0L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // Grams are hashed (xxhash64) and sorted ONCE per doc; the per-pair
     // Jaccard is then a single merge scan over two sorted long arrays
@@ -357,12 +380,64 @@ object Dedup {
     // The left-side replication multiplies its shuffle by `saltBuckets`,
     // a bounded, partition-parallel cost (vs. unbounded driver collect).
     val jac = graft.functions.GraftFunctions.jaccardSorted(col("l.grams"), col("r.grams"))
-    val lhs = grams.withColumn("salt",
-      explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
-    val rhs = grams.withColumn("salt",
+    // Log-scale length band: floor(ln(sz)/ln(1/t')). Bands ≥ 2 apart
+    // imply size ratio < t' (below even the margined prune), so banding
+    // with ±1 left-replication is output-identical to blocking on blk
+    // alone. t' ≥ ~1 would make the base ≤ 1 (degenerate); the band
+    // then collapses to a constant and the code path reduces to the
+    // plain (blk, salt) join.
+    val tPrime = threshold - 0.00005
+    val logBase = if (tPrime > 0 && tPrime < 1) math.log(1.0 / tPrime) else 0.0
+    val bandOf =
+      if (logBase > 0) floor(log(col("sz")) / lit(logBase)).cast("int")
+      else lit(0)
+    val banded = grams.withColumn("band", bandOf)
+    val lhs = banded
+      .withColumn("band", explode(array(
+        col("band") - 1, col("band"), col("band") + 1)))
+      .withColumn("salt",
+        explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
+    val rhs = banded.withColumn("salt",
       pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).as("r")
-    lhs.join(rhs,
+    // Optional fail-loud candidate budget: count docs per (blk, band),
+    // self-join the tiny count table on blk & |Δband| ≤ 1 to get the
+    // exact candidate-pair total the join below would enumerate, and
+    // ride the 1-row verdict through the plan as a broadcast cross
+    // join (no eager driver job — it evaluates with the query).
+    val guarded =
+      if (maxCandidatePairs <= 0) lhs
+      else {
+        val bc = banded.groupBy("blk", "band")
+          .agg(count(lit(1)).as("nb"))
+        // Each unordered pair is counted twice by the ordered (x,y)
+        // sweep (same-band: n(n-1); cross-band: n_x·n_y both ways), so
+        // the bracket is even and the halving exact.
+        val cand = bc.as("x").join(bc.as("y"),
+            col("x.blk") === col("y.blk") &&
+            (col("y.band") - col("x.band")).between(-1, 1))
+          .agg(floor(coalesce(sum(
+            when(col("x.band") === col("y.band"),
+              col("x.nb") * (col("x.nb") - 1))
+            .otherwise(col("x.nb") * col("y.nb"))), lit(0L)) / 2)
+            .cast("long").as("cand"))
+          .select(when(col("cand") <= lit(maxCandidatePairs), lit(true))
+            .otherwise(raise_error(concat(
+              lit("ngramJaccardPairs: candidate pair count "),
+              col("cand").cast("string"),
+              lit(s" exceeds maxCandidatePairs=$maxCandidatePairs; " +
+                "at this corpus scale use MinHash+LSH " +
+                "(Dedup.minhashPairs) instead of the exact " +
+                "n-gram join, or refine the blocking key"))))
+            .as("__budget_ok"))
+        // where() (not drop()) keeps the verdict column live past
+        // column pruning, so the raise_error cannot be optimized out.
+        lhs.crossJoin(broadcast(cand))
+          .where(col("__budget_ok"))
+          .drop("__budget_ok").as("l")
+      }
+    guarded.join(rhs,
         col("l.blk") === col("r.blk") && col("l.salt") === col("r.salt") &&
+        col("l.band") === col("r.band") &&
         col("l.id") < col("r.id") &&
         // Size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
         // size mismatch can never clear the threshold — cheap compares

@@ -53,6 +53,46 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("ngram jaccard: length-band sub-blocking is output-invariant; budget guard fails loud") {
+    // Wildly different lengths in one block: bands prune those
+    // candidates pre-join, but every ratio-passing pair must survive —
+    // compare against a band-degenerate run (threshold margin makes
+    // logBase 0 path unreachable, so compare vs the same call at a
+    // tiny threshold filtered up instead).
+    val mixed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog!", "a"),
+      (3L, "tiny", "a"),
+      (4L, ("the quick brown fox jumps over the lazy dog " * 20).trim, "a")
+    ).toDF("doc_id", "text", "source")
+    val banded = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "source", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // exhaustive reference: threshold low enough that every pair is a
+    // candidate (same band ±1 covers all sizes only at tiny thresholds
+    // — at 0.01 the ratio prune keeps everything), filtered to 0.5
+    val exhaustive = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "source", 3, 0.01)
+      .filter(col("jaccard") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded == exhaustive)
+    // (1,2) near-identical; (1,4)/(2,4) pass too — doc 4 repeats one
+    // sentence, so its DISTINCT gram set matches docs 1/2 (and its set
+    // SIZE lands in the same band: bands key on distinct-gram count,
+    // not raw length). doc 3 ("tiny") is band-pruned and sub-threshold.
+    assert(banded.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // budget guard: 4 docs (3 bands) → few candidates; cap below that
+    // count fails loud naming the MinHash path, generous cap passes
+    val ex = intercept[Exception] {
+      Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "source", 3, 0.5,
+        maxCandidatePairs = 1L).collect()
+    }
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(msg)).mkString(" ")
+    assert(msg(ex).contains("minhashPairs"))
+    val guarded = Dedup.ngramJaccardPairs(mixed, "doc_id", "text", "source", 3, 0.5,
+      maxCandidatePairs = 1000000L).as[(Long, Long, Double)].collect().toSet
+    assert(guarded == banded)
+  }
+
   test("embedding cosine pairs stay within cells and above threshold") {
     val embs = Seq(
       (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f), 0),
