@@ -165,6 +165,29 @@ object SparkEntry {
     "q_load_page" -> ((s, dir) =>
       Sources.pageAfter(T(s, dir, "events"), "event_id", 1000L, 50)
         .select("event_id", "event_type")),
+    // Geo layer (graft.geo.Geo — the reference's geopandas surface):
+    // events get deterministic synthetic WGS84 coordinates (the test
+    // tables carry none), a point struct is attached, a bounding box
+    // filters it, and the WKT rendering + haversine distance to a fixed
+    // anchor ride along — all scan-stage expressions, no shuffle. The
+    // oracle replays the identical IEEE arithmetic.
+    "q_geo_filter" -> ((s, dir) => {
+      import graft.geo.Geo
+      val e = T(s, dir, "events")
+        .withColumn("lat",
+          (col("event_id") % 1600L).cast("double") / 10.0 - 80.0)
+        .withColumn("lon",
+          ((col("user_id") * 37L + col("event_id")) % 3200L).cast("double") / 10.0 - 160.0)
+      val pts = Geo.withPoint(e, "lat", "lon")
+      val anchor = Geo.point(lit(-73.99), lit(40.73))
+      pts.filter(Geo.bboxContains(col("geometry"), -100.0, 10.0, -50.0, 45.0))
+        .select(col("event_id"),
+          col("geometry.lon").as("lon"), col("geometry.lat").as("lat"),
+          Geo.toWkt(col("geometry"), 4).as("wkt"),
+          graft.functions.Det.round4(
+            Geo.haversineKm(col("geometry"), anchor)).as("km_to_anchor"))
+        .orderBy("event_id")
+    }),
     "q_count" -> ((s, dir) =>
       T(s, dir, "orders")
         .filter(Sources.dateFilter(col("o_orderdate"), Year(1996)))
@@ -1071,6 +1094,33 @@ object SparkEntry {
     "q_load_page" ->
       """SELECT event_id, event_type FROM events WHERE event_id > 1000
         |ORDER BY event_id LIMIT 50""".stripMargin,
+    "q_geo_filter" -> {
+      // Scala-folded double constants, round-tripped as strings so the
+      // oracle multiplies by the SAME IEEE double (pagerank pattern)
+      val degToRad = (math.Pi / 180.0).toString
+      val twoR = (2.0 * 6371.0088).toString
+      s"""WITH pts AS (
+         |  SELECT event_id,
+         |    CAST((user_id * 37 + event_id) % 3200 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(160 AS DOUBLE) AS lon,
+         |    CAST(event_id % 1600 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(80 AS DOUBLE) AS lat
+         |  FROM events),
+         |f AS (SELECT * FROM pts
+         |  WHERE lon >= -100 AND lon <= -50 AND lat >= 10 AND lat <= 45),
+         |h AS (SELECT event_id, lon, lat,
+         |    sin((CAST('40.73' AS DOUBLE) - lat) * CAST('$degToRad' AS DOUBLE) / 2) AS slat,
+         |    sin((CAST('-73.99' AS DOUBLE) - lon) * CAST('$degToRad' AS DOUBLE) / 2) AS slon,
+         |    cos(lat * CAST('$degToRad' AS DOUBLE)) *
+         |      cos(CAST('40.73' AS DOUBLE) * CAST('$degToRad' AS DOUBLE)) AS cc
+         |  FROM f)
+         |SELECT event_id, lon, lat,
+         |  printf('POINT (%.4f %.4f)', lon, lat) AS wkt,
+         |  CAST(floor(CAST('$twoR' AS DOUBLE) *
+         |      asin(sqrt(slat * slat + cc * (slon * slon)))
+         |      * 10000 + 0.5) AS DOUBLE) / 10000 AS km_to_anchor
+         |FROM h ORDER BY event_id""".stripMargin
+    },
     "q_count" ->
       """SELECT count(*) AS cnt FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,

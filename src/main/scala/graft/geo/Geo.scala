@@ -1,0 +1,121 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Geo column support — the Spark-first restatement of the reference's
+  * optional geopandas layer (openpolicedata/data.py:36 `import
+  * geopandas`, data_loaders/arcgis_class.py:540 / carto.py:318 point
+  * geometry construction from per-record x/y, data.py:516/:532
+  * geo-suffixed export filenames, data.py:624 geo explode handling).
+  *
+  * Representation: a plain `struct<lon double, lat double>` column
+  * (EPSG:4326 order matches the reference's `Point(x=lon, y=lat)`).
+  * Deliberately NOT an opaque geometry blob: a struct of two doubles is
+  * codegen-friendly, survives parquet pushdown on its fields
+  * (`geometry.lat > …` prunes row groups), groups/joins like any other
+  * column, and — unlike the geopandas explode bug the reference warns
+  * about at data.py:624-630 — behaves identically under explode/expand,
+  * because Spark structs are value types in the row. WKT/geofeather
+  * renderings are provided for interchange.
+  *
+  * Scale shape: every function here is a scan-stage expression — no
+  * shuffle, no UDF, no driver participation. A bounding-box filter
+  * compiles to two range predicates on struct fields, which Spark
+  * pushes to the parquet reader.
+  */
+object Geo {
+
+  val PointType: StructType = StructType(Seq(
+    StructField("lon", DoubleType), StructField("lat", DoubleType)))
+
+  /** Point-struct check ignoring nullability (expression-built structs
+    * carry non-nullable fields, parquet reloads nullable ones). */
+  def isPointType(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fields.length == 2 &&
+        st.fields(0).name == "lon" && st.fields(0).dataType == DoubleType &&
+        st.fields(1).name == "lat" && st.fields(1).dataType == DoubleType
+    case _ => false
+  }
+
+  /** Point struct from lon/lat, nulled when either coordinate is null,
+    * NaN, or outside WGS84 bounds (the reference appends
+    * `Point(nan, nan)` for ArcGIS "NaN" markers — arcgis_class.py:535 —
+    * which pandas drops on any coordinate math; a null struct is the
+    * Spark-native equivalent that aggregates and filters correctly). */
+  def point(lon: Column, lat: Column): Column = {
+    val lo = lon.cast("double")
+    val la = lat.cast("double")
+    when(lo.isNotNull && la.isNotNull && !isnan(lo) && !isnan(la) &&
+        la >= -90d && la <= 90d && lo >= -180d && lo <= 180d,
+      struct(lo.as("lon"), la.as("lat")))
+  }
+
+  /** Attach a `geometry` point column built from existing lat/lon
+    * columns — the loader-side plumbing of arcgis_class.py:540. */
+  def withPoint(df: DataFrame, latCol: String, lonCol: String,
+                outCol: String = "geometry"): DataFrame =
+    df.withColumn(outCol, point(col(lonCol), col(latCol)))
+
+  /** Name-based lat/lon column detection (the reference identifies
+    * special columns by name pattern throughout preproc.py; geo columns
+    * arrive named latitude/longitude or x/y from the portals). Returns
+    * (latCol, lonCol): exact canonical names win over suffix matches so
+    * `lat_err` never shadows `latitude`. */
+  def findLatLonColumns(df: DataFrame): Option[(String, String)] = {
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z]", "")
+    val cols = df.columns
+    def pick(exact: Seq[String], loose: Seq[String]): Option[String] =
+      cols.find(c => exact.contains(norm(c)))
+        .orElse(cols.find(c => loose.exists(norm(c).endsWith)))
+    for {
+      lat <- pick(Seq("latitude", "lat", "pointy", "y"), Seq("latitude"))
+      lon <- pick(Seq("longitude", "long", "lon", "lng", "pointx", "x"),
+        Seq("longitude"))
+    } yield (lat, lon)
+  }
+
+  /** WKT rendering (`POINT (lon lat)`), fixed decimals so the string is
+    * deterministic across engines; null point → null. */
+  def toWkt(p: Column, decimals: Int = 6): Column =
+    when(p.isNotNull,
+      format_string(s"POINT (%.${decimals}f %.${decimals}f)",
+        p.getField("lon"), p.getField("lat")))
+
+  /** Parse `POINT (x y)` back to the point struct (geofeather reload
+    * path). Non-point / malformed text → null. */
+  def parseWkt(s: Column): Column = {
+    val lon = regexp_extract(s, "^POINT \\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)$", 1)
+    val lat = regexp_extract(s, "^POINT \\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)$", 2)
+    when(lon =!= "" && lat =!= "",
+      struct(lon.cast("double").as("lon"), lat.cast("double").as("lat")))
+  }
+
+  /** Bounding-box predicate: point inside [minLon,maxLon]×[minLat,
+    * maxLat] (inclusive). Null point → false. Compiles to four range
+    * compares on struct fields — parquet-pushable. */
+  def bboxContains(p: Column, minLon: Double, minLat: Double,
+                   maxLon: Double, maxLat: Double): Column =
+    p.isNotNull &&
+      p.getField("lon") >= minLon && p.getField("lon") <= maxLon &&
+      p.getField("lat") >= minLat && p.getField("lat") <= maxLat
+
+  /** Great-circle distance in km (haversine, WGS84 mean radius). The
+    * double arithmetic is the same IEEE sequence in any engine that
+    * evaluates this formula, so an oracle reproduces it bit-for-bit. */
+  def haversineKm(a: Column, b: Column): Column = {
+    def rad(c: Column) = c * lit(math.Pi / 180.0)
+    val dLat = rad(b.getField("lat") - a.getField("lat"))
+    val dLon = rad(b.getField("lon") - a.getField("lon"))
+    // squares via multiplication, not pow(x, 2): * is IEEE-exact in
+    // every engine while pow implementations may differ by an ulp
+    val sLat = sin(dLat / 2)
+    val sLon = sin(dLon / 2)
+    val h = sLat * sLat +
+      cos(rad(a.getField("lat"))) * cos(rad(b.getField("lat"))) *
+        (sLon * sLon)
+    lit(2.0 * 6371.0088) * asin(sqrt(h))
+  }
+}

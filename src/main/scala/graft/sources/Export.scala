@@ -36,6 +36,12 @@ object Export {
                       tableType: String, date: Either[String, (String, String)]): String =
     canonicalBase(state, sourceName, agency, tableType, date) + ".parquet"
 
+  /** Geo-suffixed canonical name — data.py:2100 (`.geoparquet` when the
+    * table carries geometry). */
+  def geoParquetFilename(state: String, sourceName: String, agency: String,
+                         tableType: String, date: Either[String, (String, String)]): String =
+    canonicalBase(state, sourceName, agency, tableType, date) + ".geoparquet"
+
   /** `Table.to_csv`: write under outputDir with the canonical name. */
   def toCsv(df: DataFrame, outputDir: String, state: String, sourceName: String,
             agency: String, tableType: String,
@@ -54,6 +60,34 @@ object Export {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** `Table.to_parquet` for a geo table (data.py:532
+    * `get_parquet_filename(geo=True)`): same distributed parquet write,
+    * `.geoparquet` canonical name, and a fail-loud check that the
+    * geometry column actually is the point struct — the reference picks
+    * the suffix from the frame's TYPE (isinstance GeoDataFrame,
+    * data.py:542), so writing a geo name without geometry is a bug. */
+  def toGeoParquet(df: DataFrame, outputDir: String, state: String,
+                   sourceName: String, agency: String, tableType: String,
+                   date: Either[String, (String, String)],
+                   geometryCol: String = "geometry"): String = {
+    require(df.columns.contains(geometryCol) &&
+        graft.geo.Geo.isPointType(df.schema(geometryCol).dataType),
+      s"toGeoParquet: column '$geometryCol' must be the " +
+        s"struct<lon double, lat double> point column (got " +
+        s"${df.schema.find(_.name == geometryCol).map(_.dataType).getOrElse("absent")})")
+    val path = s"$outputDir/${geoParquetFilename(state, sourceName, agency, tableType, date)}"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Reload a `.geoparquet` export; the point struct round-trips
+    * natively through parquet. */
+  def loadGeoParquet(spark: org.apache.spark.sql.SparkSession, outputDir: String,
+                     state: String, sourceName: String, agency: String,
+                     tableType: String, date: Either[String, (String, String)]): DataFrame =
+    spark.read.parquet(
+      s"$outputDir/${geoParquetFilename(state, sourceName, agency, tableType, date)}")
 
   /** Hive-partitioned parquet layout — the 100 TB twin of the
     * reference's year-chunked iteration (`load_iter(year=...)` /

@@ -193,4 +193,41 @@ object Feather {
                   sourceName: String, agency: String, tableType: String,
                   date: Either[String, (String, String)]): DataFrame =
     read(spark, s"$outputDir/${featherFilename(state, sourceName, agency, tableType, date)}")
+
+  // ---- geofeather (data.py:516 get_feather_filename(geo=True),
+  //      :2051 '.geofeather') -------------------------------------------
+
+  def geoFeatherFilename(state: String, sourceName: String, agency: String,
+                         tableType: String, date: Either[String, (String, String)]): String =
+    Export.canonicalBase(state, sourceName, agency, tableType, date) + ".geofeather"
+
+  /** Geo feather export: the point struct serializes as WKT text (the
+    * writer above is deliberately flat-scalar; WKT is the interchange
+    * form every geo reader parses), written under the `.geofeather`
+    * canonical name. Fail-loud if the geometry column is missing or not
+    * the point struct, matching toGeoParquet. */
+  def toGeoFeather(df: DataFrame, outputDir: String, state: String,
+                   sourceName: String, agency: String, tableType: String,
+                   date: Either[String, (String, String)],
+                   geometryCol: String = "geometry"): String = {
+    require(df.columns.contains(geometryCol) &&
+        graft.geo.Geo.isPointType(df.schema(geometryCol).dataType),
+      s"toGeoFeather: column '$geometryCol' must be the " +
+        "struct<lon double, lat double> point column")
+    val flat = df.withColumn(geometryCol,
+      graft.geo.Geo.toWkt(org.apache.spark.sql.functions.col(geometryCol)))
+    write(flat, s"$outputDir/${geoFeatherFilename(state, sourceName, agency, tableType, date)}")
+  }
+
+  /** Reload a `.geofeather` export, parsing the WKT column back into
+    * the point struct. */
+  def loadGeoFeather(spark: SparkSession, outputDir: String, state: String,
+                     sourceName: String, agency: String, tableType: String,
+                     date: Either[String, (String, String)],
+                     geometryCol: String = "geometry"): DataFrame = {
+    val flat = read(spark,
+      s"$outputDir/${geoFeatherFilename(state, sourceName, agency, tableType, date)}")
+    flat.withColumn(geometryCol,
+      graft.geo.Geo.parseWkt(org.apache.spark.sql.functions.col(geometryCol)))
+  }
 }
