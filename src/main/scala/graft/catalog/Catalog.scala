@@ -50,6 +50,76 @@ object Catalog {
         col("year"))
   }
 
+  // ---- catalog build/reload from CSV (datasets.py:32 _build, :94
+  //      reload) -------------------------------------------------------
+
+  /** Build the catalog DataFrame from a user-supplied source-table CSV
+    * with the reference's cleaning steps (datasets.py:32 `_build`):
+    *
+    *  1. legacy rename Jurisdiction → Agency, jurisdiction_field →
+    *     agency_field (datasets.py:70);
+    *  2. every string cell trimmed (datasets.py:65);
+    *  3. Year: digit strings coerce to int, "MULTI" → "MULTIPLE"
+    *     (defs.py:290; kept as a string column since MULTI/NA markers
+    *     and years share it, exactly like the pandas object column);
+    *  4. SourceName/Agency: "Police Department" removed, Agency
+    *     "MULTI" → "MULTIPLE" (datasets.py:59-60);
+    *  5. ArcGIS URLs truncated after the (MapServer|FeatureServer)/#
+    *     layer (datasets.py:68-77);
+    *  6. duplicate keys dropped on the reference's key columns
+    *     (datasets.py:79-80);
+    *  7. coverage_start/coverage_end m/d/yyyy strings parsed to dates
+    *     (datasets.py:82-87).
+    *
+    * All cleaning is scan-stage expressions over the (small) catalog —
+    * distributed-safe but typically driver-local. Columns the CSV lacks
+    * are passed through absent, matching `_build`'s `if "x" in df`
+    * guards. */
+  def build(spark: SparkSession, csvPath: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(csvPath)
+    var df = raw
+    if (df.columns.contains("Jurisdiction"))
+      df = df.withColumnRenamed("Jurisdiction", "Agency")
+    if (df.columns.contains("jurisdiction_field"))
+      df = df.withColumnRenamed("jurisdiction_field", "agency_field")
+    // trim all string cells first (the reference trims after its
+    // per-column fixes, but every fix below is trim-insensitive on
+    // digit/keyword matches, and trimming first lets them see clean
+    // values — same fixpoint)
+    df = df.select(df.columns.map(c => trim(col(c)).as(c)): _*)
+    if (df.columns.contains("Year"))
+      df = df.withColumn("Year",
+        when(col("Year") === "MULTI", lit(YearMulti)).otherwise(col("Year")))
+    if (df.columns.contains("SourceName"))
+      df = df.withColumn("SourceName",
+        trim(regexp_replace(col("SourceName"), "Police Department", "")))
+    if (df.columns.contains("Agency"))
+      df = df.withColumn("Agency",
+        when(col("Agency") === "MULTI", lit(YearMulti))
+          .otherwise(trim(regexp_replace(col("Agency"), "Police Department", ""))))
+    if (df.columns.contains("URL") && df.columns.contains("DataType"))
+      df = df.withColumn("URL",
+        when(col("DataType") === "ArcGIS",
+          regexp_extract(col("URL"), "^(.*?(?:MapServer|FeatureServer)/\\d+)", 1))
+        .otherwise(col("URL")))
+    val keyVals = Seq("State", "SourceName", "Agency", "TableType", "Year",
+      "coverage_start", "coverage_end").filter(df.columns.contains)
+    if (keyVals.nonEmpty) df = df.dropDuplicates(keyVals)
+    for (c <- Seq("coverage_start", "coverage_end") if df.columns.contains(c))
+      df = df.withColumn(c,
+        when(col(c).rlike("\\d{1,2}/\\d{1,2}/\\d{4}"),
+          to_date(col(c), "M/d/yyyy").cast("string")).otherwise(col(c)))
+    df
+  }
+
+  /** `datasets.reload` (datasets.py:94): rebuild from a CSV, fail-loud
+    * (error=True semantics — a missing/bad file throws). */
+  def reload(spark: SparkSession, csvPath: String): DataFrame = {
+    require(new java.io.File(csvPath).isFile,
+      s"reload: catalog CSV not found: $csvPath")
+    build(spark, csvPath)
+  }
+
   /** `datasets.query(state=, table_type=)` (datasets.py:107): filtered
     * distinct catalog entries. */
   def query(cat: DataFrame, state: Option[String] = None,

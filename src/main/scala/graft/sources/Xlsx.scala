@@ -60,9 +60,73 @@ object Xlsx {
     c - 1
   }
 
+  /** The reference's unsupported-format note (excel.py:280). */
+  private val UnsupportedLegacyMsg =
+    "Older Excel files (.xls) and OpenDocument file formats " +
+      "(.odf, .ods, .odt) are not supported. Please submit an issue " +
+      "if this is needed."
+
+  /** Detect payloads this parser cannot read and fail with the
+    * reference's message instead of an opaque zip/XML parse error:
+    *
+    *  - CFB container (magic D0 CF 11 E0 A1 B1 1A E1) wrapping an
+    *    ENCRYPTED OOXML workbook — identified by the EncryptionInfo /
+    *    EncryptedPackage streams in the CFB directory (excel.py:140
+    *    decrypts these with msoffcrypto's 'VelvetSweatshop' default for
+    *    one allow-listed dataset; decryption is out of scope here, so
+    *    the error says to decrypt first);
+    *  - CFB container holding a legacy .xls (BIFF) workbook;
+    *  - OpenDocument spreadsheet (a zip whose `mimetype` entry names
+    *    opendocument) — the reference documents both as unsupported.
+    *
+    * Directory stream names are UTF-16LE in the CFB directory sectors;
+    * scanning the first 4 MB for the encoded names is format-faithful
+    * without a full CFB reader (the directory sits near the front). */
+  private[sources] def checkSupportedFormat(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return
+    val in = new java.io.FileInputStream(f)
+    val head = try {
+      val buf = new Array[Byte](math.min(f.length(), 4L << 20).toInt)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      buf
+    } finally in.close()
+    val cfbMagic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte)
+    if (head.length >= 8 && head.take(8).sameElements(cfbMagic)) {
+      def utf16(s: String): Array[Byte] =
+        s.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
+      def contains(needle: Array[Byte]): Boolean =
+        head.indexOfSlice(needle) >= 0
+      if (contains(utf16("EncryptionInfo")) || contains(utf16("EncryptedPackage")))
+        throw new IllegalArgumentException(
+          "graft-xlsx: workbook is encrypted (CFB-wrapped OOXML). " +
+            "Decrypt it first (the reference uses msoffcrypto with the " +
+            "'VelvetSweatshop' default password for one allow-listed " +
+            "dataset, excel.py:140); encrypted workbooks are not " +
+            "supported here.")
+      throw new IllegalArgumentException("graft-xlsx: " + UnsupportedLegacyMsg)
+    }
+  }
+
   private def withZip[T](path: String)(f: ZipFile => T): T = {
+    checkSupportedFormat(path)
     val zf = new ZipFile(path)
-    try f(zf) finally zf.close()
+    try {
+      // OpenDocument spreadsheets are zips too; catch them before the
+      // missing-xl/workbook.xml error surfaces as "not an xlsx".
+      Option(zf.getEntry("mimetype")).foreach { e =>
+        val is = zf.getInputStream(e)
+        val mime = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+          finally is.close()
+        if (mime.contains("opendocument"))
+          throw new IllegalArgumentException("graft-xlsx: " + UnsupportedLegacyMsg)
+      }
+      f(zf)
+    } finally zf.close()
   }
 
   private def zipDoc(zf: ZipFile, name: String): Option[org.w3c.dom.Document] =

@@ -229,4 +229,45 @@ class SourcesSpec extends SparkSpec {
     assert(got(0).getAs[String]("only_a") == "x" && got(0).isNullAt(2))
     assert(got(1).isNullAt(1) && got(1).getAs[Double]("only_b") == 3.0)
   }
+
+  test("catalog reload from CSV applies the reference's _build cleaning; queries run on it") {
+    import graft.catalog.Catalog
+    val csv = java.nio.file.Files.createTempFile("graft_catalog", ".csv")
+    java.nio.file.Files.write(csv,
+      ("""State,SourceName,Jurisdiction,TableType,Year,DataType,URL,coverage_start,coverage_end,min_version
+        |Texas, Austin Police Department ,Austin Police Department,TRAFFIC STOPS,2021,Socrata,https://data.austintexas.gov/x,1/1/2021,12/31/2021,
+        |Texas,Austin Police Department,Austin Police Department,TRAFFIC STOPS,2021,Socrata,https://data.austintexas.gov/x,1/1/2021,12/31/2021,
+        |Virginia,Virginia,MULTI,STOPS,MULTI,ArcGIS,https://services.arcgis.com/a/FeatureServer/3/query?f=json,,,
+        |California,Oakland,Oakland,USE OF FORCE - INCIDENTS,2019,CSV,https://oakland.example/uof.csv,,,0.1
+        |""".stripMargin).getBytes("UTF-8"))
+    val cat = Catalog.reload(spark, csv.toString)
+    // legacy rename happened
+    assert(cat.columns.contains("Agency") && !cat.columns.contains("Jurisdiction"))
+    // duplicate key rows collapsed (rows 1+2 differ only by padding)
+    assert(cat.count() == 3)
+    val austin = cat.filter(col("State") === "Texas").head()
+    // "Police Department" stripped + trimmed in SourceName and Agency
+    assert(austin.getAs[String]("SourceName") == "Austin")
+    assert(austin.getAs[String]("Agency") == "Austin")
+    // coverage dates parsed from m/d/yyyy
+    assert(austin.getAs[String]("coverage_start") == "2021-01-01")
+    assert(austin.getAs[String]("coverage_end") == "2021-12-31")
+    val va = cat.filter(col("State") === "Virginia").head()
+    // MULTI markers normalized; ArcGIS URL truncated after the layer
+    assert(va.getAs[String]("Agency") == "MULTIPLE")
+    assert(va.getAs[String]("Year") == "MULTIPLE")
+    assert(va.getAs[String]("URL") == "https://services.arcgis.com/a/FeatureServer/3")
+    // the standard catalog queries run against the reloaded frame
+    val q = Catalog.queryBy(cat,
+      Map("State" -> "Texas", "TableType" -> "TRAFFIC STOPS"))
+    assert(q.count() == 1)
+    assert(Catalog.tableTypes(cat.withColumnRenamed("TableType", "table_type"),
+      Some("stops")).count() == 2) // TRAFFIC STOPS + STOPS
+    // version gating composes with the reloaded catalog
+    assert(Catalog.compatible(cat, "1.0").count() == 3)
+    assert(Catalog.compatible(cat, "0.0.1").count() == 2) // Oakland gated
+    // missing file fails loud (reload's error=True semantics)
+    intercept[IllegalArgumentException](
+      Catalog.reload(spark, "/nonexistent/catalog.csv"))
+  }
 }

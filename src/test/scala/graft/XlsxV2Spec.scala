@@ -121,6 +121,56 @@ class XlsxV2Spec extends SparkSpec {
     assert(base.filter(col("b") === "x" || col("a") === "2").count() == 2)
   }
 
+  test("encrypted OOXML (CFB + EncryptionInfo) fails loud, not with a zip error") {
+    val dir = tmpDir()
+    val p = s"$dir/enc.xlsx"
+    val out = new java.io.FileOutputStream(p)
+    try {
+      out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+        .map(_.toByte))
+      out.write(new Array[Byte](512 - 8)) // CFB header sector padding
+      out.write("EncryptionInfo".flatMap(c => Seq(c.toByte, 0.toByte)).toArray)
+      out.write("EncryptedPackage".flatMap(c => Seq(c.toByte, 0.toByte)).toArray)
+    } finally out.close()
+    val ex = intercept[IllegalArgumentException](Xlsx.header(p, "Sheet1"))
+    assert(ex.getMessage.contains("encrypted"))
+    assert(ex.getMessage.contains("VelvetSweatshop")) // names the reference's decrypt path
+  }
+
+  test("legacy .xls (CFB without encryption streams) gets the reference's unsupported message") {
+    val dir = tmpDir()
+    val p = s"$dir/old.xls"
+    val out = new java.io.FileOutputStream(p)
+    try {
+      out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+        .map(_.toByte))
+      out.write(new Array[Byte](512 - 8))
+      out.write("Workbook".flatMap(c => Seq(c.toByte, 0.toByte)).toArray)
+    } finally out.close()
+    val ex = intercept[IllegalArgumentException](Xlsx.header(p, "Sheet1"))
+    assert(ex.getMessage.contains(
+      "Older Excel files (.xls) and OpenDocument file formats"))
+  }
+
+  test("OpenDocument spreadsheet (zip + opendocument mimetype) is rejected with the same message") {
+    val dir = tmpDir()
+    val p = s"$dir/sheet.ods"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("mimetype"))
+      zos.write("application/vnd.oasis.opendocument.spreadsheet".getBytes("UTF-8"))
+      zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+      zos.write("<office/>".getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    val ex = intercept[IllegalArgumentException](Xlsx.header(p, "Sheet1"))
+    assert(ex.getMessage.contains("OpenDocument file formats"))
+    // a real xlsx (also a zip) still opens fine after the sniffing
+    Xlsx.write(s"$dir/ok.xlsx", Seq(("Sheet1", Seq(Seq("a"), Seq("1")))))
+    assert(Xlsx.header(s"$dir/ok.xlsx", "Sheet1").toSeq == Seq("a"))
+  }
+
   test("heterogeneous files align by name, missing columns null") {
     val dir = tmpDir()
     Xlsx.write(s"$dir/a.xlsx", Seq(("Sheet1", Seq(Seq("id", "race"), Seq("1", "W")))))
