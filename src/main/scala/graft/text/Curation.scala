@@ -456,13 +456,25 @@ object Curation {
     * is partition-order-independent and the oracle matches bit-for-bit.
     *
     * Scale shape: one exploded-feature count shuffle trains both models
-    * in a single pass (map-side combine); scoring folds the model back
-    * via an equi-join on the feature — NO explicit broadcast (the model
-    * is corpus-vocabulary-sized; AQE broadcasts only while it truly
-    * fits), and only the 1-row totals cross as a literal broadcast. At
+    * in a single pass (map-side combine); the vocabulary-sized model is
+    * materialized once and the per-feature log-ratio table is
+    * HINT-broadcast into the Zipfian scoring join (see the inline
+    * comments for why the planner cannot pick this side itself). At
     * 100 TB the features would be hashed into a fixed bucket count
     * (DSIR's actual trick, making the model a bounded dim); they stay
     * strings here so the oracle joins on the same key.
+    *
+    * EAGER + PINNED (by design): constructing this DataFrame runs the
+    * model-training job immediately (graft.ops.Mat localCheckpoints the
+    * vocabulary aggregate — the lazy form recomputed the exploded-
+    * feature pass three times and mis-planned the build side), and the
+    * checkpoint's MEMORY_AND_DISK blocks stay pinned until the session
+    * ends or the caller runs the standard post-query hygiene
+    * (`spark.sparkContext.getPersistentRDDs.values.foreach(
+    * _.unpersist(false))` once the result is consumed — what Bench and
+    * Verify do). A long-lived session calling dsirWeights repeatedly
+    * WITHOUT that hygiene accumulates one vocabulary-sized block set
+    * per call.
     *
     * Returns (idCol, is_target, n_feats, logw). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,

@@ -320,6 +320,15 @@ class EngineSpec extends SparkSpec {
     assert(streamed == batch)
     // the horizon cut actually withheld the tail events
     assert(streamed.size < e.count())
+    // the idle-TTL retention knob changes STATE lifetime, never the
+    // emitted rows: same output with an armed (generous) TTL
+    val ttld = Streams.runToMemory(
+        Streams.temporalEnrichStream(spark, sfDir, 30, idleTtlMinutes = Some(120)),
+        s"graft_stream_asof_ttl_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("event_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(ttld == streamed)
   }
 
   test("stream-stream interval join equals the batch inequality join") {

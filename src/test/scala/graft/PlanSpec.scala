@@ -186,17 +186,38 @@ class PlanSpec extends SparkSpec {
       // whose subtree contains the Generate (the feature explode) or a
       // file scan would be a corpus-side build, the measured 100 TB
       // killer this plan shape exists to avoid.
-      val dsirPlan = graft.text.Curation.dsirWeights(
+      // Unwrap AQE first: AdaptiveSparkPlanExec is a LEAF node, so a
+      // collect over the wrapper sees nothing and the assertion would
+      // pass vacuously (the r5 ADVICE finding) — traverse the initial
+      // physical plan instead.
+      val rawPlan = graft.text.Curation.dsirWeights(
         docs, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0)
         .queryExecution.executedPlan
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.GenerateExec
-      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-      val badBuilds = dsirPlan.collect { case b: BroadcastExchangeExec => b }
-        .filter(b => b.collect {
-          case g: GenerateExec => g
-          case f: FileSourceScanExec => f
-        }.nonEmpty)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val dsirPlan = rawPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      // inputPlan may not carry exchange nodes yet, so pin the BUILD
+      // SIDE of each broadcast join instead of BroadcastExchangeExec
+      val builds: Seq[SparkPlan] = dsirPlan.collect {
+        case j: BroadcastHashJoinExec =>
+          if (j.buildSide == BuildRight) j.right else j.left
+        case j: BroadcastNestedLoopJoinExec =>
+          if (j.buildSide == BuildRight) j.right else j.left
+      }
+      // sensitivity guard: the bounded totals/lr broadcasts must be
+      // VISIBLE to this traversal, else the check is vacuous again
+      // (the r5 finding: collect over the AQE leaf saw nothing)
+      assert(builds.nonEmpty,
+        s"expected the bounded lr/totals broadcast joins in the unwrapped plan:\n$dsirPlan")
+      val badBuilds = builds.filter(b => b.collect {
+        case g: GenerateExec => g
+        case f: FileSourceScanExec => f
+      }.nonEmpty)
       assert(badBuilds.isEmpty,
         s"corpus side (explode/scan) must never be a broadcast build:\n$dsirPlan")
     }

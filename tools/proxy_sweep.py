@@ -35,7 +35,7 @@ for q in names:
         print(f"[sweep] {q}: TIMEOUT {TMO}s", file=sys.stderr)
         continue
     if r.returncode != 0:
-        errors[q] = r.stderr.strip().splitlines()[-1][:200] if r.stderr else "?"
+        errors[q] = (r.stderr.strip().splitlines() or ["?"])[-1][:200]
         print(f"[sweep] {q}: ERROR", file=sys.stderr)
         continue
     try:

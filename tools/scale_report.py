@@ -37,8 +37,10 @@ print("| --- | --- | --- | --- | --- | --- |")
 heavy = sorted(b1, key=lambda k: -b1[k])[:14]
 for k in HEAD + [h for h in heavy if h not in HEAD]:
     d = p1.get(k)
-    ds = f"{d:.2f}" if d else (f">{pj.get('timeout_s')}" if k in tmo else "—")
-    rs = f"{b1[k]/d:.2f}x" if d else ("**runs where oracle can't**" if k in tmo else "—")
+    ds = f"{d:.2f}" if d is not None else (f">{pj.get('timeout_s')}" if k in tmo else "—")
+    rs = (f"{b1[k]/d:.2f}x" if d else "—") if d is not None \
+        else ("**runs where oracle can't**" if k in tmo else "—")
     g01 = b01.get(k)
     gs = f"{b1[k]/g01:.1f}x" if g01 else "—"
-    print(f"| {k} | {g01:.2f} | {b1[k]:.2f} | {gs} | {ds} | {rs} |")
+    g01s = f"{g01:.2f}" if g01 is not None else "—"
+    print(f"| {k} | {g01s} | {b1[k]:.2f} | {gs} | {ds} | {rs} |")
