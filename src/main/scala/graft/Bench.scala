@@ -13,9 +13,20 @@ import org.apache.spark.sql.SparkSession
   * a run-to-run spread of up to ~3x, and the minimum is the best
   * estimator of plan cost under noise. The first rep doubles as the
   * warmup (JIT + codegen + parquet footer cache); since minima are
-  * taken, warmup cost never leaks into the reported numbers. */
+  * taken, warmup cost never leaks into the reported numbers.
+  *
+  * SPARK_GRAFT_FORK=1 switches to ISOLATED-JVM mode: one child JVM per
+  * query (same classpath/JVM args, SPARK_GRAFT_ONLY pinned), merged
+  * into the same one-line JSON plus `"mode":"fork"`. In-suite numbers
+  * carry single-JVM contamination — accumulated JIT state, codegen
+  * cache pressure, GC debt from 100+ prior queries — measured at 2-5x
+  * on iterative operators (SCALING.md); fork mode trades wall clock
+  * (a full JVM+session start per query) for per-query numbers that
+  * reflect plan cost alone. Default off: the driver's contract is the
+  * in-suite run. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    if (sys.env.getOrElse("SPARK_GRAFT_FORK", "0") == "1") { runForked(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt, 1)
@@ -94,5 +105,73 @@ object Bench {
       "BENCH_FULL.json")), (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line remains the contract
     spark.stop()
+  }
+
+  /** Isolated-JVM mode: spawn one child `graft.Bench` per query with the
+    * parent's exact JVM args + classpath (so --add-opens/-Xmx carry
+    * over), SPARK_GRAFT_ONLY pinned to that query and fork mode off;
+    * parse each child's JSON line and merge. Child stderr (Spark logs)
+    * is inherited; stdout is captured for the JSON. Sequential by
+    * design — parallel children would contend for the same 32 cores and
+    * reintroduce exactly the cross-query interference this mode
+    * removes. */
+  private def runForked(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt, 1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    val names = (only match {
+      case Some(ns) => SparkEntry.queries.keys.filter(ns)
+      case None => SparkEntry.queries.keys
+    }).toSeq.sorted
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val qPair = "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { q =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.environment().put("SPARK_GRAFT_ONLY", q)
+      pb.environment().put("SPARK_GRAFT_FORK", "0")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", "/dev/null")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
+      val rc = p.waitFor()
+      val line = out.linesIterator.filter(_.startsWith("{\"metric\"")).toSeq.lastOption
+      (rc, line) match {
+        case (0, Some(l)) =>
+          val qObj = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(l).map(_.group(1))
+          val eObj = "\"errors\":\\{([^}]*)\\}".r.findFirstMatchIn(l).map(_.group(1))
+          qObj.toSeq.flatMap(qPair.findAllMatchIn).foreach(m =>
+            results(m.group(1)) = m.group(2).toDouble)
+          if (!results.contains(q))
+            errors(q) = eObj.filter(_.nonEmpty)
+              .map(e => s"child error: ${e.take(200)}")
+              .getOrElse("child produced no timing")
+        case _ =>
+          errors(q) = s"fork child rc=$rc"
+      }
+      System.err.println(s"[bench-fork] $q: " +
+        results.get(q).map(t => f"$t%.3f s").getOrElse(errors.getOrElse(q, "?")))
+    }
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, e) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min","mode":"fork"}"""
+    println(line)
+    try Files.write(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FORK.json")), (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
   }
 }

@@ -188,6 +188,32 @@ object SparkEntry {
             Geo.haversineKm(col("geometry"), anchor)).as("km_to_anchor"))
         .orderBy("event_id")
     }),
+    // Grid-blocked radius join (Geo.radiusJoin): events within 600 km
+    // of the nation-derived centers — an equi-join on grid cells plus
+    // the exact haversine filter, never a cross join; the oracle IS the
+    // cross join (25 centers × events is small at oracle scale), so a
+    // hash match proves the blocking loses no pairs.
+    "q_geo_join" -> ((s, dir) => {
+      import graft.geo.Geo
+      val e = T(s, dir, "events")
+        .withColumn("lat",
+          (col("event_id") % 1600L).cast("double") / 10.0 - 80.0)
+        .withColumn("lon",
+          ((col("user_id") * 37L + col("event_id")) % 3200L).cast("double") / 10.0 - 160.0)
+      val pts = Geo.withPoint(e, "lat", "lon")
+        .select(col("event_id"), col("geometry"))
+      val ctr = T(s, dir, "nation")
+        .withColumn("clat",
+          (col("n_nationkey") * 61 % 1500).cast("double") / 10.0 - 75.0)
+        .withColumn("clon",
+          (col("n_nationkey") * 131 % 3100).cast("double") / 10.0 - 155.0)
+        .select(col("n_nationkey").cast("long").as("center_id"),
+          Geo.point(col("clon"), col("clat")).as("center_geometry"))
+      Geo.radiusJoin(pts, ctr, radiusKm = 600.0)
+        .select(col("event_id"), col("center_id"),
+          graft.functions.Det.round4(col("km")).as("km"))
+        .orderBy("event_id", "center_id")
+    }),
     "q_count" -> ((s, dir) =>
       T(s, dir, "orders")
         .filter(Sources.dateFilter(col("o_orderdate"), Year(1996)))
@@ -1130,6 +1156,38 @@ object SparkEntry {
          |      asin(sqrt(slat * slat + cc * (slon * slon)))
          |      * 10000 + 0.5) AS DOUBLE) / 10000 AS km_to_anchor
          |FROM h ORDER BY event_id""".stripMargin
+    },
+    "q_geo_join" -> {
+      val degToRad = (math.Pi / 180.0).toString
+      val twoR = (2.0 * 6371.0088).toString
+      s"""WITH pts AS (
+         |  SELECT event_id,
+         |    CAST((user_id * 37 + event_id) % 3200 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(160 AS DOUBLE) AS lon,
+         |    CAST(event_id % 1600 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(80 AS DOUBLE) AS lat
+         |  FROM events),
+         |ctr AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS center_id,
+         |    CAST((n_nationkey * 61) % 1500 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(75 AS DOUBLE) AS clat,
+         |    CAST((n_nationkey * 131) % 3100 AS DOUBLE) / CAST(10 AS DOUBLE)
+         |      - CAST(155 AS DOUBLE) AS clon
+         |  FROM nation),
+         |h AS (SELECT event_id, center_id,
+         |    sin((clat - lat) * CAST('$degToRad' AS DOUBLE) / 2) AS slat,
+         |    sin((clon - lon) * CAST('$degToRad' AS DOUBLE) / 2) AS slon,
+         |    cos(lat * CAST('$degToRad' AS DOUBLE)) *
+         |      cos(clat * CAST('$degToRad' AS DOUBLE)) AS cc
+         |  FROM pts, ctr),
+         |d AS (SELECT event_id, center_id,
+         |    CAST('$twoR' AS DOUBLE) *
+         |      asin(sqrt(slat * slat + cc * (slon * slon))) AS km
+         |  FROM h)
+         |SELECT event_id, center_id,
+         |  CAST(floor(km * 10000 + 0.5) AS DOUBLE) / 10000 AS km
+         |FROM d WHERE km <= 600
+         |ORDER BY event_id, center_id""".stripMargin
     },
     "q_count" ->
       """SELECT count(*) AS cnt FROM orders

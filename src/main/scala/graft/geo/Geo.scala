@@ -102,6 +102,85 @@ object Geo {
       p.getField("lon") >= minLon && p.getField("lon") <= maxLon &&
       p.getField("lat") >= minLat && p.getField("lat") <= maxLat
 
+  /** Radius (distance) join: every (point, center) pair within
+    * `radiusKm` great-circle km — the "incidents near a station"
+    * shape — WITHOUT a cross join. Grid-cell blocking: both sides land
+    * on a fixed lat/lon grid whose cell side is the radius expressed in
+    * latitude degrees (conservatively 110.574 km/deg, the minimum), the
+    * CENTER side is replicated to its ±1 latitude cells and to however
+    * many longitude cells the radius spans at its latitude (longitude
+    * degrees shrink by cos φ — the replication count is computed per
+    * center with a 2-cell latitude margin), and the pair join is a pure
+    * equi-join on (cellX, cellY) followed by the exact haversine
+    * filter. Blocking guarantees: a qualifying pair differs by ≤ 1
+    * lat cell and ≤ the replicated lon span, so recall is exact; each
+    * replica owns a distinct cell, so no pair is emitted twice.
+    *
+    * Antimeridian: centers within reach of ±180° get a ±360°-shifted
+    * BLOCKING copy (the haversine itself is periodic in Δλ, so the
+    * exact filter needs no correction). Latitudes beyond `maxAbsLat`
+    * fail loud — polar caps need polar blocking, and silently missing
+    * pairs there would be worse.
+    *
+    * Scale shape: centers replicate ×(3·lonSpan) — a dim-sized cost —
+    * while the point side shuffles once on its cell key; AQE broadcasts
+    * the replicated center table while it fits. Returns all point and
+    * center columns (geometry columns under `pointGeom`/`centerGeom`)
+    * plus `km`. */
+  def radiusJoin(points: DataFrame, centers: DataFrame, radiusKm: Double,
+                 pointGeom: String = "geometry",
+                 centerGeom: String = "center_geometry",
+                 maxAbsLat: Double = 80.0): DataFrame = {
+    require(radiusKm > 0 && radiusKm <= 5000,
+      s"radiusJoin: radiusKm must be in (0, 5000], got $radiusKm")
+    require(maxAbsLat > 0 && maxAbsLat <= 85,
+      s"radiusJoin: maxAbsLat must be in (0, 85], got $maxAbsLat")
+    val kmPerDeg = 110.574 // minimum km per degree of latitude — conservative
+    val cellDeg = radiusKm / kmPerDeg
+    def guarded(geom: Column, side: String): Column =
+      when(geom.isNull || abs(geom.getField("lat")) <= maxAbsLat, geom)
+        .otherwise(raise_error(lit(
+          s"radiusJoin: $side latitude beyond ±$maxAbsLat deg — grid " +
+            "blocking does not cover the polar caps")))
+    val p = points
+      .withColumn(pointGeom, guarded(col(pointGeom), "point"))
+      .filter(col(pointGeom).isNotNull)
+      .withColumn("__cx", floor(col(pointGeom).getField("lon") / cellDeg).cast("long"))
+      .withColumn("__cy", floor(col(pointGeom).getField("lat") / cellDeg).cast("long"))
+    val c0 = centers
+      .withColumn(centerGeom, guarded(col(centerGeom), "center"))
+      .filter(col(centerGeom).isNotNull)
+    // Longitude reach of the radius at this center's worst-case
+    // latitude (own cell ± a 2-cell margin), in grid cells.
+    val phiMax = least(lit(maxAbsLat),
+      abs(col(centerGeom).getField("lat")) + lit(cellDeg * 2))
+    val lonReachDeg = lit(radiusKm) / (lit(kmPerDeg) * cos(radians(phiMax)))
+    // Blocking longitude: raw, plus ±360° copies when the reach crosses
+    // the antimeridian (distinct cell ids — a pair meets exactly once).
+    val withReach = c0.withColumn("__reach", lonReachDeg)
+    val seamed = withReach
+      .withColumn("__blon", col(centerGeom).getField("lon"))
+      .unionByName(withReach
+        .filter(col(centerGeom).getField("lon") > lit(180.0) - col("__reach") - lit(cellDeg))
+        .withColumn("__blon", col(centerGeom).getField("lon") - 360.0))
+      .unionByName(withReach
+        .filter(col(centerGeom).getField("lon") < lit(-180.0) + col("__reach") + lit(cellDeg))
+        .withColumn("__blon", col(centerGeom).getField("lon") + 360.0))
+    val cRep = seamed
+      .withColumn("__nx", greatest(ceil(col("__reach") / lit(cellDeg)).cast("long"), lit(1L)))
+      .withColumn("__dx", explode(sequence(-col("__nx"), col("__nx"))))
+      .withColumn("__cx", floor(col("__blon") / cellDeg).cast("long") + col("__dx"))
+      .withColumn("__dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__cy",
+        floor(col(centerGeom).getField("lat") / cellDeg).cast("long") + col("__dy"))
+      .drop("__reach", "__blon", "__nx", "__dx", "__dy")
+    val km = haversineKm(col(pointGeom), col(centerGeom))
+    p.join(cRep, Seq("__cx", "__cy"))
+      .filter(km <= lit(radiusKm))
+      .withColumn("km", km)
+      .drop("__cx", "__cy")
+  }
+
   /** Great-circle distance in km (haversine, WGS84 mean radius). The
     * double arithmetic is the same IEEE sequence in any engine that
     * evaluates this formula, so an oracle reproduces it bit-for-bit. */

@@ -103,6 +103,50 @@ class GeoSpec extends SparkSpec {
       .select("geometry.lon").as[Double].head() == -0.12)
   }
 
+  test("radiusJoin equals the brute-force cross join, incl. antimeridian and high latitudes") {
+    import org.apache.spark.sql.DataFrame
+    // deterministic pseudo-random points spread across the globe, plus
+    // seam and high-latitude clusters that stress the blocking
+    val pts = spark.range(0, 400)
+      .select(col("id").as("pid"),
+        Geo.point(
+          (col("id") * 79 % 3600).cast("double") / 10 - 180,
+          (col("id") * 37 % 1500).cast("double") / 10 - 75).as("geometry"))
+      // explicit seam points: ~30 km from each antimeridian center,
+      // across the ±180 line from it
+      .unionByName(Seq((9001L, 10.0, -179.9), (9002L, 10.0, 179.7))
+        .toDF("pid", "plat", "plon")
+        .select(col("pid"), Geo.point(col("plon"), col("plat")).as("geometry")))
+    val ctrs = Seq(
+      (100L, 0.0, 0.0), (101L, 45.0, 90.0), (102L, -60.0, -120.0),
+      (103L, 10.0, 179.8), (104L, 10.0, -179.9), // antimeridian pair
+      (105L, 74.5, 30.0)                         // high latitude
+    ).toDF("cid", "clat", "clon")
+      .select(col("cid"), Geo.point(col("clon"), col("clat")).as("center_geometry"))
+    def pairs(df: DataFrame) = df.select("pid", "cid").as[(Long, Long)].collect().toSet
+    val blocked = Geo.radiusJoin(pts, ctrs, radiusKm = 800.0)
+    val brute = pts.crossJoin(ctrs)
+      .withColumn("km", Geo.haversineKm(col("geometry"), col("center_geometry")))
+      .filter(col("km") <= 800.0)
+    assert(pairs(blocked) == pairs(brute))
+    assert(blocked.count() == blocked.select("pid", "cid").distinct().count()) // no dup pairs
+    assert(brute.count() > 0) // the comparison is non-vacuous
+    // the two antimeridian centers catch the explicit far-side points
+    // (center 103 at lon 179.8 ↔ point 9001 at -179.9; center 104 at
+    // -179.9 ↔ point 9002 at 179.7 — pairs that exist only if the
+    // seam-shifted blocking copies work)
+    assert(pairs(blocked).contains((9001L, 103L)))
+    assert(pairs(blocked).contains((9002L, 104L)))
+    // a polar-cap center fails loud rather than silently missing pairs
+    val polar = Seq((1L, 89.0, 0.0)).toDF("cid", "clat", "clon")
+      .select(col("cid"), Geo.point(col("clon"), col("clat")).as("center_geometry"))
+    val ex = intercept[Exception](
+      Geo.radiusJoin(pts, polar, radiusKm = 100.0).collect())
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(msg)).mkString(" ")
+    assert(msg(ex).contains("polar"))
+  }
+
   test("bbox predicate pushes down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_geo_push").toString
     Geo.withPoint(incidents, "lat", "lon").write.parquet(s"$dir/pts")
