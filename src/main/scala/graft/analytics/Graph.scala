@@ -48,18 +48,25 @@ object Graph {
     // typically itself a fact-fact join + distinct, and every round
     // joins against it — without materialization each round re-runs
     // that whole derivation.
+    // State tables capped at cluster parallelism (zero-shuffle
+    // coalesce of materialized blocks — see Mat.releasable): the
+    // symmetrizing union doubles the shuffle partition count, and the
+    // per-round joins would pay the doubled task launches every
+    // iteration.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     val (sym, releaseSym) = Mat.releasable(
       edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .unionByName(edges.select(col(dstCol).cast("string").as("src"),
         col(srcCol).cast("string").as("dst")))
-      .distinct())
+      .distinct(), coalesceTo = par)
     val (deg, releaseDeg) = Mat.releasable(sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("long").as("deg")))
+      .agg(count(lit(1)).cast("long").as("deg")), coalesceTo = par)
     val nTab = broadcast(deg.agg(count(lit(1)).cast("double").as("__n")))
     var (pr, releasePr) = Mat.releasable(deg.crossJoin(nTab)
       .select(col("node"), col("deg"),
-        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr")))
+        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr")),
+      coalesceTo = par)
     for (_ <- 1 to iterations) {
       val contrib = sym.join(pr, sym("src") === pr("node"))
         .select(col("dst").as("node"),
@@ -75,7 +82,8 @@ object Graph {
             // not a decimal-exact 0.15 (DuckDB folds decimal literals
             // exactly — the round-trip string pins it)
             col("__s").cast("double") * damping +
-              lit(1.0 - damping) / col("__n"), digits).as("pr")))
+              lit(1.0 - damping) / col("__n"), digits).as("pr")),
+        coalesceTo = par)
       releasePr() // superseded round
       pr = next
       releasePr = releaseNext

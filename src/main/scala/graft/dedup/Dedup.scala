@@ -69,24 +69,39 @@ object Dedup {
     // expensive blocked similarity join. Pairs are unique (a, b), so
     // the two directions are already distinct, and duplicate edges
     // would not change a min anyway.
+    // Iterative state tables are capped at the cluster parallelism:
+    // the producing 2-way union inherits 2x32 shuffle partitions, and
+    // at a few thousand label rows 64 task launches per round-stage is
+    // pure scheduling overhead (zero-shuffle coalesce on materialized
+    // blocks; never coalesces below the target).
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
     val (edges, releaseEdges) = Mat.releasable(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))),
+      coalesceTo = par)
     var (labels, releaseLabels) = Mat.releasable(
       edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component")))
+        .select(col("id"), col("id").as("component")),
+      coalesceTo = par)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
       // one-hop: min label among self + neighbors (old label kept for
-      // the convergence test)
-      val (stepped, releaseStepped) = Mat.releasable(labels.join(
+      // the convergence test). LAZY persist, not a checkpoint: the
+      // only consumer is the pointer-jump self-join below, whose
+      // materialization job computes stepped once and reuses the
+      // cached blocks for the second side (column pruning makes the
+      // two sides non-identical subplans, so ReuseExchange alone would
+      // NOT dedupe them — the cache does) — one eager job per round
+      // instead of two.
+      val stepped = labels.join(
           edges.join(labels, edges("dst") === labels("id"))
             .groupBy("src").agg(min("component").as("nbr")),
           labels("id") === col("src"), "left")
         .select(labels("id"),
           least(labels("component"), coalesce(col("nbr"), labels("component"))).as("component"),
-          labels("component").as("old")))
+          labels("component").as("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: also adopt the component's own current
       // component — turns O(diameter) rounds into O(log diameter)
       val (jumped, releaseJumped) = Mat.releasable(stepped.as("a")
@@ -94,8 +109,9 @@ object Dedup {
           col("a.component") === col("cid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("cc"), col("a.component"))).as("component"),
-          col("old")))
-      releaseStepped() // jumped is materialized; stepped is superseded
+          col("old")),
+        coalesceTo = par)
+      stepped.unpersist(blocking = false) // jumped is materialized
       done = jumped.filter(col("component") < col("old")).isEmpty
       releaseLabels() // previous round's labels are superseded
       labels = jumped.select("id", "component")

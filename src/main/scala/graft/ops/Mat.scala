@@ -34,8 +34,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Mat {
   /** Materialize eagerly; returns the stats-reset frame and a handle
-    * that unpersists the checkpoint's blocks (non-blocking). */
-  def releasable(df: DataFrame): (DataFrame, () => Unit) = {
+    * that unpersists the checkpoint's blocks (non-blocking).
+    *
+    * `coalesceTo > 0` narrows the checkpointed RDD to at most that many
+    * partitions (a zero-shuffle coalesce on already-materialized
+    * blocks). Iterative state tables inherit their producing join's
+    * partition count — e.g. a 2-way union of 32-partition shuffles
+    * yields 64 — and every subsequent round then pays 64 task launches
+    * per stage on a table that may hold a few thousand rows; capping at
+    * the cluster's parallelism removes pure scheduling overhead without
+    * losing any (it never coalesces BELOW the requested target). */
+  def releasable(df: DataFrame, coalesceTo: Int = 0): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -44,7 +53,11 @@ object Mat {
       sc.getPersistentRDDs.iterator.collect {
         case (id, r) if !before(id) => r
       }.toSeq
-    (spark.createDataFrame(ck.rdd, ck.schema),
+    val rdd =
+      if (coalesceTo > 0 && ck.rdd.getNumPartitions > coalesceTo)
+        ck.rdd.coalesce(coalesceTo)
+      else ck.rdd
+    (spark.createDataFrame(rdd, ck.schema),
       () => mine.foreach(_.unpersist(blocking = false)))
   }
 
