@@ -102,6 +102,15 @@ object Catalog {
         when(col("DataType") === "ArcGIS",
           regexp_extract(col("URL"), "^(.*?(?:MapServer|FeatureServer)/\\d+)", 1))
         .otherwise(col("URL")))
+    // dataset_id.parse (dataset_id.py:48): JSON-shaped ids get curly
+    // quotes normalized so downstream json parsing succeeds; scalar ids
+    // pass through. The structural expansion (files/sheets/join specs)
+    // is the consuming loader's job — the catalog stores the string.
+    if (df.columns.contains("dataset_id"))
+      df = df.withColumn("dataset_id",
+        when(col("dataset_id").rlike("^[\\[{]"),
+          translate(col("dataset_id"), "“”", "\"\""))
+        .otherwise(col("dataset_id")))
     val keyVals = Seq("State", "SourceName", "Agency", "TableType", "Year",
       "coverage_start", "coverage_end").filter(df.columns.contains)
     if (keyVals.nonEmpty) df = df.dropDuplicates(keyVals)
@@ -139,6 +148,27 @@ object Catalog {
     filters.foldLeft(cat) { case (df, (k, v)) => df.filter(col(k) === v) }
       .distinct()
   }
+
+  /** `query(source_name=, fuzzy_source=True)` (datasets.py:128,:153):
+    * the reference accepts fuzzy/partial source-name matches via
+    * rapidfuzz `partial_ratio > 90`. Spark-native analogue, entirely in
+    * codegen builtins: case-insensitive substring containment (the
+    * partial_ratio=100 case) OR whole-string Levenshtein similarity
+    * `1 - dist/maxLen >= threshold` for typo tolerance. A scan-stage
+    * predicate — no UDF, no driver pass. */
+  def fuzzySourceMatch(c: Column, query: String,
+                       threshold: Double = 0.9): Column = {
+    val q = lit(query.toLowerCase)
+    val s = lower(c)
+    c.isNotNull && (s.contains(q) || q.contains(s) ||
+      (lit(1.0) - levenshtein(s, q).cast("double") /
+        greatest(length(s), length(q))) >= threshold)
+  }
+
+  /** `query` with a fuzzy source filter (datasets.py:153). */
+  def queryFuzzySource(cat: DataFrame, sourceName: String,
+                       sourceCol: String = "source_name"): DataFrame =
+    cat.filter(fuzzySourceMatch(col(sourceCol), sourceName))
 
   /** `summary_by_state` (datasets.py:184): pivot state × table_type with
     * distinct-source counts. Pivot values are passed explicitly so no

@@ -270,4 +270,27 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Catalog.reload(spark, "/nonexistent/catalog.csv"))
   }
+
+  test("fuzzy source query: containment and typo tolerance, scan-stage only") {
+    import graft.catalog.Catalog
+    val cat = Seq("New York City", "Chicago", "Los Angeles", "Mesa")
+      .toDF("source_name")
+    def got(q: String, t: Double = 0.9) =
+      cat.filter(Catalog.fuzzySourceMatch(col("source_name"), q, t))
+        .as[String].collect().toSet
+    assert(got("New York") == Set("New York City"))   // partial containment
+    assert(got("chicago") == Set("Chicago"))          // case-insensitive
+    assert(got("Los Angelos", 0.85) == Set("Los Angeles")) // typo via levenshtein
+    assert(got("Houston").isEmpty)
+    // dataset_id curly-quote normalization rides build()
+    val csv = java.nio.file.Files.createTempFile("graft_dsid", ".csv")
+    java.nio.file.Files.write(csv,
+      ("""State,SourceName,Agency,TableType,Year,dataset_id
+        |Texas,Austin,Austin,STOPS,2021,"[{“sheets”: “S1”}]"
+        |Texas,Dallas,Dallas,STOPS,2021,plain-id
+        |""".stripMargin).getBytes("UTF-8"))
+    val built = Catalog.build(spark, csv.toString).orderBy("SourceName")
+      .select("dataset_id").as[String].collect().toSeq
+    assert(built == Seq("""[{"sheets": "S1"}]""", "plain-id"))
+  }
 }
