@@ -136,11 +136,24 @@ object Plans {
       "the node count crosses as a 1-row literal broadcast; the edge list is " +
       "never collected and the plan depth is the fixed iteration count.", true),
     ("q_cooccur", "Co-occurrence similarity at the 100 TB shape " +
-      "(auto-broadcast disabled): pairs form in a self-equi-join KEYED ON THE " +
-      "BASKET (shuffle = basket key, pair volume = sum of per-basket " +
-      "squares, never an item-item cross join); the mega-basket cap filters " +
-      "before pairing; degree tables fold back via item-keyed joins and the " +
+      "(auto-broadcast disabled): ONE basket-keyed shuffle builds sorted " +
+      "distinct item sets (mega-basket cap BEFORE pairing); items ride a " +
+      "broadcast dense-id dictionary so the map-side pair generates feed a " +
+      "partial aggregate keyed on a SINGLE packed long (item_a<<32|item_b) " +
+      "— half the hash cost and key width of the hottest exchange; never an " +
+      "item-item cross join; degree tables fold back on int ids and the " +
       "top-5 window compiles through the TopKRewrite heap.", true),
+    ("q_geo_filter", "Geo layer is pure scan-stage expressions: the point " +
+      "struct builds from lat/lon with WGS84 validation, the bounding box " +
+      "is four range compares on struct fields (parquet-pushable), WKT and " +
+      "haversine are codegen'd projections — no shuffle, no UDF anywhere.", false),
+    ("q_geo_join", "Radius join at the 100 TB shape (auto-broadcast " +
+      "disabled): grid-cell equi-join — points shuffle ONCE on (cellX, " +
+      "cellY); centers replicate to their +-1 lat cells and cos-scaled lon " +
+      "span (a dim-sized generate, with +-360 seam copies), then the exact " +
+      "haversine filters inside the join stage. Never a cross join; the " +
+      "oracle is the cross join, so the hash match proves lossless " +
+      "blocking.", true),
     ("q_substr_scrub", "Span removal at the 100 TB shape (auto-broadcast " +
       "disabled): rides the repeatedSpans pipeline, picks the corpus-global " +
       "first occurrence in a window over the SPAN list (bounded by the " +
