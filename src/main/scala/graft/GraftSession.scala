@@ -31,6 +31,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Align Spark's whole-stage-codegen fallback with HotSpot's
+      // -XX:DontCompileHugeMethods limit (8000 bytecodes): the default
+      // (65535) lets Spark emit one giant consume() method the JIT then
+      // REFUSES to compile, and the stage silently runs interpreted —
+      // measured as a 10-20x slowdown on a wide probe pipeline
+      // (scan + struct build + filter + join + trig residual). At 8000
+      // Spark falls back to per-expression codegen units, each of
+      // which the JIT compiles. (Clusters that run with
+      // -XX:-DontCompileHugeMethods can raise this back.)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 

@@ -22,6 +22,7 @@ object Scaling {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the 100 TB join path
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -137,18 +137,25 @@ object Geo {
       s"radiusJoin: maxAbsLat must be in (0, 85], got $maxAbsLat")
     val kmPerDeg = 110.574 // minimum km per degree of latitude — conservative
     val cellDeg = radiusKm / kmPerDeg
-    def guarded(geom: Column, side: String): Column =
-      when(geom.isNull || abs(geom.getField("lat")) <= maxAbsLat, geom)
+    // The guard is a standalone FILTER predicate, deliberately NOT a
+    // wrapper around the geometry column: a when/raise_error wrapper
+    // would be inlined by CollapseProject into every downstream
+    // getField (cell floors, the haversine's six field reads) and
+    // block SimplifyExtractValueOps — measured as a 30x per-row
+    // slowdown of the probe stage at sf1. As a filter it is evaluated
+    // once per row and the geometry references stay simplifiable.
+    def latGuard(geom: Column, side: String): Column =
+      when(geom.isNull || abs(geom.getField("lat")) <= maxAbsLat, lit(true))
         .otherwise(raise_error(lit(
           s"radiusJoin: $side latitude beyond ±$maxAbsLat deg — grid " +
             "blocking does not cover the polar caps")))
     val p = points
-      .withColumn(pointGeom, guarded(col(pointGeom), "point"))
+      .filter(latGuard(col(pointGeom), "point"))
       .filter(col(pointGeom).isNotNull)
       .withColumn("__cx", floor(col(pointGeom).getField("lon") / cellDeg).cast("long"))
       .withColumn("__cy", floor(col(pointGeom).getField("lat") / cellDeg).cast("long"))
     val c0 = centers
-      .withColumn(centerGeom, guarded(col(centerGeom), "center"))
+      .filter(latGuard(col(centerGeom), "center"))
       .filter(col(centerGeom).isNotNull)
     // Longitude reach of the radius at this center's worst-case
     // latitude (own cell ± a 2-cell margin), in grid cells.
