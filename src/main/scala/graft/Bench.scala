@@ -25,6 +25,13 @@ import org.apache.spark.sql.SparkSession
   * reflect plan cost alone. Default off: the driver's contract is the
   * in-suite run. */
 object Bench {
+  /** JSON string escape shared by both output paths (kept in one place
+    * so an escaping fix cannot diverge between suite and fork mode). */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     if (sys.env.getOrElse("SPARK_GRAFT_FORK", "0") == "1") { runForked(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,10 +93,6 @@ object Bench {
       (name, if (ts.isEmpty) 0.0 else ts.min, err)
     }
     val ok = outcomes.filter(_._3.isEmpty)
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     val qs = ok.map { case (k, v, _) => "\"" + esc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = outcomes.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
@@ -159,10 +162,6 @@ object Bench {
       }
       System.err.println(s"[bench-fork] $q: " +
         results.get(q).map(t => f"$t%.3f s").getOrElse(errors.getOrElse(q, "?")))
-    }
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -53,7 +53,11 @@ object Graph {
     // symmetrizing union doubles the shuffle partition count, and the
     // per-round joins would pay the doubled task launches every
     // iteration.
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // max with the shuffle-partition conf: defaultParallelism can be
+    // tiny under dynamic allocation at job start, and coalesce never
+    // re-expands (same guard as Dedup.components)
+    val par = math.max(edges.sparkSession.sparkContext.defaultParallelism,
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
     val (sym, releaseSym) = Mat.releasable(
       edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -200,10 +204,16 @@ object Graph {
                                    itemCol: String, threshold: Double,
                                    maxBasket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__item"))
+    // LAZY persist: the dict subplan (edge scan → distinct → window)
+    // feeds THREE broadcasts (basket remap + two restores), each above
+    // a different projection, so exchange reuse cannot share it — the
+    // cache computes it once at first use. Vocabulary-sized blocks;
+    // released by the session's standard post-query unpersist hygiene.
     val dict = edges.select(col(itemCol).as("__item"))
       .where(col("__item").isNotNull)
       .distinct()
       .select(col("__item"), row_number().over(w).as("__did"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baskets = edges
       .select(col(basketCol).as("b"), col(itemCol).as("__item"))
       .join(broadcast(dict), "__item")

@@ -98,8 +98,12 @@ object Catalog {
         when(col("Agency") === "MULTI", lit(YearMulti))
           .otherwise(trim(regexp_replace(col("Agency"), "Police Department", ""))))
     if (df.columns.contains("URL") && df.columns.contains("DataType"))
+      // truncate ONLY when the layer pattern is present (datasets.py:72
+      // p.search) — regexp_extract returns "" on no match, which would
+      // blank a service-root URL
       df = df.withColumn("URL",
-        when(col("DataType") === "ArcGIS",
+        when(col("DataType") === "ArcGIS" &&
+            col("URL").rlike("(MapServer|FeatureServer)/\\d+"),
           regexp_extract(col("URL"), "^(.*?(?:MapServer|FeatureServer)/\\d+)", 1))
         .otherwise(col("URL")))
     // dataset_id.parse (dataset_id.py:48): JSON-shaped ids get curly
@@ -113,10 +117,27 @@ object Catalog {
         .otherwise(col("dataset_id")))
     val keyVals = Seq("State", "SourceName", "Agency", "TableType", "Year",
       "coverage_start", "coverage_end").filter(df.columns.contains)
-    if (keyVals.nonEmpty) df = df.dropDuplicates(keyVals)
+    if (keyVals.nonEmpty) {
+      // KEEP-FIRST-IN-FILE-ORDER dedup (pandas drop_duplicates
+      // semantics, datasets.py:80) — dropDuplicates keeps an ARBITRARY
+      // row, so two key-equal rows differing in URL/min_version would
+      // survive nondeterministically. monotonically_increasing_id over
+      // the CSV read preserves file order (splits of one text file map
+      // in order), and min_by-style row_number picks the first.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyVals.map(col): _*).orderBy(col("__ord"))
+      df = df.withColumn("__ord", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__ord", "__rn")
+    }
     for (c <- Seq("coverage_start", "coverage_end") if df.columns.contains(c))
+      // ANCHORED gate: the reference applies pd.to_datetime only when
+      // the m/d/yyyy pattern is present; an unanchored rlike would send
+      // strings like "1/1/2021 - 6/30/2021" into to_date, which returns
+      // null and would DESTROY the original value
       df = df.withColumn(c,
-        when(col(c).rlike("\\d{1,2}/\\d{1,2}/\\d{4}"),
+        when(col(c).rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
           to_date(col(c), "M/d/yyyy").cast("string")).otherwise(col(c)))
     df
   }

@@ -74,7 +74,12 @@ object Dedup {
     // at a few thousand label rows 64 task launches per round-stage is
     // pure scheduling overhead (zero-shuffle coalesce on materialized
     // blocks; never coalesces below the target).
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    // floor at the session's shuffle parallelism too: on a
+    // dynamic-allocation cluster defaultParallelism reflects only the
+    // executors registered RIGHT NOW (can be tiny at job start), and a
+    // coalesce never re-expands — the conf value is the intent
+    val par = math.max(pairs.sparkSession.sparkContext.defaultParallelism,
+      pairs.sparkSession.sessionState.conf.numShufflePartitions)
     val (edges, releaseEdges) = Mat.releasable(pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))),

@@ -158,29 +158,55 @@ object Geo {
       .filter(latGuard(col(centerGeom), "center"))
       .filter(col(centerGeom).isNotNull)
     // Longitude reach of the radius at this center's worst-case
-    // latitude (own cell ± a 2-cell margin), in grid cells.
-    val phiMax = least(lit(maxAbsLat),
-      abs(col(centerGeom).getField("lat")) + lit(cellDeg * 2))
-    val lonReachDeg = lit(radiusKm) / (lit(kmPerDeg) * cos(radians(phiMax)))
-    // Blocking longitude: raw, plus ±360° copies when the reach crosses
-    // the antimeridian (distinct cell ids — a pair meets exactly once).
-    val withReach = c0.withColumn("__reach", lonReachDeg)
-    val seamed = withReach
+    // latitude (own cell ± a 2-cell margin, capped at maxAbsLat which
+    // also bounds every point's latitude). EXACT haversine inversion —
+    // delta-lon for a distance r at fixed latitude phi is
+    // 2·asin(sin(r/2R)/cos φ), NOT the flat-earth r/(kmPerDeg·cos φ),
+    // whose error exceeds the conservative-kmPerDeg margin at high
+    // latitude (a 600 km pair at lat 85 spans 65.3°, the flat bound
+    // said 62.3° — silently dropped). An asin argument ≥ 1 means the
+    // radius wraps every longitude at that latitude.
+    val meanRadiusKm = 6371.0088
+    val sinHalf = math.sin(radiusKm / (2.0 * meanRadiusKm))
+    val asinArg = lit(sinHalf) / cos(radians(least(lit(maxAbsLat),
+      abs(col(centerGeom).getField("lat")) + lit(cellDeg * 2))))
+    val lonReachDeg = when(asinArg >= 1.0, lit(180.0))
+      .otherwise(lit(2.0) * asin(asinArg) * lit(180.0 / math.Pi))
+    val withReach = c0
+      .withColumn("__reach", lonReachDeg)
+      .withColumn("__nx", greatest(ceil(col("__reach") / lit(cellDeg)).cast("long"), lit(1L)))
+    // FULL-CIRCLE rows: when the replica span would wrap the globe
+    // (2·nx ≥ the lon cell count), base-and-seam ranges overlap and a
+    // pair would join twice — replicate instead to every lon cell of
+    // [-180°, 180°] exactly once and skip the seam copies entirely.
+    val lonCellsFloor = math.max(math.floor(360.0 / cellDeg).toLong, 1L)
+    val loCell = math.floor(-180.0 / cellDeg).toLong
+    val hiCell = math.floor(180.0 / cellDeg).toLong
+    val isFull = col("__nx") * 2 >= lit(lonCellsFloor)
+    val fullRep = withReach.filter(isFull)
+      .withColumn("__cx", explode(sequence(lit(loCell), lit(hiCell))))
+    // PARTIAL rows: base longitude plus ±360° copies when the reach
+    // crosses the antimeridian. 2·nx < floor(360°/cellDeg) here, so a
+    // shifted copy's cell range can never intersect the base range —
+    // a pair meets exactly once.
+    val partial = withReach.filter(!isFull)
+    val seamed = partial
       .withColumn("__blon", col(centerGeom).getField("lon"))
-      .unionByName(withReach
+      .unionByName(partial
         .filter(col(centerGeom).getField("lon") > lit(180.0) - col("__reach") - lit(cellDeg))
         .withColumn("__blon", col(centerGeom).getField("lon") - 360.0))
-      .unionByName(withReach
+      .unionByName(partial
         .filter(col(centerGeom).getField("lon") < lit(-180.0) + col("__reach") + lit(cellDeg))
         .withColumn("__blon", col(centerGeom).getField("lon") + 360.0))
-    val cRep = seamed
-      .withColumn("__nx", greatest(ceil(col("__reach") / lit(cellDeg)).cast("long"), lit(1L)))
+    val partialRep = seamed
       .withColumn("__dx", explode(sequence(-col("__nx"), col("__nx"))))
       .withColumn("__cx", floor(col("__blon") / cellDeg).cast("long") + col("__dx"))
+      .drop("__blon", "__dx")
+    val cRep = fullRep.unionByName(partialRep)
       .withColumn("__dy", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("__cy",
         floor(col(centerGeom).getField("lat") / cellDeg).cast("long") + col("__dy"))
-      .drop("__reach", "__blon", "__nx", "__dx", "__dy")
+      .drop("__reach", "__nx", "__dy")
     val km = haversineKm(col(pointGeom), col(centerGeom))
     p.join(cRep, Seq("__cx", "__cy"))
       .filter(km <= lit(radiusKm))

@@ -85,18 +85,26 @@ object Xlsx {
   private[sources] def checkSupportedFormat(path: String): Unit = {
     val f = new java.io.File(path)
     if (!f.isFile) return
-    val in = new java.io.FileInputStream(f)
-    val head = try {
-      val buf = new Array[Byte](math.min(f.length(), 4L << 20).toInt)
-      var off = 0
-      var n = 0
-      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
-        off += n
-      buf
-    } finally in.close()
     val cfbMagic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
       .map(_.toByte)
-    if (head.length >= 8 && head.take(8).sameElements(cfbMagic)) {
+    // Cheap 8-byte sniff first: the common case (a real xlsx = a zip,
+    // magic "PK") pays one tiny read, not a 4 MB prefix scan.
+    def readPrefix(len: Long): Array[Byte] = {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](math.min(f.length(), len).toInt)
+        var off = 0
+        var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+          off += n
+        buf
+      } finally in.close()
+    }
+    val magic = readPrefix(8L)
+    if (magic.length >= 8 && magic.sameElements(cfbMagic)) {
+      // CFB container confirmed — now pull enough to classify it (the
+      // directory sits near the front; 4 MB covers any real workbook)
+      val head = readPrefix(4L << 20)
       def utf16(s: String): Array[Byte] =
         s.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
       def contains(needle: Array[Byte]): Boolean =

@@ -147,6 +147,40 @@ class GeoSpec extends SparkSpec {
     assert(msg(ex).contains("polar"))
   }
 
+  test("radiusJoin high-latitude reach and full-circle replication (review regressions)") {
+    // Reach must use the exact haversine inversion: at lat 85 a 600 km
+    // pair spans 65.3° of longitude where the flat-earth bound says
+    // 62.3° — the flat bound silently dropped this pair.
+    val hiPts = Seq((1L, 85.0, 70.75)).toDF("pid", "plat", "plon")
+      .select(col("pid"), Geo.point(col("plon"), col("plat")).as("geometry"))
+    val hiCtr = Seq((10L, 85.0, 5.4)).toDF("cid", "clat", "clon")
+      .select(col("cid"), Geo.point(col("clon"), col("clat")).as("center_geometry"))
+    val hi = Geo.radiusJoin(hiPts, hiCtr, radiusKm = 600.0, maxAbsLat = 85.0)
+      .select("pid", "cid", "km").collect()
+    assert(hi.length == 1 && hi.head.getDouble(2) <= 600.0)
+    // Very large radius at high latitude wraps every longitude: the
+    // replicas must cover the globe WITHOUT base/seam overlap — each
+    // qualifying pair appears exactly once.
+    val farPts = Seq((2L, 80.0, -150.0), (3L, 80.0, 179.9)).toDF("pid", "plat", "plon")
+      .select(col("pid"), Geo.point(col("plon"), col("plat")).as("geometry"))
+    val farCtr = Seq((20L, 80.0, 0.0)).toDF("cid", "clat", "clon")
+      .select(col("cid"), Geo.point(col("clon"), col("clat")).as("center_geometry"))
+    val far = Geo.radiusJoin(farPts, farCtr, radiusKm = 5000.0)
+      .select("pid", "cid").as[(Long, Long)].collect().toSeq
+    assert(far.sorted == Seq((2L, 20L), (3L, 20L)), s"got $far")
+    // and the result still equals brute force on a dense global sweep
+    val sweep = spark.range(0, 500)
+      .select(col("id").as("pid"),
+        Geo.point((col("id") * 97 % 3600).cast("double") / 10 - 180,
+          (col("id") * 31 % 1580).cast("double") / 10 - 79).as("geometry"))
+    val blocked = Geo.radiusJoin(sweep, farCtr, radiusKm = 5000.0)
+      .select("pid", "cid").as[(Long, Long)].collect().toSeq
+    val brute = sweep.crossJoin(farCtr)
+      .filter(Geo.haversineKm(col("geometry"), col("center_geometry")) <= 5000.0)
+      .select("pid", "cid").as[(Long, Long)].collect().toSeq
+    assert(blocked.sorted == brute.sorted) // set-equal AND no duplicates
+  }
+
   test("bbox predicate pushes down to the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_geo_push").toString
     Geo.withPoint(incidents, "lat", "lon").write.parquet(s"$dir/pts")

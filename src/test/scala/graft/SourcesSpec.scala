@@ -271,6 +271,34 @@ class SourcesSpec extends SparkSpec {
       Catalog.reload(spark, "/nonexistent/catalog.csv"))
   }
 
+  test("catalog build: URL preservation, keep-first dedup, unparsable coverage dates (review regressions)") {
+    import graft.catalog.Catalog
+    val csv = java.nio.file.Files.createTempFile("graft_catalog2", ".csv")
+    java.nio.file.Files.write(csv,
+      ("""State,SourceName,Agency,TableType,Year,DataType,URL,coverage_start,min_version
+        |Ohio,Cincinnati,Cincinnati,STOPS,2020,ArcGIS,https://host/arcgis/rest/services/Foo/MapServer,,
+        |Iowa,Ames,Ames,ARRESTS,2019,Socrata,https://a.example/x,1/1/2019 - 6/30/2019,
+        |Utah,Provo,Provo,STOPS,2018,CSV,https://first.example/a.csv,,1.0
+        |Utah,Provo,Provo,STOPS,2018,CSV,https://second.example/b.csv,,2.0
+        |""".stripMargin).getBytes("UTF-8"))
+    val cat = Catalog.build(spark, csv.toString)
+    // an ArcGIS URL WITHOUT a numeric layer suffix passes through
+    // untouched (regexp_extract's empty-string-on-no-match would have
+    // blanked it)
+    assert(cat.filter(col("State") === "Ohio").head().getAs[String]("URL")
+      == "https://host/arcgis/rest/services/Foo/MapServer")
+    // a coverage value the m/d/yyyy parser cannot FULLY parse is
+    // preserved verbatim, not nulled
+    assert(cat.filter(col("State") === "Iowa").head()
+      .getAs[String]("coverage_start") == "1/1/2019 - 6/30/2019")
+    // duplicate keys keep the FIRST row in file order (pandas
+    // drop_duplicates semantics), deterministically
+    val utah = cat.filter(col("State") === "Utah").collect()
+    assert(utah.length == 1)
+    assert(utah.head.getAs[String]("URL") == "https://first.example/a.csv")
+    assert(utah.head.getAs[String]("min_version") == "1.0")
+  }
+
   test("fuzzy source query: containment and typo tolerance, scan-stage only") {
     import graft.catalog.Catalog
     val cat = Seq("New York City", "Chicago", "Los Angeles", "Mesa")
