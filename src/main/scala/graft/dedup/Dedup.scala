@@ -162,9 +162,11 @@ object Dedup {
     }
     val a = col(idA).cast("long")
     val b = col(idB).cast("long")
+    val par = math.max(pairs.sparkSession.sparkContext.defaultParallelism,
+      pairs.sparkSession.sessionState.conf.numShufflePartitions)
     var (edges, releaseEdges) = Mat.releasable(pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .filter(col("u") =!= col("v")).distinct(), coalesceTo = par)
     var sig = checksum(edges)
     var i = 0
     var done = false
@@ -187,7 +189,7 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-      val (next, releaseNext) = Mat.releasable(small)
+      val (next, releaseNext) = Mat.releasable(small, coalesceTo = par)
       val nextSig = checksum(next)
       // checksum match → confirm exactly (counts equal + distinct sets,
       // so one except() direction decides set equality)
