@@ -2304,11 +2304,15 @@ object SparkEntry {
         |      FROM s),
         |sess AS (SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us,
         |           CAST(count(*) AS BIGINT) AS n_events
-        |         FROM g GROUP BY 1, 2),
-        |last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+        |         FROM g GROUP BY 1, 2)
+        |-- watermark-finalized visibility ONLY (no successor-closure):
+        |-- a session is emitted once the ms-floored final watermark
+        |-- (max ts, ms-floored, minus the 30 min delay) passes
+        |-- end + gap — Spark tracks event time in MILLISECONDS, so the
+        |-- oracle floors the same way
         |SELECT s.user_id, s.start_us, s.end_us, s.n_events
-        |FROM sess s JOIN last l ON s.user_id = l.user_id, m
-        |WHERE s.sid < l.last_sid OR s.end_us + 1800000000 < m.mx - 1800000000
+        |FROM sess s, m
+        |WHERE s.end_us + 1800000000 < (m.mx // 1000) * 1000 - 1800000000
         |ORDER BY s.user_id, s.start_us""".stripMargin,
     "q_stream_sessions_native" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t FROM events),
@@ -2346,14 +2350,16 @@ object SparkEntry {
         |cl AS (SELECT doc_id,
         |    coalesce(CASE WHEN len(kept) = 0 THEN NULL
         |         ELSE array_to_string(list_transform(kept, x -> trim(x)), chr(10)) END,
-        |      '') AS t
-        |  FROM (SELECT doc_id,
+        |      '') AS t,
+        |    (len(kept) >= 3 AND NOT (contains(lower(t0), 'lorem ipsum')
+        |       OR contains(t0, '{'))) AS c4_keep
+        |  FROM (SELECT doc_id, t AS t0,
         |      list_filter(string_split(t, chr(10)), x ->
         |        regexp_matches(trim(x), '[.!?"]$$')
         |        AND len(string_split(trim(x), ' ')) >= 5) AS kept
         |    FROM inj) k),
-        |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM cl),
-        |m AS (SELECT doc_id,
+        |w AS (SELECT doc_id, t, c4_keep, string_split(t, ' ') AS ws FROM cl),
+        |m AS (SELECT doc_id, c4_keep,
         |    CAST(len(ws) AS BIGINT) AS n_words,
         |    CAST(floor((len(replace(t, ' ', '')) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_word_len,
         |    CAST(floor((len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)) * 10000 + 0.5) AS DOUBLE) / 10000 AS frac_alpha_words,
@@ -2362,9 +2368,10 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
         |  symbol_ratio,
+        |  -- the gate ANDs the C4 kill into the Gopher verdict
         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND symbol_ratio < 0.1 AND frac_alpha_words > 0.8
-        |   AND n_stopwords >= 2) AS keep
+        |   AND n_stopwords >= 2 AND c4_keep) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_stream_asof" ->
       // the horizon is the MILLISECOND-floored Spark watermark (event

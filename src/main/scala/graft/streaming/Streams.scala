@@ -204,6 +204,8 @@ object Streams {
                           sim: Long, ts_us: Long)
   final case class NearDup(id_a: Long, id_b: Long, hamming: Int)
   final case class SigKeep(keep_id: Long, sig: String)
+  final case class SigState(winner_id: Long, winner_ts_us: Long,
+                            max_ts_ms: Long, emitted: Boolean)
 
   /** Streaming near-dup dedup (pre-sink): one survivor per MinHash-style
     * signature, chosen deterministically as the first doc by (event
@@ -225,14 +227,31 @@ object Streams {
     * docs always collide; high-Jaccard docs collide with probability
     * J^bands. Text normalization matches Dedup.normText.
     *
-    * State per signature is ONE long (the winner id), evicted by
-    * event-time timeout — bounded by the watermark horizon, never the
-    * corpus. Emission is once per signature (Append), on the micro-batch
-    * that first carries it; within that batch rows are sorted so the
-    * winner is order-independent. */
+    * State per signature is one small record (winner, horizon, emitted
+    * flag), evicted by event-time timeout — bounded by the watermark
+    * horizon, never the corpus. The eviction deadline tracks the MAX
+    * EVENT TIME EVER SEEN by the signature (held in state): GroupState
+    * timers are cancelled and re-set on every invocation, so re-arming
+    * from only the current batch's max would move the deadline
+    * BACKWARDS on an in-watermark out-of-order arrival and evict a
+    * signature inside its own dedup horizon (emitting a duplicate
+    * survivor).
+    *
+    * Emission (default, `finalizeByWatermark = false`): once per
+    * signature, on the micro-batch that first carries it, winner =
+    * min (event time, id) within that batch — deterministic for
+    * sources that deliver in event-time order and for single-batch
+    * runs (the oracle harness), but the winner can depend on
+    * micro-batch boundaries when one signature's docs straddle
+    * batches. `finalizeByWatermark = true` holds the winner until the
+    * watermark passes its event time — then NO non-late arrival can
+    * beat it, and the survivor set is batch-boundary-independent (the
+    * production setting; costs emission latency = the watermark
+    * delay). */
   def neardupStreamDf(docs: DataFrame, idCol: String, textCol: String,
                       tsCol: String, bands: Int = 4,
-                      watermarkMinutes: Int = 60): DataFrame = {
+                      watermarkMinutes: Int = 60,
+                      finalizeByWatermark: Boolean = false): DataFrame = {
     require(bands >= 1 && 32 % bands == 0,
       s"bands must divide the 32-hex-char md5 digest, got $bands")
     val spark = docs.sparkSession
@@ -247,9 +266,11 @@ object Streams {
       array_min(transform(col("__h"), x => substring(x, b * w + 1, w)))): _*)
     docs
       // null text → empty-string signature (one shared bucket), so the
-      // stateful op never sees a null grouping key
+      // stateful op never sees a null grouping key. Normalization IS
+      // Dedup.normText — one definition, so batch/stream/oracle cannot
+      // drift.
       .withColumn("__norm",
-        lower(trim(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", " "))))
+        graft.dedup.Dedup.normText(coalesce(col(textCol), lit(""))))
       .withColumn("__grams", array_distinct(expr(
         "transform(sequence(1, greatest(length(__norm) - 4, 1)), i -> substring(__norm, i, 5))")))
       .withColumn("__h", transform(col("__grams"), g => md5(g)))
@@ -259,21 +280,40 @@ object Streams {
         unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("__ts"))
       .as[(String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, SigKeep](
+      .flatMapGroupsWithState[SigState, SigKeep](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (sig, rows, state: GroupState[Long]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-            val out =
-              if (state.exists) Iterator.empty
-              else {
-                state.update(sorted.head._2)
-                Iterator.single(SigKeep(sorted.head._2, sig))
-              }
-            state.setTimeoutTimestamp(sorted.map(_._4.getTime).max + gapMs)
-            out
+        case (sig, rows, state: GroupState[SigState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(
+            SigState(Long.MaxValue, Long.MaxValue, Long.MinValue, emitted = false))
+          rows.foreach { r =>
+            if (!st.emitted &&
+                (r._3 < st.winner_ts_us ||
+                 (r._3 == st.winner_ts_us && r._2 < st.winner_id)))
+              st = st.copy(winner_id = r._2, winner_ts_us = r._3)
+            st = st.copy(max_ts_ms = math.max(st.max_ts_ms, r._4.getTime))
           }
+          val emitNow = !st.emitted && st.winner_ts_us != Long.MaxValue &&
+            (!finalizeByWatermark || wmMs * 1000L > st.winner_ts_us)
+          val out =
+            if (emitNow) { st = st.copy(emitted = true)
+              Iterator.single(SigKeep(st.winner_id, sig)) }
+            else Iterator.empty
+          if (st.emitted && state.hasTimedOut && rows.isEmpty &&
+              wmMs >= st.max_ts_ms + gapMs) {
+            // dedup horizon expired with no extension — retire
+            state.remove()
+          } else {
+            state.update(st)
+            val deadline =
+              if (st.emitted) st.max_ts_ms + gapMs
+              else if (finalizeByWatermark)
+                // wake when the watermark passes the held winner
+                st.winner_ts_us / 1000L + 1L
+              else st.max_ts_ms + gapMs
+            state.setTimeoutTimestamp(math.max(deadline, wmMs + 1L))
+          }
+          out
       }
       .toDF()
   }
@@ -319,22 +359,29 @@ object Streams {
       .as[(Int, Long, Long, Long, Long, java.sql.Timestamp)]
     banded
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDup](
+      .flatMapGroupsWithState[(List[(Long, Long, Long)], Long), NearDup](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val gapUs = gapMs * 1000L
-            // Evict entries that can no longer pair with any admissible
-            // row: a future row's event time exceeds the watermark, so
-            // anything older than watermark − gap is dead. This is what
-            // actually bounds a hot bucket's state (the timeout below
-            // only reaps fully-idle buckets, since every arrival
-            // re-arms it).
-            val horizonUs = state.getCurrentWatermarkMs() * 1000L - gapUs
-            var seen = state.getOption.getOrElse(Nil).filter(_._3 >= horizonUs)
+        case (_, rows, state: GroupState[(List[(Long, Long, Long)], Long)]) =>
+          val gapUs = gapMs * 1000L
+          // Evict entries that can no longer pair with any admissible
+          // row: a future row's event time exceeds the watermark, so
+          // anything older than watermark − gap is dead. This is what
+          // actually bounds a hot bucket's state (the timeout below
+          // only reaps fully-idle buckets, since every arrival
+          // re-arms it).
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L - gapUs
+          val (seen0, maxSeen0) = state.getOption.getOrElse((Nil, Long.MinValue))
+          var seen = seen0.filter(_._3 >= horizonUs)
+          if (state.hasTimedOut && rows.isEmpty && seen.isEmpty) {
+            state.remove(); Iterator.empty
+          } else {
             val out = Seq.newBuilder[NearDup]
-            var maxTs = 0L
+            // the reap deadline tracks the max event time EVER SEEN by
+            // the bucket (held in state) — timers are re-set each
+            // invocation, so arming from only the batch max would move
+            // the deadline backwards on an out-of-order arrival and
+            // discard entries still inside their pairing horizon
+            var maxTs = maxSeen0
             rows.toSeq.sortBy(_._5).foreach { case (_, _, id, sim, tsUs, ts) =>
               seen.foreach { case (id0, sim0, ts0) =>
                 val h = java.lang.Long.bitCount(sim0 ^ sim)
@@ -344,10 +391,14 @@ object Streams {
               seen = (id, sim, tsUs) :: seen
               maxTs = math.max(maxTs, ts.getTime)
             }
-            state.update(seen)
-            // idle-bucket reaper; hot buckets are bounded by the
-            // horizon eviction above
-            state.setTimeoutTimestamp(maxTs + gapMs)
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update((seen, maxTs))
+              // idle-bucket reaper; hot buckets are bounded by the
+              // horizon eviction above
+              state.setTimeoutTimestamp(math.max(maxTs + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
             out.result().iterator
           }
       }
@@ -363,9 +414,17 @@ object Streams {
     * declarative pipeline). Append mode, no watermark needed. */
   def curationGateStream(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
+    // The gate's verdict is C4-keep AND Gopher-keep — dropping the C4
+    // kill (lorem ipsum / code markers / too few surviving lines)
+    // would let a document the batch gauntlet marks reason='c4' pass
+    // the gate with keep=true on its Gopher stats alone.
     val cleaned = graft.text.Curation.c4Clean(docs, idCol, textCol)
-      .select(col(idCol), coalesce(col("cleaned_text"), lit("")).as("__t"))
-    graft.text.Curation.gopherQuality(cleaned, idCol, "__t")
+      .select(col(idCol), col("keep").as("__c4_keep"),
+        coalesce(col("cleaned_text"), lit("")).as("__t"))
+    graft.text.Curation.gopherQuality(cleaned, idCol, "__t",
+        passThrough = Seq("__c4_keep"))
+      .withColumn("keep", col("keep") && col("__c4_keep"))
+      .drop("__c4_keep")
   }
 
   final case class AsofState(dims: List[(Long, Long)], probes: List[(Long, Long)])
@@ -493,13 +552,25 @@ object Streams {
 
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start_us: Long, end_us: Long, n: Long)
+  final case class SessionsState(sessions: List[SessState])
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
   /** Gap-based sessionization (pre-sink, unbounded) via
-    * flatMapGroupsWithState with event-time timeout: a session closes
-    * when the next event is > gap after its last event (emitted
-    * immediately) or when the watermark passes last_event + gap (emitted
-    * on timeout). Exactly one open session of state per user. */
+    * flatMapGroupsWithState with event-time timeout.
+    *
+    * CORRECTNESS UNDER OUT-OF-ORDER ARRIVAL (the whole point of the
+    * watermark contract): state per user is a SET of disjoint session
+    * intervals, each incoming event merges into — and may BRIDGE — the
+    * intervals within `gap` of it (interval merging is order-
+    * independent, so any in-watermark arrival order yields the same
+    * sessions), and a session is emitted ONLY once the watermark passes
+    * its end + gap, when no non-late event can extend or bridge it.
+    * The earlier single-open-session form emitted a session the moment
+    * a > gap successor ARRIVED and clamped bounds by arrival order —
+    * both of which corrupt results when a batch carries in-watermark
+    * out-of-order events (an irrevocable split of what the oracle
+    * computes as one session). State stays bounded: pending intervals
+    * all end within the watermark horizon. */
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
@@ -511,33 +582,37 @@ object Streams {
         col("ts")) // event-time column must survive for the watermark
     val sessions = events.as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (user, rows, state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, s.start_us, s.end_us, s.n))
-          } else {
-            val ts = rows.map(_._2).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            ts.foreach { t =>
-              open = open match {
-                case Some(s) if t - s.end_us > gapUs =>
-                  closed += Session(user, s.start_us, s.end_us, s.n)
-                  Some(SessState(t, t, 1))
-                case Some(s) => Some(SessState(s.start_us, t, s.n + 1))
-                case None    => Some(SessState(t, t, 1))
-              }
+        case (user, rows, state: GroupState[SessionsState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var ivs: List[SessState] = state.getOption.map(_.sessions).getOrElse(Nil)
+          rows.foreach { r =>
+            val t = r._2
+            // merge t into every interval within gap of it (possibly
+            // bridging two); the fold keeps the interval set disjoint
+            val (touch, rest) = ivs.partition(s =>
+              t >= s.start_us - gapUs && t <= s.end_us + gapUs)
+            val merged = touch.foldLeft(SessState(t, t, 1)) { (acc, s) =>
+              SessState(math.min(acc.start_us, s.start_us),
+                math.max(acc.end_us, s.end_us), acc.n + s.n)
             }
-            open.foreach { s =>
-              state.update(s)
-              // Close via watermark once no event can extend the session.
-              state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes * 60L * 1000L)
-            }
-            closed.result().iterator
+            ivs = merged :: rest
           }
+          // finalized: the watermark passed end + gap, so no non-late
+          // event can extend (t - end > gap) or bridge this interval
+          val (done, pending) = ivs.partition(_.end_us + gapUs < wmUs)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(pending))
+            // wake when the earliest pending interval finalizes;
+            // strictly above the current watermark or the API rejects
+            state.setTimeoutTimestamp(math.max(
+              pending.iterator.map(_.end_us + gapUs).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          done.sortBy(s => (s.start_us, s.end_us))
+            .map(s => Session(user, s.start_us, s.end_us, s.n)).iterator
       }
     sessions.toDF()
   }
@@ -556,8 +631,11 @@ object Streams {
     * engine). The custom fMGWS version remains for session logic
     * aggregates can't express (mid-session emission, custom eviction).
     * Append mode emits each session once its window is closed by the
-    * watermark — same visibility rule as the fMGWS twin, so both share
-    * one oracle. `end_us` is the LAST EVENT time (window end minus the
+    * watermark. NOTE the two twins do NOT share an oracle: this form
+    * splits sessions on a strict >= gap (window-overlap) rule where
+    * fMGWS merges the exact-gap successor, so each has its own oracle
+    * SQL and EngineSpec pins the subset relation between them.
+    * `end_us` is the LAST EVENT time (window end minus the
     * gap), matching the fMGWS output exactly. */
   def sessionizeNativeStream(spark: SparkSession, dir: String,
                              gapMinutes: Int = 30): DataFrame = {

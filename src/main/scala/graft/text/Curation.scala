@@ -199,7 +199,8 @@ object Curation {
     * the corpus, which is exactly where a 100 TB curation pipeline
     * wants its cheap kill rules. */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
-                    minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+                    minWords: Long = 50, maxWords: Long = 100000,
+                    passThrough: Seq[String] = Nil): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val words = split(t, " ")
     val nWords = size(words).cast("long")
@@ -213,9 +214,10 @@ object Curation {
     val keep = nWords.between(minWords, maxWords) &&
       meanWl.between(3.0, 10.0) && symRatio < 0.1 &&
       fracAlpha > 0.8 && nStop >= 2
-    df.select(col(idCol), nWords.as("n_words"), meanWl.as("mean_word_len"),
+    df.select(Seq(col(idCol), nWords.as("n_words"), meanWl.as("mean_word_len"),
       fracAlpha.as("frac_alpha_words"), nStop.as("n_stopwords"),
-      symRatio.as("symbol_ratio"), keep.as("keep"))
+      symRatio.as("symbol_ratio"), keep.as("keep")) ++
+      passThrough.map(col): _*)
   }
 
   // ---- C4 heuristic cleaning --------------------------------------------
