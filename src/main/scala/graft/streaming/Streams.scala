@@ -572,10 +572,17 @@ object Streams {
     * computes as one session). State stays bounded: pending intervals
     * all end within the watermark horizon. */
   def sessionizeStream(spark: SparkSession, dir: String,
-                       gapMinutes: Int = 30): DataFrame = {
+                       gapMinutes: Int = 30): DataFrame =
+    sessionizeStreamDf(readTableStream(spark, dir, "events"), gapMinutes)
+
+  /** [[sessionizeStream]] over an arbitrary streaming frame with
+    * `user_id` and `ts` columns (the multi-batch out-of-order specs
+    * drive this directly with a file-per-micro-batch source). */
+  def sessionizeStreamDf(raw: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = raw.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val events = readTableStream(spark, dir, "events")
+    val events = raw
       .withWatermark("ts", s"$gapMinutes minutes")
       .select(col("user_id").cast("long").as("user_id"),
         unix_micros(col("ts")).as("ts_us"),

@@ -487,6 +487,108 @@ class EngineSpec extends SparkSpec {
     assert(got == Set(3L, 7L))
   }
 
+  /** Write each frame as ONE parquet file in `watch` with ascending
+    * mtimes, so a file-stream source with maxFilesPerTrigger=1 replays
+    * them as separate micro-batches in this exact order. */
+  private def writeMicroBatches(watch: String,
+                                batches: Seq[org.apache.spark.sql.DataFrame]): Unit =
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(watch, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+
+  private def microBatchStream(watch: String): org.apache.spark.sql.DataFrame = {
+    val schema = spark.read.parquet(watch).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(watch)
+  }
+
+  private def ts(hhmm: String) = s"2024-01-01 $hhmm:00"
+
+  test("sessionize bridges an in-watermark out-of-order event across micro-batches") {
+    // The regression the interval-set rework fixed: batch 1 carries
+    // user 1's events at 10:00 and 10:45 (> gap apart), batch 2 a
+    // NON-LATE 10:20 event (watermark is 10:15) that bridges them.
+    // The single-open-session form emitted [10:00,10:00] on the 10:45
+    // arrival — an irrevocable split — and clamped bounds by arrival
+    // order; the fix must yield the batch answer: ONE session 10:00 →
+    // 10:45 with 3 events, finalized once a later batch's watermark
+    // (12:30) passes end + gap.
+    val watch = java.nio.file.Files.createTempDirectory("graft_ooo_sess").toString
+    def ev(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    writeMicroBatches(watch, Seq(
+      ev((1L, ts("10:00")), (1L, ts("10:45"))),
+      ev((1L, ts("10:20"))),
+      ev((2L, ts("13:00")))))
+    val got = Streams.runToMemory(
+        Streams.sessionizeStreamDf(microBatchStream(watch)),
+        s"graft_ooo_sess_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(hhmm: String) = java.sql.Timestamp.valueOf(ts(hhmm)).getTime * 1000L
+    assert(got == Set((1L, us("10:00"), us("10:45"), 3L)),
+      s"got $got — session split or bounds corrupted by out-of-order arrival")
+  }
+
+  test("near-dup survivor state outlives an out-of-order timer re-arm") {
+    // The eviction deadline must track the max event time EVER SEEN:
+    // re-arming from only the current batch (doc at 11:30 after the
+    // 12:00 winner) used to pull the timer back to 12:30, so the
+    // 12:35 watermark evicted the signature inside its own 60-minute
+    // horizon and the 12:50 doc produced a SECOND survivor.
+    val watch = java.nio.file.Files.createTempDirectory("graft_ooo_nd").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "an entirely different document about catalyst physical planning"
+    def docs(rows: (Long, String, String)*) = rows.toSeq.toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+    writeMicroBatches(watch, Seq(
+      docs((1L, dup, ts("12:00"))),
+      docs((2L, dup, ts("11:30"))),
+      docs((99L, other, ts("13:35"))),
+      docs((3L, dup, ts("12:50")))))
+    val got = Streams.runToMemory(
+        Streams.neardupStreamDf(microBatchStream(watch), "doc_id", "text", "ts"),
+        s"graft_ooo_nd_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, String)].collect()
+    assert(got.groupBy(_._2).forall(_._2.length == 1),
+      s"duplicate survivor emitted for one signature: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set(1L, 99L), s"got ${got.toSeq}")
+  }
+
+  test("near-dup finalizeByWatermark picks the min-event-time winner across batches") {
+    // Immediate emission is batch-boundary-dependent by design; the
+    // production knob holds the winner until the watermark passes its
+    // event time, so the later-arriving doc with the EARLIER event
+    // time (id=3 at 10:00, arriving a batch after id=7 at 10:05) must
+    // win regardless of micro-batch boundaries.
+    val watch = java.nio.file.Files.createTempDirectory("graft_wm_nd").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "an entirely different document about catalyst physical planning"
+    def docs(rows: (Long, String, String)*) = rows.toSeq.toDF("doc_id", "text", "s")
+      .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+    writeMicroBatches(watch, Seq(
+      docs((7L, dup, ts("10:05"))),
+      docs((3L, dup, ts("10:00"))),
+      docs((99L, other, ts("12:00")))))
+    val got = Streams.runToMemory(
+        Streams.neardupStreamDf(microBatchStream(watch), "doc_id", "text", "ts",
+          finalizeByWatermark = true),
+        s"graft_wm_nd_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, String)].collect()
+    // 99's signature never finalizes (watermark stops at 11:00 < 12:00)
+    assert(got.map(_._1).toSeq == Seq(3L), s"got ${got.toSeq}")
+  }
+
   test("streaming sessionize drives a distributed file sink (no driver collect)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val path = Streams.runToFileSink(Streams.sessionizeStream(spark, sfDir), tmp)
