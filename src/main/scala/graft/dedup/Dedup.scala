@@ -42,10 +42,31 @@ object Dedup {
     * No corpus-sized broadcast hint (the round-2 scale-killer). */
   def incremental(delta: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    val known = corpus.select(md5(normText(col(textCol))).as("fingerprint")).distinct()
+    val known = corpus.select(md5(normText(col(textCol))).as("__known_fp")).distinct()
+    // NULL-SAFE key: a null/absent-text doc has a null fingerprint, and
+    // a plain equi-anti-join would pass every null-text delta row
+    // through forever (null === null is never true) — inconsistent with
+    // exact()/fingerprint(), whose GROUP BY puts all null-text docs in
+    // one cluster. <=> keeps the key an equi-join (hashable), so the
+    // join still shuffles/broadcasts normally.
     delta.select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
-      .join(known, Seq("fingerprint"), "left_anti")
+      .join(known, col("fingerprint") <=> col("__known_fp"), "left_anti")
   }
+
+  /** Shared contract check for the components family: the label
+    * algebra runs on longs, and under non-ANSI SQL a silent cast of a
+    * string/uuid id would null every edge (returning garbage instead
+    * of failing). Map non-integral ids to dense longs first
+    * (xxhash64, or Curation.assignIds for collision-free ids). */
+  private def requireIntegralIds(pairs: DataFrame, op: String,
+                                 cols: String*): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = pairs.select(col(c)).schema.head.dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$op: id column '$c' must be an integral type, got $dt — map " +
+        "string/uuid ids to longs first (xxhash64 or Curation.assignIds)")
+    }
 
   /** Near-dup CLUSTERS from candidate pairs: connected components by
     * iterative min-label propagation. Every node starts labeled with its
@@ -78,11 +99,19 @@ object Dedup {
     // dynamic-allocation cluster defaultParallelism reflects only the
     // executors registered RIGHT NOW (can be tiny at job start), and a
     // coalesce never re-expands — the conf value is the intent
+    requireIntegralIds(pairs, "components", idA, idB)
     val par = math.max(pairs.sparkSession.sparkContext.defaultParallelism,
       pairs.sparkSession.sessionState.conf.numShufflePartitions)
+    // Symmetrize with ONE scan of the pairs plan (inline over both
+    // directions): pair generation is itself an expensive blocked
+    // similarity join, and the union-of-two-selects form executed the
+    // whole pairs subtree twice inside this materialization job
+    // (column pruning makes the two branches non-identical subplans,
+    // so ReuseExchange does not merge them).
     val (edges, releaseEdges) = Mat.releasable(pairs
-      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))),
+      .select(inline(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))),
       coalesceTo = par)
     var (labels, releaseLabels) = Mat.releasable(
       edges.select(col("src").as("id")).distinct()
@@ -124,8 +153,11 @@ object Dedup {
       i += 1
     }
     releaseEdges() // the returned labels are materialized, edge-free
-    if (!done) throw new IllegalStateException(
-      s"components: no fixpoint after $maxIter rounds — raise maxIter")
+    if (!done) {
+      releaseLabels() // don't pin the final round's checkpoint on failure
+      throw new IllegalStateException(
+        s"components: no fixpoint after $maxIter rounds — raise maxIter")
+    }
     labels
   }
 
@@ -160,13 +192,26 @@ object Dedup {
           lit(0).cast("decimal(38,0)")).as("h")).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
+    requireIntegralIds(pairs, "componentsStars", idA, idB)
     val a = col(idA).cast("long")
     val b = col(idB).cast("long")
     val par = math.max(pairs.sparkSession.sparkContext.defaultParallelism,
       pairs.sparkSession.sessionState.conf.numShufflePartitions)
-    var (edges, releaseEdges) = Mat.releasable(pairs
-      .select(greatest(a, b).as("u"), least(a, b).as("v"))
-      .filter(col("u") =!= col("v")).distinct(), coalesceTo = par)
+    // Keep the NODE set aside before dropping self-loops: a node whose
+    // only pair is (x, x) has no directed edge, but the [[components]]
+    // contract (one labeled row per node appearing in `pairs`) still
+    // owes it a (x, x) output row — the star read-off alone would
+    // silently drop it from the labeled set.
+    val (all0, releaseAll0) = Mat.releasable(pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v")).distinct(),
+      coalesceTo = par)
+    val (nodes, releaseNodes) = Mat.releasable(
+      all0.select(col("u").as("id"))
+        .unionByName(all0.select(col("v").as("id"))).distinct(),
+      coalesceTo = par)
+    var (edges, releaseEdges) = Mat.releasable(
+      all0.filter(col("u") =!= col("v")), coalesceTo = par)
+    releaseAll0()
     var sig = checksum(edges)
     var i = 0
     var done = false
@@ -200,11 +245,17 @@ object Dedup {
       releaseEdges = releaseNext
       i += 1
     }
-    if (!done) throw new IllegalStateException(
-      s"componentsStars: no fixpoint after $maxIter rounds — raise maxIter")
-    edges.select(col("u").as("id"), col("v").as("component"))
+    if (!done) {
+      releaseNodes(); releaseEdges() // don't pin checkpoints on failure
+      throw new IllegalStateException(
+        s"componentsStars: no fixpoint after $maxIter rounds — raise maxIter")
+    }
+    val stars = edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+    // self-loop-only nodes have no star edge → labeled with themselves
+    nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   // ---- MinHash + LSH ---------------------------------------------------
@@ -247,6 +298,14 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numPerms: Int = 128, bands: Int = 32,
                    threshold: Double = 0.5): DataFrame = {
+    // Fail loud on a broken (b, r) shape: bands > numPerms would make
+    // rowsPerBand 0, every band slice empty, and ALL docs collide into
+    // one bucket per band — the unblocked cross join this operator
+    // exists to avoid; a non-divisible bands would silently ignore the
+    // trailing numPerms % bands signature components, changing the
+    // S-curve the caller computed.
+    require(bands >= 1 && numPerms % bands == 0,
+      s"minhashPairs: bands ($bands) must be >= 1 and divide numPerms ($numPerms)")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // Repartition before the signature projection: the docs scan is one
     // parquet split, and the signature feeds three plan branches (bucket
@@ -302,18 +361,34 @@ object Dedup {
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** SimHash near-dup pairs: block on 4×16-bit bands (two hashes within
-    * hamming distance ≤ 3 of each other must agree on ≥1 band; with k up
-    * to 6 this is a high-recall blocking, standard SimHash practice),
-    * then exact hamming filter via bit_count(xor). */
+  /** SimHash near-dup pairs: block on `bands` equal-width bit bands of
+    * the 64-bit hash, then exact hamming filter via bit_count(xor).
+    *
+    * RECALL CONTRACT (pigeonhole): two hashes within hamming distance
+    * ≤ bands−1 MUST agree on at least one band, so candidate
+    * generation is complete up to that distance; pairs at distances in
+    * (bands−1, maxHamming] are emitted only when the differing bits
+    * happen to cluster (best-effort recall — with the 4×16-bit default
+    * and maxHamming = 6, standard SimHash practice: near-dup bit flips
+    * cluster heavily in practice). For a HARD guarantee at
+    * maxHamming = h, pass bands ≥ h+1 and mind the tradeoff: narrower
+    * bands have fewer distinct values (64/bands bits each), so buckets
+    * fatten and the within-bucket self-join cost grows — at 8 bands
+    * each band value is 8 bits (256 buckets/band), ~n²/256 candidate
+    * pairs per band. The Manku et al. (WWW'07) table-of-permutations
+    * construction is the scale answer beyond h ≈ 4. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"simhashPairs: bands ($bands) must divide the 64-bit hash width")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val sims = docs.repartition(parts).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim"))
-    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band_id"),
-      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val")))
+    val bandStructs = (0 until bands).map(b => struct(lit(b).as("band_id"),
+      shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("band_val")))
     // Hash-partition on the band key: the self-join reuses one exchange
     // (simhash computed once) and shuffles only on (band_id, band_val).
     // No broadcast hint — the banded table is corpus-sized (4 rows per
@@ -334,6 +409,22 @@ object Dedup {
   }
 
   // ---- N-gram Jaccard --------------------------------------------------
+
+  /** Salted self-join scaffolding shared by the blocked pair
+    * generators: the LEFT side is replicated across all `saltBuckets`
+    * salts, the RIGHT side gets ONE deterministic salt per `id` row —
+    * so each (l, r) pair meets exactly once (on r's salt) and
+    * parallelism becomes |block| × salts instead of |block|. The
+    * left-side replication multiplies its shuffle by `saltBuckets`, a
+    * bounded, partition-parallel cost (vs. an unbounded driver
+    * collect). Both frames must carry an `id` column. */
+  private def saltPair(lhs: DataFrame, rhs: DataFrame,
+                       saltBuckets: Int): (DataFrame, DataFrame) = {
+    require(saltBuckets >= 1,
+      s"saltBuckets must be >= 1, got $saltBuckets")
+    (lhs.withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets - 1L)))),
+     rhs.withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets.toLong))))
+  }
 
   /** Distinct character n-grams of the normalized text. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -396,12 +487,8 @@ object Dedup {
     // is a hard driver-side collect with an 8 GB cap; it is not demoted
     // by AQE and fails outright at scale). Because the block key can be
     // low-cardinality (e.g. a handful of sources), joining on blk alone
-    // would cap parallelism at the key cardinality, so we salt: the
-    // right side gets ONE deterministic salt per doc, the left side is
-    // replicated across all `saltBuckets` salts — each (a,b) pair meets
-    // exactly once, on b's salt, and parallelism becomes |blk|×salts.
-    // The left-side replication multiplies its shuffle by `saltBuckets`,
-    // a bounded, partition-parallel cost (vs. unbounded driver collect).
+    // would cap parallelism at the key cardinality, so we salt (see
+    // [[saltPair]] for the meet-exactly-once invariant).
     val jac = graft.functions.GraftFunctions.jaccardSorted(col("l.grams"), col("r.grams"))
     // Log-scale length band: floor(ln(sz)/ln(1/t')). Bands ≥ 2 apart
     // imply size ratio < t' (below even the margined prune), so banding
@@ -415,13 +502,17 @@ object Dedup {
       if (logBase > 0) floor(log(col("sz")) / lit(logBase)).cast("int")
       else lit(0)
     val banded = grams.withColumn("band", bandOf)
-    val lhs = banded
-      .withColumn("band", explode(array(
+    // Degenerate threshold (logBase == 0): the band is the constant 0,
+    // so the ±1 replication would triple the left shuffle for zero
+    // extra candidates — skip it and the path truly reduces to the
+    // plain (blk, salt) join the comment above promises.
+    val lhsBanded =
+      if (logBase > 0) banded.withColumn("band", explode(array(
         col("band") - 1, col("band"), col("band") + 1)))
-      .withColumn("salt",
-        explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
-    val rhs = banded.withColumn("salt",
-      pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).as("r")
+      else banded
+    val (lhsSalted, rhsSalted) = saltPair(lhsBanded, banded, saltBuckets)
+    val lhs = lhsSalted.as("l")
+    val rhs = rhsSalted.as("r")
     // Optional fail-loud candidate budget: count docs per (blk, band),
     // self-join the tiny count table on blk & |Δband| ≤ 1 to get the
     // exact candidate-pair total the join below would enumerate, and
@@ -576,7 +667,14 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_pos").as("s"),
         (col("span_pos") + col("span_tokens") - 1).as("e"))).as("__rr"))
-    val base = docs.select(col(idCol),
+    // Repartition before the per-token cut: the docs scan can be one
+    // parquet split, and when AQE broadcasts the (small) removal table
+    // the base side keeps the scan partitioning — serializing the
+    // O(tokens × removal-ranges) filter/transform, the most expensive
+    // per-row stage of the operator, onto one core (same trap as the
+    // gram projections above).
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(parts).select(col(idCol),
       split(coalesce(col(textCol), lit("")), " ").as("__w"))
     val idx = sequence(lit(1), size(col("__w")))
     val kept = when(col("__rr").isNull, col("__w"))
@@ -609,12 +707,10 @@ object Dedup {
     // Shuffled equi-join on (cell, salt) — no broadcast of the corpus-
     // sized embedding table (hard 8 GB driver collect, not demoted by
     // AQE). Cells are low-cardinality, so the same salt-replication as
-    // ngramJaccardPairs restores parallelism: r carries one salt per
-    // vec, l is replicated across all salts, each pair meets once.
-    val lhs = v.withColumn("salt",
-      explode(sequence(lit(0L), lit(saltBuckets - 1L)))).as("l")
-    val rhs = v.withColumn("salt",
-      pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).as("r")
+    // ngramJaccardPairs restores parallelism (see [[saltPair]]).
+    val (lhsSalted, rhsSalted) = saltPair(v, v, saltBuckets)
+    val lhs = lhsSalted.as("l")
+    val rhs = rhsSalted.as("r")
     lhs.join(rhs,
         col("l.cell") === col("r.cell") && col("l.salt") === col("r.salt") &&
         col("l.id") < col("r.id"))

@@ -164,6 +164,60 @@ class DedupSpec extends SparkSpec {
     assert(got == expect, s"stars=$got minlabel=$expect")
   }
 
+  test("components twins: self-pair singletons labeled, string ids rejected loud") {
+    // a node whose ONLY pair is (x, x) still owes a labeled row — the
+    // star read-off alone would drop it (r6 review finding)
+    val pairs = Seq((1L, 2L), (5L, 5L), (2L, 1L)).toDF("id_a", "id_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    assert(Dedup.components(pairs).as[(Long, Long)].collect().toMap == expect)
+    assert(Dedup.componentsStars(pairs).as[(Long, Long)].collect().toMap == expect)
+    // non-integral ids: a silent long cast would null every edge and
+    // return garbage under non-ANSI SQL — must fail at construction
+    val uuidPairs = Seq(("a-1", "b-2")).toDF("id_a", "id_b")
+    val e1 = intercept[IllegalArgumentException](Dedup.components(uuidPairs))
+    val e2 = intercept[IllegalArgumentException](Dedup.componentsStars(uuidPairs))
+    assert(e1.getMessage.contains("integral") && e2.getMessage.contains("integral"))
+  }
+
+  test("minhashPairs rejects a non-divisible or degenerate banding") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // bands > numPerms → rowsPerBand 0 → every doc in ONE bucket per
+    // band: the unblocked cross join the operator exists to avoid
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairs(docs, "doc_id", "text", numPerms = 128, bands = 256))
+    intercept[IllegalArgumentException](
+      Dedup.minhashPairs(docs, "doc_id", "text", numPerms = 128, bands = 24))
+  }
+
+  test("incremental dedup treats null text consistently with exact/fingerprint") {
+    // null fingerprints must match null-safely: a null-text corpus doc
+    // dedups null-text delta rows (exact()'s GROUP BY puts all
+    // null-text docs in one cluster; the anti-join must agree)
+    val corpus = Seq((1L, "alpha"), (2L, null)).toDF("doc_id", "text")
+    val delta = Seq((10L, null: String), (11L, "beta"), (12L, null: String))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incremental(delta, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(11L))
+  }
+
+  test("simhashPairs banding is parameterizable; wider banding keeps the defaults' pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "an entirely different document about physical plans")
+    ).toDF("doc_id", "text")
+    val p4 = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    // bands = 8 guarantees recall to hamming <= 7 > the default 6, so
+    // it must find every pair the 4-band blocking found
+    val p8 = Dedup.simhashPairs(docs, "doc_id", "text", bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p4.subsetOf(p8), s"p4=$p4 p8=$p8")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", bands = 5))
+  }
+
   test("componentsStars: depth-10k path converges within O(log n) rounds") {
     // r4 verdict item 7: the property the stars variant buys — a path
     // graph of depth 10^4 (diameter 10^4) must converge in O(log n)
