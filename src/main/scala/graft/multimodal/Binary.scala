@@ -29,6 +29,25 @@ object Binary {
   final case class MMRecord(id: Long, payload: Array[Byte])
   final case class MMFeatures(id: Long, n_bytes: Long, features: Array[Float])
 
+  /** Shared typed projection for the five binary stages. Rejects
+    * non-integral id columns at construction (a string id would fail
+    * opaquely inside the encoder mid-job); ids must also be non-null —
+    * that contract lives in the data model (doc_id is a key). */
+  private def typedRecords(spark: SparkSession, df: DataFrame, idCol: String,
+                           payloadCol: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.select(col(idCol)).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"multimodal stage: id column '$idCol' must be an integral type, got $dt")
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MMRecord]
+  }
+
+  /** Null payloads (a null source column) are empty payloads, not NPEs. */
+  private def nz(p: Array[Byte]): Array[Byte] =
+    if (p == null) Array.emptyByteArray else p
+
   /** STUB decode: a real implementation would hand `payload` to an image
     * or audio codec here. Deterministic fake: 16-bin byte-value
     * histogram, L1-normalized — stable across runs and partitions. */
@@ -46,11 +65,10 @@ object Binary {
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                       payloadCol: String): Dataset[MMFeatures] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
-      .as[MMRecord]
+    typedRecords(spark, df, idCol, payloadCol)
       .mapPartitions { it =>
         it.map { rec =>
-          val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+          val p = nz(rec.payload)
           MMFeatures(rec.id, p.length.toLong, decodeStub(p))
         }
       }
@@ -69,6 +87,7 @@ object Binary {
     * no decoder library is required, so unlike the pixel pipeline this
     * is NOT a stub. Returns null for non-image/unknown payloads. */
   def imageMeta(payload: Array[Byte]): ImageMeta = {
+    if (payload == null) return null
     def u8(i: Int): Int = payload(i) & 0xFF
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
@@ -82,7 +101,12 @@ object Binary {
       else ImageMeta("bmp", le32(18), math.abs(le32(22)))      // height<0 = top-down
     }
     else if (payload.length >= 24 &&
-        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+        // full 8-byte signature AND the IHDR tag (the spec guarantees
+        // IHDR is the first chunk) — 4 signature bytes alone would
+        // accept any crafted/corrupt payload and return garbage dims
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
       ImageMeta("png", be32(16), be32(20))
     else if (payload.length >= 10 &&
         u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
@@ -93,12 +117,15 @@ object Binary {
     else if (payload.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk the marker segments to the first SOF0/1/2
       var i = 2
-      while (i + 9 < payload.length) {
+      // bounds are exact: the farthest read of an SOF hit at marker
+      // position j is u8(j+7), so j+8 <= length suffices (a header
+      // truncated exactly after the SOF width bytes still parses)
+      while (i + 9 <= payload.length) {
         if (u8(i) != 0xFF) return null
         // 0xFF bytes may repeat as fill/padding before the marker byte
         var j = i + 1
         while (j < payload.length && u8(j) == 0xFF) j += 1
-        if (j + 8 >= payload.length) return null
+        if (j + 8 > payload.length) return null
         val marker = u8(j)
         if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
           return ImageMeta("jpeg", be16(j + 6), be16(j + 4))
@@ -126,7 +153,8 @@ object Binary {
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xFFFFFFFFL
     def tag(i: Int): String = new String(payload.slice(i, i + 4), "US-ASCII")
-    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    if (payload == null || payload.length < 44 ||
+        tag(0) != "RIFF" || tag(8) != "WAVE") return null
     var i = 12L
     var channels, rate, bits = 0
     var byteRate = 0L
@@ -136,7 +164,9 @@ object Binary {
       val id = tag(ii)
       val sz = le32(ii + 4) // unsigned — kept as Long so a corrupt size
                             // can never advance i by <= 0 (infinite loop)
-      if (id == "fmt " && i + 24 <= payload.length) {
+      // sz >= 16: a truncated fmt chunk must not read the NEXT chunk's
+      // bytes as channels/rate/bits (plausible-looking garbage)
+      if (id == "fmt " && sz >= 16 && i + 24 <= payload.length) {
         channels = le16(ii + 10); rate = le32(ii + 12).toInt
         byteRate = le32(ii + 16); bits = le16(ii + 22)
       } else if (id == "data") dataSize = sz
@@ -154,11 +184,9 @@ object Binary {
   def withImageMeta(spark: SparkSession, df: DataFrame, idCol: String,
                     payloadCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
-      .as[MMRecord]
+    typedRecords(spark, df, idCol, payloadCol)
       .map { rec =>
-        // null payloads (a null source column) are non-images, not NPEs
-        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+        val p = nz(rec.payload)
         val m = Option(imageMeta(p))
         (rec.id, p.length.toLong,
           m.map(_.format).orNull,
@@ -174,10 +202,9 @@ object Binary {
   def withAudioMeta(spark: SparkSession, df: DataFrame, idCol: String,
                     payloadCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
-      .as[MMRecord]
+    typedRecords(spark, df, idCol, payloadCol)
       .map { rec =>
-        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
+        val p = nz(rec.payload)
         val m = Option(audioMeta(p))
         (rec.id, p.length.toLong,
           m.map(_.format).orNull,
@@ -198,15 +225,20 @@ object Binary {
                  payloadCol: String, targetW: Int, targetH: Int): Dataset[Resized] = {
     import spark.implicits._
     require(targetW > 0 && targetH > 0)
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
-      .as[MMRecord]
+    // Long product: 65536x65536 (valid Ints) overflows Int to 0 and
+    // would silently invert the stride to keep-one-byte.
+    val targetBytes = math.max(targetW.toLong * targetH.toLong, 1L)
+    typedRecords(spark, df, idCol, payloadCol)
       .mapPartitions { it =>
         it.map { rec =>
-          val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
-          val stride = math.max(p.length / math.max(targetW * targetH, 1), 1)
-          val thumb = p.indices.collect {
-            case i if i % stride == 0 => p(i)
-          }.toArray
+          val p = nz(rec.payload)
+          val stride = math.max(p.length / targetBytes, 1L).toInt
+          // keep every stride-th byte: tight while loop, no boxing —
+          // this is the per-row hot path (same style as decodeStub)
+          val thumb = new Array[Byte]((p.length + stride - 1) / stride)
+          var i = 0
+          var o = 0
+          while (i < p.length) { thumb(o) = p(i); o += 1; i += stride }
           Resized(rec.id, targetW, targetH, thumb)
         }
       }
@@ -217,17 +249,17 @@ object Binary {
   /** STUB frame sampling (video → n frames): splits the payload into n
     * equal byte ranges — one output row per "frame", the row-explosion
     * shape a real demuxer produces. flatMap keeps the work distributed
-    * and the output schema fixed. */
+    * and the output schema fixed. Empty/null payloads emit NO rows (a
+    * demuxer finds no frames) — the same rule as [[sampleFrames]]. */
   def frameSampleStub(spark: SparkSession, df: DataFrame, idCol: String,
                       payloadCol: String, nFrames: Int): Dataset[Frame] = {
     import spark.implicits._
     require(nFrames > 0)
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
-      .as[MMRecord]
+    typedRecords(spark, df, idCol, payloadCol)
       .flatMap { rec =>
-        val p = if (rec.payload == null) Array.emptyByteArray else rec.payload
-        val n = math.min(nFrames, math.max(p.length, 1))
-        val step = math.max(p.length / n, 1)
+        val p = nz(rec.payload)
+        val n = math.min(nFrames, p.length) // 0 for an empty payload
+        val step = if (n == 0) 1 else math.max(p.length / n, 1)
         (0 until n).iterator.map { f =>
           val from = f * step
           val until = if (f == n - 1) p.length else math.min((f + 1) * step, p.length)
@@ -243,9 +275,11 @@ object Binary {
     * hex string survives every engine's row canonicalizer; raw binary
     * does not). Offsets are integer-exact
     * (`off(i) = i·(n−w) div (frames−1)`), so the window placement is
-    * engine-portable with no double arithmetic; payloads shorter than
-    * one window emit a single frame 0. Pure scan-stage codegen — the
-    * explode fans out rows, never partitions. */
+    * engine-portable with no double arithmetic; NON-EMPTY payloads
+    * shorter than one window emit a single frame 0, empty/null
+    * payloads emit no rows (the same rule as [[frameSampleStub]] — a
+    * demuxer finds no frames). Pure scan-stage codegen — the explode
+    * fans out rows, never partitions. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    frames: Int = 4, window: Int = 64): DataFrame = {
     require(frames >= 1, s"frames must be >= 1, got $frames")

@@ -378,6 +378,18 @@ class EngineSpec extends SparkSpec {
     assert(Binary.imageMeta(bmp) == Binary.ImageMeta("bmp", 100, 50))
     // "BM" text is not a bmp (DIB size field gate)
     assert(Binary.imageMeta("BMW motors sales data 2020 csv export".getBytes) == null)
+    // a 4-byte PNG prefix on garbage is NOT a png: the full 8-byte
+    // signature AND the IHDR tag are required (r6 review finding — the
+    // lax sniff returned garbage dims for any crafted prefix)
+    val fakePng = b(0x89, 'P', 'N', 'G') ++ "garbage-not-a-png-at-all".getBytes
+    assert(Binary.imageMeta(fakePng) == null)
+    // JPEG truncated exactly after the SOF0 width bytes still parses
+    // (the farthest read is the last payload byte — exact bounds)
+    val jpgTrunc = b(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 8, 0x02, 0x58, 0x03, 0x20)
+    assert(Binary.imageMeta(jpgTrunc) == Binary.ImageMeta("jpeg", 800, 600))
+    // null payload is a non-image, not an NPE (public API hardening)
+    assert(Binary.imageMeta(null) == null)
+    assert(Binary.audioMeta(null) == null)
     // the Spark stage surfaces dims per row (text payloads → non-image)
     val metaDf = Binary.withImageMeta(spark,
       graft.multimodal.Binary.withMeta(
@@ -408,6 +420,13 @@ class EngineSpec extends SparkSpec {
       "junk".map(_.toInt) ++ Seq(0xF8, 0xFF, 0xFF, 0xFF) ++
       Seq.fill(20)(0))
     assert(Binary.audioMeta(corrupt) == null)
+    // a TRUNCATED fmt chunk (sz=4) must not read the following data
+    // chunk's header bytes as channels/rate/bits (r6 review finding)
+    val truncFmt = bytes(
+      "RIFF".map(_.toInt) ++ le32(0) ++ "WAVE".map(_.toInt) ++
+      "fmt ".map(_.toInt) ++ le32(4) ++ le16(1) ++ le16(2) ++
+      "data".map(_.toInt) ++ le32(8) ++ Seq.fill(8)(0))
+    assert(Binary.audioMeta(truncFmt) == null)
   }
 
   test("resize and frame-sample stubs keep real batch shapes") {
@@ -426,6 +445,20 @@ class EngineSpec extends SparkSpec {
     val orig = docs.filter(col("doc_id") === counts.head.getLong(0))
       .select("payload").head().getAs[Array[Byte]](0)
     assert(one.sameElements(orig))
+    // empty payloads emit NO frames (demuxer rule, shared with
+    // sampleFrames) and a huge-but-valid target must not overflow the
+    // stride product (65536^2 overflows Int to 0 → keep-one-byte)
+    val edge = Seq((1L, Array.emptyByteArray), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    assert(Binary.frameSampleStub(spark, edge, "doc_id", "payload", 4)
+      .collect().forall(_.id == 2L))
+    val big = Binary.resizeStub(spark, edge, "doc_id", "payload", 65536, 65536)
+      .filter(col("id") === 2L).head()
+    assert(big.thumb.toSeq == Seq[Byte](1, 2, 3)) // stride 1 keeps all
+    // string ids are rejected at construction, not mid-job in the encoder
+    val strIds = Seq(("a", Array[Byte](1))).toDF("doc_id", "payload")
+    intercept[IllegalArgumentException](
+      Binary.extractFeatures(spark, strIds, "doc_id", "payload"))
   }
 
   test("topKLargest: bounded heap across partitions, short groups, ordering") {
