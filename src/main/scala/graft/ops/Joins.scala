@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 object Joins {
 
+  /** Name normalizer matching the session's resolver: with the default
+    * spark.sql.caseSensitive=false a user column 'Asof' IS the
+    * operator's 'asof', and a case-sensitive string intersect would
+    * wave it through the collision guard — then withColumn silently
+    * REPLACES the user's data. */
+  private def resolver(df: DataFrame): String => String =
+    if (df.sparkSession.sessionState.conf.caseSensitiveAnalysis) identity
+    else _.toLowerCase(java.util.Locale.ROOT)
+
   /** Backward as-of join: for every left row, the single right row with
     * the greatest `rightTimeCol` <= `leftTimeCol` (or strictly <, with
     * `strict = true`) within the same `keyCol` group. Returns every left
@@ -41,18 +50,28 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTimeCol: String, rightTimeCol: String,
                strict: Boolean = false): DataFrame = {
+    val norm = resolver(left)
     val leftFields = left.schema.fields.toSeq
     val reserved = Seq("__k", "__t", "__side", "__p", "asof")
-    val clash = leftFields.map(_.name).intersect(reserved)
+    val clash = leftFields.map(f => norm(f.name)).intersect(reserved)
     require(clash.isEmpty, s"asofJoin: left columns ${clash.mkString(", ")} " +
       "collide with the operator's working columns")
     val valFields = right.schema.fields.toSeq
-      .filter(f => f.name != keyCol && f.name != rightTimeCol)
-    require(!valFields.exists(_.name == "__rt"), "asofJoin: right column " +
-      "__rt collides with the payload's matched-time field")
-    val rtField = right.schema.fields.find(_.name == rightTimeCol)
+      .filter(f => norm(f.name) != norm(keyCol) && norm(f.name) != norm(rightTimeCol))
+    require(!valFields.exists(f => norm(f.name) == "__rt"), "asofJoin: right " +
+      "column __rt collides with the payload's matched-time field")
+    val rtField = right.schema.fields.find(f => norm(f.name) == norm(rightTimeCol))
       .getOrElse(throw new IllegalArgumentException(
         s"asofJoin: right side has no column '$rightTimeCol'"))
+    val ltField = left.schema.fields.find(f => norm(f.name) == norm(leftTimeCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"asofJoin: left side has no column '$leftTimeCol'"))
+    // fail up front with the CALLER's column names — a type mismatch
+    // would otherwise surface as a cryptic union error on the internal
+    // '__t' working column
+    require(ltField.dataType == rtField.dataType,
+      s"asofJoin: time columns must have the same type — " +
+      s"'$leftTimeCol' is ${ltField.dataType}, '$rightTimeCol' is ${rtField.dataType}")
     val payloadType = StructType(StructField("__rt", rtField.dataType) +: valFields)
 
     // Right rows sort before left rows at equal time (side 0 < 1) so an
@@ -67,7 +86,7 @@ object Joins {
         struct((col(rightTimeCol).as("__rt") +:
           valFields.map(f => col(f.name))): _*).as("__p")) ++
         leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-    val l = left.select(
+    val l = left.filter(col(keyCol).isNotNull).select(
       Seq(col(keyCol).as("__k"), col(leftTimeCol).as("__t"),
         lit(1).cast(IntegerType).as("__side"),
         lit(null).cast(payloadType).as("__p")) ++
@@ -76,10 +95,17 @@ object Joins {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftFields.map(f => col(f.name)) :+ col("asof"): _*)
+    // Null-key left rows can never match (their right rows were dropped
+    // above), so their `asof` is null A PRIORI — bypass the window
+    // instead of funneling them all into the single null-key hash
+    // partition, where a large logged-out/unkeyed fraction becomes one
+    // straggler task's sort buffer.
+    matched.unionByName(left.filter(col(keyCol).isNull)
+      .withColumn("asof", lit(null).cast(payloadType)))
   }
 
   /** Keyless interval join: probe rows whose `probeTimeCol` falls inside
@@ -106,11 +132,16 @@ object Joins {
                 intervals: DataFrame, startCol: String, endCol: String,
                 bucketUs: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketUs > 0, s"rangeJoin: bucketUs must be positive, got $bucketUs")
+    require(maxBucketsPerInterval > 0,
+      s"rangeJoin: maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val norm = resolver(probe)
     val probeCols = probe.schema.fieldNames.toSeq
     val ivCols = intervals.schema.fieldNames.toSeq
-    require(probeCols.intersect(ivCols).isEmpty,
-      s"rangeJoin: overlapping column names ${probeCols.intersect(ivCols).mkString(", ")}")
-    val clash = (probeCols ++ ivCols).intersect(Seq("__pt", "__b", "__s", "__e"))
+    val overlap = probeCols.map(norm).intersect(ivCols.map(norm))
+    require(overlap.isEmpty,
+      s"rangeJoin: overlapping column names ${overlap.mkString(", ")}")
+    val clash = (probeCols ++ ivCols).map(norm)
+      .intersect(Seq("__pt", "__b", "__s", "__e"))
     require(clash.isEmpty, s"rangeJoin: columns ${clash.mkString(", ")} " +
       "collide with the operator's working columns")
     val s = unix_micros(col(startCol))
@@ -124,6 +155,12 @@ object Joins {
           lit(s"(bucketUs=$bucketUs) — raise bucketUs or clean sentinel end times"))
           .cast("long")))
       .otherwise(bEnd)
+    // NULL-BOUND CONTRACT: an interval with a null start or end is
+    // DROPPED here (e > s is null — SQL inequality semantics), same as
+    // an empty one. Open-ended "still active" intervals (end = NULL)
+    // must be closed with an explicit horizon by the caller first; a
+    // far-future sentinel like 9999-12-31 instead trips the bucket
+    // budget below, deliberately.
     val iv = intervals
       .filter(e > s) // an empty interval matches nothing (and sequence() would reject stop < start)
       .withColumn("__b", explode(sequence(bStart, guardedEnd)))

@@ -183,6 +183,48 @@ class JoinsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("guards are case-insensitive and fail with caller-facing messages") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+      .select($"k", timestamp_micros($"t").as("t"))
+    val r = Seq((1L, 50L, "x")).toDF("k", "rt", "v")
+      .select($"k", timestamp_micros($"rt").as("rt"), $"v")
+    // the session resolver is case-insensitive: a user column 'Asof'
+    // IS the operator's output column — reject it, don't overwrite it
+    val lAsof = l.withColumn("Asof", lit(1))
+    val e1 = intercept[IllegalArgumentException](
+      Joins.asofJoin(lAsof, r, "k", "t", "rt"))
+    assert(e1.getMessage.contains("collide"))
+    // time-type mismatch names the CALLER's columns, not internal __t
+    val rLong = Seq((1L, 50L, "x")).toDF("k", "rt", "v")
+    val e2 = intercept[IllegalArgumentException](
+      Joins.asofJoin(l, rLong, "k", "t", "rt"))
+    assert(e2.getMessage.contains("'t'") && e2.getMessage.contains("'rt'"))
+    // rangeJoin: case-variant working-column clash + bad budget
+    val probe = Seq((1L, 100L)).toDF("pid", "ptu")
+      .select($"pid", timestamp_micros($"ptu").as("pt"), lit(0L).as("__B"))
+    val iv = Seq((10L, 0L, 200L)).toDF("iv", "su", "eu")
+      .select($"iv", timestamp_micros($"su").as("s"), timestamp_micros($"eu").as("e"))
+    val e3 = intercept[IllegalArgumentException](
+      Joins.rangeJoin(probe, "pt", iv, "s", "e", 1000L))
+    assert(e3.getMessage.contains("collide"))
+    intercept[IllegalArgumentException](
+      Joins.rangeJoin(probe.drop("__B"), "pt", iv, "s", "e", 1000L,
+        maxBucketsPerInterval = 0))
+  }
+
+  test("asofJoin: null-key left rows bypass the window with a null match") {
+    val l = Seq((Some(1L), 100L, "a"), (None, 100L, "b"), (None, 200L, "c"))
+      .toDF("k", "t", "tag")
+      .select($"k", timestamp_micros($"t").as("t"), $"tag")
+    val r = Seq((1L, 50L, "hit")).toDF("k", "rt", "v")
+      .select($"k", timestamp_micros($"rt").as("rt"), $"v")
+    val got = Joins.asofJoin(l, r, "k", "t", "rt")
+      .select($"tag", $"asof".isNull.as("noMatch")).as[(String, Boolean)]
+      .collect().toSet
+    // all three left rows survive; only the keyed one matches
+    assert(got == Set(("a", false), ("b", true), ("c", true)))
+  }
+
   test("rangeJoin plans a hash/merge join on the bucket key, not a cross join") {
     val events = sources.Tables(spark, sfDir, "events")
     val anchors = events.filter($"event_type" === "signup" && $"value" > 9.0)
