@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, MapType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered through `SparkSessionExtensions` (GraftExtensions) and
   * defensively at runtime via `GraftFunctions.ensureRegistered`.
   */
+/** FNV-1a 64-bit constants, shared by the three gram/word kernels so a
+  * hash-family change cannot desynchronize them. */
+object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+}
+
 object MinHashImpl {
   /** Deterministic multiply-shift permutation family (seeded, no RNG
     * state at eval time). */
@@ -31,28 +38,63 @@ object MinHashImpl {
     Array.fill(MaxPerms)(r.nextLong())
   }
 
-  /** Normalization identical to Dedup.normText: lower, trim, collapse
-    * whitespace. */
-  def normalize(s: String): String =
-    s.replaceAll("\\s+", " ").trim.toLowerCase
+  // hoisted: replaceAll(String) would recompile this regex on EVERY row
+  // of the four hot kernels
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  /** Normalization identical to Dedup.normText =
+    * lower(trim(regexp_replace(s, "\\s+", " "))) — each step mirrors
+    * the CATALYST builtin, not the closest Java method:
+    *  - trim strips ONLY ' ' (U+0020); Java String.trim also strips
+    *    control chars <= U+0020 and would diverge on e.g. "x";
+    *  - lower mirrors UTF8String.toLowerCase: a locale-independent
+    *    ASCII fast path, with the JVM-default-locale slow path only
+    *    for non-ASCII strings (the exact branch structure Spark has —
+    *    matching "Locale.ROOT always" would diverge from the engine
+    *    on the same JVM). */
+  def normalize(s: String): String = {
+    val collapsed = Ws.matcher(s).replaceAll(" ")
+    var b = 0
+    var e = collapsed.length
+    while (b < e && collapsed.charAt(b) == ' ') b += 1
+    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+    val t = collapsed.substring(b, e)
+    var ascii = true
+    var i = 0
+    while (ascii && i < t.length) { if (t.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      val cs = t.toCharArray
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        if (c >= 'A' && c <= 'Z') cs(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(cs)
+    } else t.toLowerCase
+  }
+
+  /** Code points of the normalized text — gram kernels index CODE
+    * POINTS, matching the declarative twins' substr() semantics
+    * (UTF8String counts code points); charAt over UTF-16 units would
+    * split surrogate pairs and change gram counts on non-BMP text. */
+  def normCodePoints(text: UTF8String): Array[Int] =
+    normalize(text.toString).codePoints().toArray
 
   /** One pass over the k-char shingles; duplicates need no dedup (min is
     * idempotent under repeats). */
   def compute(text: UTF8String, k: Int, numPerms: Int): ArrayData = {
-    val s = normalize(text.toString)
+    val cp = normCodePoints(text)
     val mins = new Array[Long](numPerms)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val n = s.length
+    val n = cp.length
     val last = if (n <= k) 0 else n - k
     var i = 0
     while (i <= last) {
-      var h = FnvOffset
+      var h = Fnv.Offset
       val end = math.min(i + k, n)
       var j = i
-      while (j < end) { h = (h ^ s.charAt(j)) * FnvPrime; j += 1 }
+      while (j < end) { h = (h ^ cp(j)) * Fnv.Prime; j += 1 }
       var p = 0
       while (p < numPerms) {
         val v = A(p) * h + B(p)
@@ -78,16 +120,16 @@ object GramHashImpl {
     * same argument the declarative form already relies on vs the
     * string-gram oracle. */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val s = MinHashImpl.normalize(text.toString)
-    val n = s.length
+    val cp = MinHashImpl.normCodePoints(text)
+    val n = cp.length
     val last = if (n <= k) 0 else n - k
     val hs = new Array[Long](last + 1)
     var i = 0
     while (i <= last) {
-      var h = 0xcbf29ce484222325L
+      var h = Fnv.Offset
       val end = math.min(i + k, n)
       var j = i
-      while (j < end) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+      while (j < end) { h = (h ^ cp(j)) * Fnv.Prime; j += 1 }
       hs(i) = h
       i += 1
     }
@@ -149,7 +191,9 @@ object BigramCountsImpl {
 
 /** bigram_counts(text) → map<string, bigint> of distinct code-point
   * bigrams to occurrence counts. */
-case class BigramCounts(child: Expression) extends UnaryExpression {
+case class BigramCounts(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType =
     MapType(StringType, LongType, valueContainsNull = false)
   override def prettyName: String = "bigram_counts"
@@ -162,7 +206,9 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
 }
 
 /** gram_hashes(text, k) → sorted distinct array<bigint> shingle hashes. */
-case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   require(k > 0, s"gram_hashes: shingle size k must be > 0, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
@@ -176,7 +222,8 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
 
 /** minhash_sig(text, k, numPerms) → array<bigint> signature. */
 case class MinHashSig(child: Expression, k: Int, numPerms: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   // Fail at plan time, not deep inside codegen eval: the permutation
   // family is fixed-size (MaxPerms).
   require(k > 0, s"minhash_sig: shingle size k must be > 0, got $k")
@@ -193,23 +240,20 @@ case class MinHashSig(child: Expression, k: Int, numPerms: Int)
 }
 
 object SimHashImpl {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
-
   /** 64-bit SimHash over whitespace tokens of the normalized text. */
   def compute(text: UTF8String): Long = {
-    val s = MinHashImpl.normalize(text.toString)
+    val cp = MinHashImpl.normCodePoints(text)
     val counts = new Array[Int](64)
     var nWords = 0
     var start = 0
-    val n = s.length
+    val n = cp.length
     var i = 0
     while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
+      if (i == n || cp(i) == ' ') {
         if (i > start) {
-          var h = FnvOffset
+          var h = Fnv.Offset
           var j = start
-          while (j < i) { h = (h ^ s.charAt(j)) * FnvPrime; j += 1 }
+          while (j < i) { h = (h ^ cp(j)) * Fnv.Prime; j += 1 }
           nWords += 1
           var b = 0
           while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
@@ -227,7 +271,8 @@ object SimHashImpl {
 
 /** simhash64(text) → bigint. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(input: Any): Any =
@@ -241,9 +286,19 @@ case class SimHash64(child: Expression)
 object VecOps {
   /** Cosine over double arrays; sequential fold order matches the
     * declarative zip_with/aggregate form (and the DuckDB oracle) so the
-    * doubles are bit-identical. */
+    * doubles are bit-identical.
+    *
+    * A ZERO-NORM side returns 0.0, never NaN: under Spark's ordering
+    * NaN sorts above every double and passes every >= filter, so a
+    * zero/padding embedding would otherwise match EVERYTHING — every
+    * threshold pair in the dedup pipelines and the top neighbor of
+    * every ANN query. Mismatched lengths fail loud (a silent truncation
+    * to min(n, m) masks ragged embedding data). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector lengths differ ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -256,13 +311,16 @@ object VecOps {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 }
 
 /** cosine_sim(array<double>, array<double>) → double. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -298,7 +356,9 @@ object JaccardImpl {
 /** jaccard_sorted(array<bigint>, array<bigint>) → double. Inputs must be
   * sorted + distinct (e.g. array_sort(array_distinct(...))). */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -331,7 +391,9 @@ object SigAgreeImpl {
 /** sig_agree(array<bigint>, array<bigint>) → double fraction of agreeing
   * positions (MinHash signature Jaccard estimate). */
 case class SigAgree(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sig_agree"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -376,7 +438,8 @@ object LshImpl {
 
 /** lsh_sig(array<double>, numPlanes) → bigint sign-bit signature. */
 case class LshSignature(child: Expression, numPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
   require(numPlanes > 0 && numPlanes <= 64,
     s"lsh_sig: numPlanes must be in [1, 64] (sign bits pack into a long), got $numPlanes")
   override def dataType: DataType = LongType
@@ -400,8 +463,8 @@ object WinnowImpl {
     * every window slice — O(n²·k) per row — which is why this kernel
     * exists (same lesson as the MinHash signature). */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = MinHashImpl.normalize(text.toString)
-    val n = s.length
+    val cp = MinHashImpl.normCodePoints(text)
+    val n = cp.length
     val m = math.max(n - (k - 1), 1)
     val hs = new Array[Long](m)
     var i = 0
@@ -414,7 +477,7 @@ object WinnowImpl {
         // Horner step — a ring homomorphism, so identical to the
         // unrolled no-intermediate-mod SQL form for small k, but safe
         // from long overflow up to the k=64 arity bound.
-        val c: Long = if (i + j < n) s.charAt(i + j).toLong else 0L
+        val c: Long = if (i + j < n) cp(i + j).toLong else 0L
         h = (h * 31L + c) % Mod
         j += 1
       }
@@ -453,7 +516,8 @@ object WinnowImpl {
 /** winnow_fp(text, k, w) → sorted distinct array<bigint> of winnowing
   * fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03). */
 case class WinnowFp(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   require(k >= 2 && k <= 64 && w >= 1 && w <= 4096,
     s"winnow_fp: bad k=$k / w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -483,6 +547,12 @@ case class TopKLargest(child: Expression, k: Int,
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[Any]] {
 
   require(k > 0 && k <= (1 << 20), s"topk_largest: k must be in [1, 2^20], got $k")
+
+  // analysis-time orderability check: a map-typed child would otherwise
+  // throw from getInterpretedOrdering deep inside execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(child.dataType, prettyName)
 
   @transient private lazy val ord: Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(child.dataType)
@@ -753,7 +823,8 @@ case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
   * stays inside WholeStageCodegen), so fact rows whose key cannot be in
   * the build side die before the join exchange. */
 case class BloomMightContain(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "bloom_might_contain"
   override protected def nullSafeEval(bloom: Any, hash: Any): Any =
@@ -769,42 +840,70 @@ case class BloomMightContain(left: Expression, right: Expression)
   * with `ensureRegistered(spark)`. */
 object GraftFunctions {
 
-  private def info(name: String) =
-    new ExpressionInfo(classOf[MinHashSig].getName, name)
+  /** Builder preamble: SQL callers reach these raw (no analyzer arity
+    * check stands in front of an injected function), so a wrong arity
+    * or a non-literal scalar argument must produce a named error, not
+    * an IndexOutOfBoundsException / "Cannot evaluate expression" from
+    * deep inside the builder. */
+  private def nargs(name: String, n: Int, es: Seq[Expression]): Unit =
+    require(es.length == n,
+      s"$name: expected $n arguments, got ${es.length}")
 
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "minhash_sig" -> (es => MinHashSig(es.head,
-      es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].intValue())),
-    "simhash64" -> (es => SimHash64(es.head)),
-    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    "jaccard_sorted" -> (es => JaccardSorted(es(0), es(1))),
-    "sig_agree" -> (es => SigAgree(es(0), es(1))),
-    "gram_hashes" -> (es => GramHashes(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())),
-    "bigram_counts" -> (es => BigramCounts(es.head)),
-    "lsh_sig" -> (es => LshSignature(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())),
-    "topk_largest" -> (es => TopKLargest(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())),
-    "winnow_fp" -> (es => WinnowFp(es.head,
-      es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].intValue())),
-    "kmv_sketch" -> (es => KmvSketch(es.head,
-      es(1).eval().asInstanceOf[Number].intValue())),
-    "bloom_agg" -> (es => BloomAgg(es.head,
-      es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Number].intValue())),
-    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1)))
+  private def intLit(name: String, es: Seq[Expression], pos: Int): Int = {
+    val e = es(pos)
+    require(e.foldable,
+      s"$name: argument ${pos + 1} must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case x: Number => x.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${pos + 1} must be an integer literal, got $other")
+    }
+  }
+
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", classOf[MinHashSig], (es: Seq[Expression]) => {
+      nargs("minhash_sig", 3, es)
+      MinHashSig(es.head, intLit("minhash_sig", es, 1), intLit("minhash_sig", es, 2)) }),
+    ("simhash64", classOf[SimHash64], (es: Seq[Expression]) => {
+      nargs("simhash64", 1, es); SimHash64(es.head) }),
+    ("cosine_sim", classOf[CosineSim], (es: Seq[Expression]) => {
+      nargs("cosine_sim", 2, es); CosineSim(es(0), es(1)) }),
+    ("jaccard_sorted", classOf[JaccardSorted], (es: Seq[Expression]) => {
+      nargs("jaccard_sorted", 2, es); JaccardSorted(es(0), es(1)) }),
+    ("sig_agree", classOf[SigAgree], (es: Seq[Expression]) => {
+      nargs("sig_agree", 2, es); SigAgree(es(0), es(1)) }),
+    ("gram_hashes", classOf[GramHashes], (es: Seq[Expression]) => {
+      nargs("gram_hashes", 2, es)
+      GramHashes(es.head, intLit("gram_hashes", es, 1)) }),
+    ("bigram_counts", classOf[BigramCounts], (es: Seq[Expression]) => {
+      nargs("bigram_counts", 1, es); BigramCounts(es.head) }),
+    ("lsh_sig", classOf[LshSignature], (es: Seq[Expression]) => {
+      nargs("lsh_sig", 2, es)
+      LshSignature(es.head, intLit("lsh_sig", es, 1)) }),
+    ("topk_largest", classOf[TopKLargest], (es: Seq[Expression]) => {
+      nargs("topk_largest", 2, es)
+      TopKLargest(es.head, intLit("topk_largest", es, 1)) }),
+    ("winnow_fp", classOf[WinnowFp], (es: Seq[Expression]) => {
+      nargs("winnow_fp", 3, es)
+      WinnowFp(es.head, intLit("winnow_fp", es, 1), intLit("winnow_fp", es, 2)) }),
+    ("kmv_sketch", classOf[KmvSketch], (es: Seq[Expression]) => {
+      nargs("kmv_sketch", 2, es)
+      KmvSketch(es.head, intLit("kmv_sketch", es, 1)) }),
+    ("bloom_agg", classOf[BloomAgg], (es: Seq[Expression]) => {
+      nargs("bloom_agg", 3, es)
+      BloomAgg(es.head, intLit("bloom_agg", es, 1), intLit("bloom_agg", es, 2)) }),
+    ("bloom_might_contain", classOf[BloomMightContain], (es: Seq[Expression]) => {
+      nargs("bloom_might_contain", 2, es); BloomMightContain(es(0), es(1)) })
   )
 
   def register(ext: SparkSessionExtensions): Unit =
-    builders.foreach { case (name, b) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), b))
+    builders.foreach { case (name, clazz, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), b))
     }
 
   def ensureRegistered(spark: SparkSession): Unit = {
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }

@@ -172,6 +172,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine: zero-norm vectors score 0.0 (never NaN), ragged lengths fail loud") {
+    import graft.functions.VecOps
+    def v(xs: Double*) = new GenericArrayData(xs.toArray)
+    // NaN would sort above every double and pass every >= threshold —
+    // a zero/padding embedding must match NOTHING, not everything
+    assert(VecOps.cosine(v(0.0, 0.0), v(1.0, 2.0)) == 0.0)
+    assert(VecOps.cosine(v(0.0, 0.0), v(0.0, 0.0)) == 0.0)
+    assert(math.abs(VecOps.cosine(v(1.0, 0.0), v(1.0, 0.0)) - 1.0) < 1e-12)
+    intercept[IllegalArgumentException](VecOps.cosine(v(1.0), v(1.0, 2.0)))
+  }
+
+  test("normalize mirrors Catalyst trim/lower, kernels index code points") {
+    // Spark's trim strips ONLY spaces: a control char at the edge (not
+    // regex \s) must survive, where Java String.trim would eat it
+    assert(MinHashImpl.normalize("Hello  WORLD ") == "hello world")
+    // tab/newline are \s: collapsed into single spaces before trim
+    assert(MinHashImpl.normalize("\ta B\nc ") == "a b c")
+    // non-BMP text: gram kernels count CODE POINTS like substr(), so a
+    // k=2 gram set over "<emoji>ab" has 2 grams, not the 3 a UTF-16
+    // charAt walk would produce by splitting the surrogate pair
+    val t = UTF8String.fromString("😀ab") // U+1F600 + "ab"
+    assert(GramHashImpl.compute(t, 2).numElements() == 2)
+    // and identical text yields identical hashes through every kernel
+    assert(SimHashImpl.compute(t) == SimHashImpl.compute(
+      UTF8String.fromString("😀ab")))
+  }
+
   test("TopKLargest heap semantics equal sort-and-take for any stream split") {
     val agg = graft.functions.TopKLargest(
       org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 5)
