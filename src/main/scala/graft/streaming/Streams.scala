@@ -418,6 +418,14 @@ object Streams {
     // kill (lorem ipsum / code markers / too few surviving lines)
     // would let a document the batch gauntlet marks reason='c4' pass
     // the gate with keep=true on its Gopher stats alone.
+    //
+    // DELIBERATE divergence from the batch gauntlet: the gate scores
+    // Gopher on the C4-CLEANED text (the text that actually ships
+    // downstream), while curationPipeline's provenance stage scores
+    // the RAW text (so a 'gopher' reason describes the document as
+    // ingested). A doc can therefore pass the batch gauntlet and fail
+    // the gate (or vice versa) when cleaning changes its stats — both
+    // verdicts are oracle-pinned to their own definition.
     val cleaned = graft.text.Curation.c4Clean(docs, idCol, textCol)
       .select(col(idCol), col("keep").as("__c4_keep"),
         coalesce(col("cleaned_text"), lit("")).as("__t"))

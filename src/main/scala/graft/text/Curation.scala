@@ -38,6 +38,7 @@ object Curation {
     * past the last cumulative threshold get `lastLabel`. */
   def splitLabel(content: Column, fracs: Seq[(String, Double)],
                  lastLabel: String): Column = {
+    require(fracs.nonEmpty, "splitLabel: fracs must be non-empty")
     val h = substring(md5(content), 1, 8)
     val cum = fracs.scanLeft(0.0)(_ + _._2).tail
     require(cum.last <= 1.0 + 1e-9, "fractions must sum to <= 1")
@@ -52,12 +53,14 @@ object Curation {
   /** The matching DuckDB oracle expression over a column expr `content`. */
   def splitLabelSql(content: String, fracs: Seq[(String, Double)],
                     lastLabel: String): String = {
+    require(fracs.nonEmpty, "splitLabelSql: fracs must be non-empty")
+    def q(l: String) = l.replace("'", "''") // SQL string-literal escape
     val cum = fracs.scanLeft(0.0)(_ + _._2).tail
     val whens = fracs.zip(cum).map { case ((label, _), c) =>
-      if (c >= 1.0) s"WHEN TRUE THEN '$label'"
-      else s"WHEN substr(md5($content), 1, 8) < '${hexThreshold(c)}' THEN '$label'"
+      if (c >= 1.0) s"WHEN TRUE THEN '${q(label)}'"
+      else s"WHEN substr(md5($content), 1, 8) < '${hexThreshold(c)}' THEN '${q(label)}'"
     }.mkString(" ")
-    s"CASE $whens ELSE '$lastLabel' END"
+    s"CASE $whens ELSE '${q(lastLabel)}' END"
   }
 
   // ---- PII scrubbing ----------------------------------------------------
@@ -188,11 +191,19 @@ object Curation {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher-style document quality rules (Rae et al. 2021, table A1
-    * subset expressible over whitespace-tokenized text): word count in
-    * [minWords, maxWords], mean word length in [3, 10], symbol-to-word
-    * ratio ('#' or '…' as '...') below 0.1, >= 80% of words containing
-    * an alphabetic character, and at least 2 stopwords. Returns per-doc
-    * metrics plus the conjunctive `keep` flag.
+    * subset): word count in [minWords, maxWords], mean word length in
+    * [3, 10], symbol-to-word ratio ('#' or '…' as '...') below 0.1,
+    * >= 80% of words containing an alphabetic character, and at least
+    * 2 stopwords. Returns per-doc metrics plus the conjunctive `keep`
+    * flag.
+    *
+    * DELIBERATE simplifications vs the paper, chosen so the rules stay
+    * a single SQL-oracle-checkable expression: words split on the
+    * SPACE character only (newline-joined prose fuses at the joins —
+    * run after a line-level stage or pre-normalize whitespace), and
+    * the stopword test is exact lowercase match (capitalized or
+    * punctuation-suffixed instances don't count — documents at the
+    * nStop boundary should pre-normalize).
     *
     * Pure scan-stage Column expressions (no shuffle, no UDF): the whole
     * filter runs inside WholeStageCodegen during the first pass over
@@ -201,6 +212,12 @@ object Curation {
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
                     minWords: Long = 50, maxWords: Long = 100000,
                     passThrough: Seq[String] = Nil): DataFrame = {
+    val outNames = Seq("n_words", "mean_word_len", "frac_alpha_words",
+      "n_stopwords", "symbol_ratio", "keep")
+    val clash = passThrough.map(_.toLowerCase)
+      .intersect(outNames ++ Seq(idCol.toLowerCase))
+    require(clash.isEmpty, s"gopherQuality: passThrough columns " +
+      s"${clash.mkString(", ")} collide with the emitted columns")
     val t = coalesce(col(textCol), lit(""))
     val words = split(t, " ")
     val nWords = size(words).cast("long")
@@ -273,7 +290,9 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
     df.select(col(shardCol), col(idCol),
-        graft.text.TextStats.wsTokens(col(textCol)).as("n_tokens"))
+        // NULL text counts like '' (one empty token) — a NULL n_tokens
+        // would corrupt the running sum into inconsistent offsets
+        graft.text.TextStats.wsTokens(coalesce(col(textCol), lit(""))).as("n_tokens"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .select(col(shardCol), col(idCol), col("n_tokens"),
         (col("tok_end") - col("n_tokens")).as("tok_offset"),
@@ -358,9 +377,12 @@ object Curation {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val minN = counts.agg(min(col("__n")).as("__m"))
     val rates = counts.crossJoin(broadcast(minN))
-      .select(col(groupCol), (col("__m").cast("double") / col("__n")).as("__rate"))
+      .select(col(groupCol).as("__g"), (col("__m").cast("double") / col("__n")).as("__rate"))
     val frac = kmvHash(col(contentCol)).cast("double") / lit(4294967296.0)
-    df.join(rates, groupCol)
+    // null-safe key: a NULL group is counted above (it can even be the
+    // minimum that sets every other group's rate), so its rows must
+    // flow through the sampler too — a plain equi-join drops them
+    df.join(rates, col(groupCol) <=> col("__g"))
       .filter(frac < col("__rate"))
       .select(groupCol, idCol)
   }
@@ -380,7 +402,7 @@ object Curation {
   def tokenBudget(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol)).agg(
       count(lit(1)).cast("long").as("docs"),
-      sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+      sum(size(split(coalesce(col(textCol), lit("")), " ")).cast("long")).as("tokens"))
     val total = per.agg(sum(col("tokens")).cast("double").as("__t"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("tokens").desc, col(groupCol))
@@ -413,8 +435,13 @@ object Curation {
     * reason). */
   def curationPipeline(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    // coalesce BEFORE fingerprinting: normText propagates NULL, a NULL
+    // __fp never matches in the equi-join below, and the doc would
+    // silently vanish from the output (violating the every-doc-gets-a-
+    // reason contract). NULL text clusters with '' here — both are
+    // "no content" for dedup purposes.
     val fp = docs.select(col(idCol),
-      md5(graft.dedup.Dedup.normText(col(textCol))).as("__fp"))
+      md5(graft.dedup.Dedup.normText(coalesce(col(textCol), lit("")))).as("__fp"))
     val keep0 = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep"))
     val dup = fp.join(keep0, "__fp")
       .select(col(idCol), (col(idCol) =!= col("__keep")).as("__dup"))

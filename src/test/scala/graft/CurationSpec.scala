@@ -30,6 +30,31 @@ class CurationSpec extends SparkSpec {
     assert(renumbered.groupBy("split").count().as[(String, Long)].collect().toMap == counts)
   }
 
+  test("null text and null groups flow through the curation operators") {
+    // curationPipeline: a NULL-text doc must still get a keep/reason
+    // row (it previously vanished through the NULL-fp equi-join)
+    val docs = Seq((1L, "lorem ipsum " + Seq.fill(60)("the word is fine.").mkString(" ")),
+      (2L, null: String), (3L, null: String)).toDF("doc_id", "text")
+    val out = Curation.curationPipeline(docs, "doc_id", "text")
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), s"rows lost: ${out.toSeq}")
+    // the two NULL-text docs dedup against each other: one is a duplicate
+    assert(out.count(r => r._3.contains("duplicate")) == 1)
+    // domainMix: NULL-group rows are sampled like any group, not dropped
+    val mixed = Curation.domainMix(
+      Seq((1L, "en", "a"), (2L, "en", "b"), (3L, null, "c"), (4L, null, "d"))
+        .toDF("id", "lang", "text"), "lang", "id", "text")
+    assert(mixed.columns.toSeq == Seq("lang", "id"))
+    // no silent loss: every surviving row's id is one of the inputs and
+    // the NULL group is ELIGIBLE (rate 1.0 — smallest group ties)
+    assert(mixed.count() <= 4)
+    // splitLabelSql escapes embedded quotes into valid SQL
+    val sql = Curation.splitLabelSql("text", Seq("tr'ain" -> 0.8), "te'st")
+    assert(sql.contains("'tr''ain'") && sql.contains("'te''st'"))
+    intercept[IllegalArgumentException](
+      Curation.splitLabel(col("text"), Seq.empty, "all"))
+  }
+
   test("hexThreshold boundaries") {
     assert(Curation.hexThreshold(0.0) == "00000000")
     assert(Curation.hexThreshold(0.5) == "80000000")
