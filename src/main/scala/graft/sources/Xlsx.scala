@@ -33,23 +33,85 @@ object Xlsx {
 
   private def parseXml(is: InputStream): org.w3c.dom.Document = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
+    // Namespace-aware + local-name matching below: a valid xlsx may
+    // prefix its parts (<x:worksheet>, emitted by the .NET OpenXML
+    // SDK among others); qualified-name matching would see ZERO
+    // sheets/rows in such files while the StAX header() (local-name
+    // based) parses them fine — a driver/executor schema split.
+    f.setNamespaceAware(true)
     // Defensive: no external entity resolution on untrusted files.
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.newDocumentBuilder().parse(is)
   }
 
   private def elems(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = doc.getElementsByTagName(tag)
+    val nl = doc.getElementsByTagNameNS("*", tag)
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
   }
 
   private def childElems(e: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = e.getElementsByTagName(tag)
+    val nl = e.getElementsByTagNameNS("*", tag)
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
   }
 
-  /** "B3" → 0-based column index 1. */
+  private def localName(n: org.w3c.dom.Node): String =
+    Option(n.getLocalName).getOrElse {
+      val q = n.getNodeName; val i = q.indexOf(':')
+      if (i < 0) q else q.substring(i + 1)
+    }
+
+  /** Concatenated <t> runs of a shared-string/inline-string element,
+    * EXCLUDING phonetic <rPh> runs: a naive recursive <t> scan would
+    * append the pronunciation guide to the value (Japanese workbooks
+    * store furigana this way) — silent text corruption that pandas/
+    * openpyxl correctly avoid. ECMA-376 _xHHHH_ escapes are decoded. */
+  private def textRuns(e: org.w3c.dom.Element): String =
+    decodeX(childElems(e, "t").filter { t =>
+      var p = t.getParentNode
+      var ok = true
+      while (ok && p != null && !(p eq e)) {
+        if (localName(p) == "rPh") ok = false
+        p = p.getParentNode
+      }
+      ok
+    }.map(_.getTextContent).mkString)
+
+  private val XEsc = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_")
+
+  /** Decode ECMA-376 _xHHHH_ character escapes (how real writers
+    * smuggle XML-1.0-illegal control chars into cell text). */
+  private[sources] def decodeX(s: String): String = {
+    if (s == null || !s.contains("_x")) return s
+    val m = XEsc.matcher(s)
+    val sb = new StringBuffer
+    while (m.find())
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Encode characters XML 1.0 forbids (< 0x20 except tab/LF/CR) as
+    * _xHHHH_, guarding pre-existing literal _xHHHH_ sequences with
+    * _x005F_ per the spec — emitting them raw would produce a file no
+    * parser (including this one) can reopen. */
+  private[sources] def encodeX(s: String): String = {
+    val guarded = XEsc.matcher(s).replaceAll("_x005F_x$1_")
+    if (!guarded.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r'))
+      return guarded
+    val sb = new StringBuilder
+    guarded.foreach { c =>
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r')
+        sb.append(f"_x${c.toInt}%04X_")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** "B3" → 0-based column index 1. Bounded at Excel's real maximum
+    * column XFD (16383): a corrupt/hostile ref like "ZZZZZZ1" would
+    * otherwise size a multi-GB row array (or overflow Int and silently
+    * drop the cell). */
   private[sources] def colIndex(cellRef: String): Int = {
     var i = 0
     var c = 0
@@ -57,6 +119,8 @@ object Xlsx {
       c = c * 26 + (cellRef.charAt(i).toUpper - 'A' + 1)
       i += 1
     }
+    require(i <= 3 && c - 1 <= 16383,
+      s"graft-xlsx: cell reference '$cellRef' exceeds Excel's max column XFD")
     c - 1
   }
 
@@ -164,8 +228,7 @@ object Xlsx {
 
   private def sharedStrings(zf: ZipFile): IndexedSeq[String] =
     zipDoc(zf, "xl/sharedStrings.xml")
-      .map(d => elems(d, "si")
-        .map(si => childElems(si, "t").map(_.getTextContent).mkString).toIndexedSeq)
+      .map(d => elems(d, "si").map(textRuns).toIndexedSeq)
       .getOrElse(IndexedSeq.empty)
 
   /** One sheet → rows of nullable string cells (ragged rows padded by
@@ -189,14 +252,15 @@ object Xlsx {
       val out = new Array[String](math.max(width, 0))
       cells.zip(indices).foreach { case (c, idx) =>
         val v = c.getAttribute("t") match {
-          case "s" => // shared-string index
-            childElems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt)).orNull
+          case "s" => // shared-string index; an empty <v/> is null (the
+            // StAX header path already treated it that way — a bare
+            // NumberFormatException here split driver/executor behavior)
+            childElems(c, "v").headOption.map(_.getTextContent.trim)
+              .filter(_.nonEmpty).map(i => shared(i.toInt)).orNull
           case "inlineStr" =>
-            childElems(c, "t").map(_.getTextContent).mkString match {
-              case "" => null; case s => s
-            }
+            textRuns(c) match { case "" => null; case s => s }
           case _ => // numeric / str / bool: literal lexical value
-            childElems(c, "v").headOption.map(_.getTextContent).orNull
+            childElems(c, "v").headOption.map(v => decodeX(v.getTextContent)).orNull
         }
         if (idx >= 0) out(idx) = v
       }
@@ -216,15 +280,32 @@ object Xlsx {
     else None
   }
 
+  /** The one header-naming rule, shared by every read path so the
+    * driver-side schema (StAX header()) and executor-side rows agree:
+    * unnamed columns become `_cN`, and DUPLICATE names are mangled
+    * pandas-style ('Race', 'Race.1', …) — passing duplicates through
+    * made unionByName (and any downstream select) throw. */
+  private[sources] def nameHeader(raw: Array[String]): Array[String] = {
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    raw.zipWithIndex.map { case (h0, i) =>
+      val base = if (h0 == null || h0.isEmpty) s"_c$i" else h0
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"$base.$n"
+    }
+  }
+
+  private def resolvePart(parts: Seq[(String, String)], sheet: String,
+                          path: String): String =
+    parts.toMap.getOrElse(sheet, throw new IllegalArgumentException(
+      s"Sheet $sheet not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+
   /** Split raw sheet rows into (header names, data rows) — the first
-    * non-empty row is the header; unnamed columns become `_cN`. */
+    * non-empty row is the header, named via [[nameHeader]]. */
   private[sources] def splitHeader(rows: Seq[Array[String]]): (Array[String], Seq[Array[String]]) = {
     val nonEmpty = rows.dropWhile(r => r.forall(_ == null))
     require(nonEmpty.nonEmpty, "xlsx sheet has no data rows")
-    val header = nonEmpty.head.zipWithIndex.map { case (h, i) =>
-      if (h == null || h.isEmpty) s"_c$i" else h
-    }
-    (header, nonEmpty.tail)
+    (nameHeader(nonEmpty.head), nonEmpty.tail)
   }
 
   /** The sheets a full read of this file covers, in read order: the
@@ -253,9 +334,7 @@ object Xlsx {
   def headerAndRows(path: String, sheet: String): (Array[String], Seq[Array[String]]) =
     withZip(path) { zf =>
       val parts = sheetParts(zf)
-      val part = parts.toMap.getOrElse(sheet,
-        throw new IllegalArgumentException(
-          s"Sheet $sheet not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+      val part = resolvePart(parts, sheet, path)
       splitHeader(sheetRows(zf, part, sharedStrings(zf)))
     }
 
@@ -267,9 +346,7 @@ object Xlsx {
     * header cells may be shared-string references. */
   def header(path: String, sheet: String): Array[String] = withZip(path) { zf =>
     val parts = sheetParts(zf)
-    val part = parts.toMap.getOrElse(sheet,
-      throw new IllegalArgumentException(
-        s"Sheet $sheet not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
+    val part = resolvePart(parts, sheet, path)
     val shared = sharedStrings(zf)
     val entry = Option(zf.getEntry(part))
       .getOrElse(throw new IllegalArgumentException(s"missing worksheet part $part"))
@@ -286,6 +363,7 @@ object Xlsx {
       val vText = new StringBuilder // <v> content (numeric / shared idx)
       val tText = new StringBuilder // <is><t> content (may span several t)
       var collecting: StringBuilder = null
+      var inRPh = 0 // depth inside phonetic <rPh> runs (excluded)
       while (r.hasNext) {
         r.next() match {
           case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
@@ -299,7 +377,9 @@ object Xlsx {
                 curType = Option(r.getAttributeValue(null, "t")).getOrElse("")
                 vText.clear(); tText.clear()
               case "v" => collecting = vText
-              case "t" => collecting = tText
+              // <t> inside <rPh> is a phonetic run, not cell text
+              case "t" => if (inRPh == 0) collecting = tText
+              case "rPh" => inRPh += 1
               case _ => ()
             }
           case javax.xml.stream.XMLStreamConstants.CHARACTERS |
@@ -308,14 +388,16 @@ object Xlsx {
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "v" | "t" => collecting = null
+              case "rPh" => inRPh -= 1
               case "c" =>
                 // same value semantics as sheetRows
                 val v = curType match {
                   case "s" =>
-                    if (vText.isEmpty) null else shared(vText.toString.trim.toInt)
+                    if (vText.toString.trim.isEmpty) null
+                    else shared(vText.toString.trim.toInt)
                   case "inlineStr" =>
-                    if (tText.isEmpty) null else tText.toString
-                  case _ => if (vText.isEmpty) null else vText.toString
+                    if (tText.isEmpty) null else decodeX(tText.toString)
+                  case _ => if (vText.isEmpty) null else decodeX(vText.toString)
                 }
                 if (curIdx >= 0) cells += curIdx -> v
               case "row" =>
@@ -323,9 +405,7 @@ object Xlsx {
                 val out = new Array[String](math.max(width, 0))
                 cells.foreach { case (i, v) => out(i) = v }
                 if (out.exists(_ != null))
-                  return out.zipWithIndex.map { case (h, i) =>
-                    if (h == null || h.isEmpty) s"_c$i" else h
-                  }
+                  return nameHeader(out)
               case _ => ()
             }
           case _ => ()
@@ -336,8 +416,14 @@ object Xlsx {
   }
 
   private def toDf(spark: SparkSession, rows: Seq[Array[String]]): DataFrame = {
-    val (header, rest) = splitHeader(rows)
-    val width = header.length
+    val (header0, rest) = splitHeader(rows)
+    // Data rows wider than the header keep their stray cells under
+    // `_cN` names (pandas surfaces these as 'Unnamed: N') instead of
+    // being silently truncated. The V2 connector projects by the
+    // header()-inferred schema, so spill columns surface only through
+    // this driver-side read path.
+    val width = rest.foldLeft(header0.length)((m, r) => math.max(m, r.length))
+    val header = header0 ++ (header0.length until width).map(i => s"_c$i")
     val data = rest.map { r =>
       Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
     }
@@ -354,10 +440,7 @@ object Xlsx {
     def one(part: String): DataFrame = toDf(spark, sheetRows(zf, part, shared))
     sheet match {
       case Some(s) =>
-        val part = parts.toMap.getOrElse(s,
-          throw new IllegalArgumentException(
-            s"Sheet $s not found in Excel file at $path (have: ${parts.map(_._1).mkString(", ")})"))
-        one(part)
+        one(resolvePart(parts, s, path))
       case None if parts.size == 1 => one(parts.head._2)
       case None =>
         yearSheets(parts.map(_._1)) match {
@@ -392,7 +475,7 @@ object Xlsx {
 
   private def rowXml(cells: Seq[String], r: Int): String = {
     val cs = cells.zipWithIndex.collect { case (v, c) if v != null =>
-      s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      s"""<c r="${ref(r, c)}" t="inlineStr"><is><t>${esc(encodeX(v))}</t></is></c>"""
     }.mkString
     s"""<row r="${r + 1}">$cs</row>"""
   }
@@ -457,7 +540,10 @@ object Xlsx {
   /** DataFrame → single-sheet xlsx (header + string-rendered cells).
     * Streams through `toLocalIterator` — one Spark partition in driver
     * memory at a time, rows written straight into the zip entry (the r4
-    * verdict's export fix; the old path collect()ed the whole table). */
+    * verdict's export fix; the old path collect()ed the whole table).
+    * NOTE: empty strings round-trip to null on read-back — Excel's
+    * cell model does not distinguish "" from an empty cell (pandas
+    * reads both as NaN), so the writer inherits that semantics. */
   def writeDf(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
     import scala.jdk.CollectionConverters._
     val header = df.columns.toSeq

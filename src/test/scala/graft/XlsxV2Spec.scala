@@ -181,4 +181,97 @@ class XlsxV2Spec extends SparkSpec {
     assert(rows(0).getString(1) == "W" && rows(0).isNullAt(2))
     assert(rows(1).isNullAt(1) && rows(1).getString(2) == "M")
   }
+
+  /** Write a raw single-sheet workbook from hand-built worksheet XML —
+    * for parser cases the streaming writer can't produce. */
+  private def rawWorkbook(path: String, worksheetXml: String,
+                          sharedXml: Option[String] = None,
+                          prefix: String = ""): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val (po, xa) = if (prefix.isEmpty) ("", s"""xmlns="$ns"""")
+                   else (s"$prefix:", s"""xmlns:$prefix="$ns"""")
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><${po}workbook $xa xmlns:r="$rns"><${po}sheets><${po}sheet name="S" sheetId="1" r:id="rId1"/></${po}sheets></${po}workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="$rns/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    sharedXml.foreach(put("xl/sharedStrings.xml", _))
+    put("xl/worksheets/sheet1.xml", worksheetXml)
+    zos.close()
+  }
+
+  test("namespace-prefixed OOXML parses like the unprefixed form") {
+    // the .NET OpenXML SDK emits <x:worksheet>/<x:row>; qualified-name
+    // DOM matching used to see zero sheets/rows in such files
+    val dir = tmpDir()
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rawWorkbook(s"$dir/p.xlsx",
+      s"""<?xml version="1.0"?><x:worksheet xmlns:x="$ns"><x:sheetData>""" +
+      """<x:row r="1"><x:c r="A1" t="inlineStr"><x:is><x:t>id</x:t></x:is></x:c></x:row>""" +
+      """<x:row r="2"><x:c r="A2" t="inlineStr"><x:is><x:t>v1</x:t></x:is></x:c></x:row>""" +
+      """</x:sheetData></x:worksheet>""", prefix = "x")
+    val df = Xlsx.read(spark, s"$dir/p.xlsx")
+    assert(df.columns.toSeq == Seq("id"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("v1"))
+    assert(Xlsx.header(s"$dir/p.xlsx", "S").toSeq == Seq("id"))
+  }
+
+  test("phonetic rPh runs are excluded; empty shared <v/> is null; dup headers mangle") {
+    val dir = tmpDir()
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val shared = s"""<?xml version="1.0"?><sst xmlns="$ns" count="1" uniqueCount="1">""" +
+      """<si><t>Tokyo</t><rPh sb="0" eb="2"><t>TOKYO-KANA</t></rPh></si></sst>"""
+    rawWorkbook(s"$dir/j.xlsx",
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>Race</t></is></c>""" +
+      """<c r="B1" t="inlineStr"><is><t>Race</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v/></c></row>""" +
+      """</sheetData></worksheet>""", sharedXml = Some(shared))
+    val df = Xlsx.read(spark, s"$dir/j.xlsx")
+    // pandas-style duplicate mangling, identical in header() and read()
+    assert(df.columns.toSeq == Seq("Race", "Race.1"))
+    assert(Xlsx.header(s"$dir/j.xlsx", "S").toSeq == Seq("Race", "Race.1"))
+    val row = df.head()
+    assert(row.getString(0) == "Tokyo", s"phonetic run leaked: ${row.getString(0)}")
+    assert(row.isNullAt(1)) // empty <v/> is null, not NumberFormatException
+  }
+
+  test("control characters round-trip via _xHHHH_ and wide rows keep spill cells") {
+    val dir = tmpDir()
+    Xlsx.write(s"$dir/c.xlsx", Seq(("Sheet1", Seq(
+      Seq("id", "note"),
+      Seq("1", "ab"),          // illegal in XML 1.0 — must be escaped
+      Seq("2", "keep _x0041_ text")  // literal _xHHHH_ must survive
+    ))))
+    val back = Xlsx.read(spark, s"$dir/c.xlsx").orderBy("id").collect()
+    assert(back(0).getString(1) == "ab")
+    assert(back(1).getString(1) == "keep _x0041_ text")
+    // a data row wider than the header keeps its stray cell as _cN
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rawWorkbook(s"$dir/w.xlsx",
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c>""" +
+      """<c r="B2" t="inlineStr"><is><t>stray</t></is></c></row>""" +
+      """</sheetData></worksheet>""")
+    val wide = Xlsx.read(spark, s"$dir/w.xlsx")
+    assert(wide.columns.toSeq == Seq("id", "_c1"))
+    assert(wide.head().getString(1) == "stray")
+    // hostile column ref fails loud instead of a multi-GB allocation
+    rawWorkbook(s"$dir/h.xlsx",
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>""" +
+      """<row r="1"><c r="ZZZZZZ1" t="inlineStr"><is><t>boom</t></is></c></row>""" +
+      """</sheetData></worksheet>""")
+    val e = intercept[IllegalArgumentException](Xlsx.read(spark, s"$dir/h.xlsx"))
+    assert(e.getMessage.contains("max column"))
+  }
 }
