@@ -30,6 +30,12 @@ object Geo {
   val PointType: StructType = StructType(Seq(
     StructField("lon", DoubleType), StructField("lat", DoubleType)))
 
+  /** WGS84 mean Earth radius (km). ONE definition: the radiusJoin
+    * lon-reach bound is an exact inversion of [[haversineKm]] only
+    * while both use the same R — editing either constant alone would
+    * silently under-cover the blocking at high latitude. */
+  val MeanRadiusKm: Double = 6371.0088
+
   /** Point-struct check ignoring nullability (expression-built structs
     * carry non-nullable fields, parquet reloads nullable ones). */
   def isPointType(dt: DataType): Boolean = dt match {
@@ -87,8 +93,15 @@ object Geo {
   /** Parse `POINT (x y)` back to the point struct (geofeather reload
     * path). Non-point / malformed text → null. */
   def parseWkt(s: Column): Column = {
-    val lon = regexp_extract(s, "^POINT \\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)$", 1)
-    val lat = regexp_extract(s, "^POINT \\(([-0-9.eE+]+) ([-0-9.eE+]+)\\)$", 2)
+    // STRICT numeric grammar: the lenient [-0-9.eE+]+ class matched
+    // garbage like "1.2.3", which then cast to a null FIELD inside a
+    // non-null struct (breaking every isNotNull validity check) — or
+    // threw an opaque cast error under ANSI mode. A non-matching line
+    // yields the documented null struct instead.
+    val num = "([-+]?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)"
+    val re = s"^POINT \\($num $num\\)$$"
+    val lon = regexp_extract(s, re, 1)
+    val lat = regexp_extract(s, re, 2)
     when(lon =!= "" && lat =!= "",
       struct(lon.cast("double").as("lon"), lat.cast("double").as("lat")))
   }
@@ -145,10 +158,27 @@ object Geo {
     // slowdown of the probe stage at sf1. As a filter it is evaluated
     // once per row and the geometry references stay simplifiable.
     def latGuard(geom: Column, side: String): Column =
-      when(geom.isNull || abs(geom.getField("lat")) <= maxAbsLat, lit(true))
-        .otherwise(raise_error(lit(
-          s"radiusJoin: $side latitude beyond ±$maxAbsLat deg — grid " +
-            "blocking does not cover the polar caps")))
+      when(geom.isNull || (abs(geom.getField("lat")) <= maxAbsLat &&
+          abs(geom.getField("lon")) <= 180.0), lit(true))
+        .otherwise(raise_error(
+          when(abs(geom.getField("lat")) > maxAbsLat, lit(
+            s"radiusJoin: $side latitude beyond ±$maxAbsLat deg — grid " +
+              "blocking does not cover the polar caps"))
+            .otherwise(lit(
+              s"radiusJoin: $side longitude beyond ±180 deg — normalize " +
+                "to WGS84 first (out-of-range lon would silently miss " +
+                "every pair)"))))
+    // reserved working/output names must not collide with user columns
+    // (withColumn would silently REPLACE them; __cx would then be
+    // dropped from the user's data at the end)
+    val norm: String => String =
+      if (points.sparkSession.sessionState.conf.caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    val reserved = Seq("__cx", "__cy", "__nx", "__reach", "__dy", "km").map(norm)
+    val clash = (points.columns ++ centers.columns).map(norm).intersect(reserved)
+    require(clash.isEmpty,
+      s"radiusJoin: columns ${clash.mkString(", ")} collide with the " +
+        "operator's working/output columns")
     val p = points
       .filter(latGuard(col(pointGeom), "point"))
       .filter(col(pointGeom).isNotNull)
@@ -166,8 +196,7 @@ object Geo {
     // latitude (a 600 km pair at lat 85 spans 65.3°, the flat bound
     // said 62.3° — silently dropped). An asin argument ≥ 1 means the
     // radius wraps every longitude at that latitude.
-    val meanRadiusKm = 6371.0088
-    val sinHalf = math.sin(radiusKm / (2.0 * meanRadiusKm))
+    val sinHalf = math.sin(radiusKm / (2.0 * MeanRadiusKm))
     val asinArg = lit(sinHalf) / cos(radians(least(lit(maxAbsLat),
       abs(col(centerGeom).getField("lat")) + lit(cellDeg * 2))))
     val lonReachDeg = when(asinArg >= 1.0, lit(180.0))
@@ -175,42 +204,49 @@ object Geo {
     val withReach = c0
       .withColumn("__reach", lonReachDeg)
       .withColumn("__nx", greatest(ceil(col("__reach") / lit(cellDeg)).cast("long"), lit(1L)))
+    // Replica cell list built as ONE array column and exploded once —
+    // the earlier filter/union form scanned the centers subtree four
+    // times (full + partial base + two seam copies), which recomputes
+    // any expensive upstream and can drop/duplicate rows if that
+    // upstream is non-deterministic.
+    //
     // FULL-CIRCLE rows: when the replica span would wrap the globe
     // (2·nx ≥ the lon cell count), base-and-seam ranges overlap and a
     // pair would join twice — replicate instead to every lon cell of
     // [-180°, 180°] exactly once and skip the seam copies entirely.
+    //
+    // PARTIAL rows: base longitude plus ±360° copies when the reach
+    // crosses the antimeridian. 2·nx < floor(360°/cellDeg) there, so a
+    // shifted copy's cell range can never intersect the base range —
+    // a pair meets exactly once.
     val lonCellsFloor = math.max(math.floor(360.0 / cellDeg).toLong, 1L)
     val loCell = math.floor(-180.0 / cellDeg).toLong
     val hiCell = math.floor(180.0 / cellDeg).toLong
     val isFull = col("__nx") * 2 >= lit(lonCellsFloor)
-    val fullRep = withReach.filter(isFull)
-      .withColumn("__cx", explode(sequence(lit(loCell), lit(hiCell))))
-    // PARTIAL rows: base longitude plus ±360° copies when the reach
-    // crosses the antimeridian. 2·nx < floor(360°/cellDeg) here, so a
-    // shifted copy's cell range can never intersect the base range —
-    // a pair meets exactly once.
-    val partial = withReach.filter(!isFull)
-    val seamed = partial
-      .withColumn("__blon", col(centerGeom).getField("lon"))
-      .unionByName(partial
-        .filter(col(centerGeom).getField("lon") > lit(180.0) - col("__reach") - lit(cellDeg))
-        .withColumn("__blon", col(centerGeom).getField("lon") - 360.0))
-      .unionByName(partial
-        .filter(col(centerGeom).getField("lon") < lit(-180.0) + col("__reach") + lit(cellDeg))
-        .withColumn("__blon", col(centerGeom).getField("lon") + 360.0))
-    val partialRep = seamed
-      .withColumn("__dx", explode(sequence(-col("__nx"), col("__nx"))))
-      .withColumn("__cx", floor(col("__blon") / cellDeg).cast("long") + col("__dx"))
-      .drop("__blon", "__dx")
-    val cRep = fullRep.unionByName(partialRep)
+    val blon = col(centerGeom).getField("lon")
+    def cellsAround(b: Column) = sequence(
+      floor(b / cellDeg).cast("long") - col("__nx"),
+      floor(b / cellDeg).cast("long") + col("__nx"))
+    val noCells = array().cast("array<long>")
+    val allCells = when(isFull, sequence(lit(loCell), lit(hiCell)))
+      .otherwise(concat(
+        cellsAround(blon),
+        when(blon > lit(180.0) - col("__reach") - lit(cellDeg),
+          cellsAround(blon - 360.0)).otherwise(noCells),
+        when(blon < lit(-180.0) + col("__reach") + lit(cellDeg),
+          cellsAround(blon + 360.0)).otherwise(noCells)))
+    val cRep = withReach
+      .withColumn("__cx", explode(allCells))
       .withColumn("__dy", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("__cy",
         floor(col(centerGeom).getField("lat") / cellDeg).cast("long") + col("__dy"))
       .drop("__reach", "__nx", "__dy")
-    val km = haversineKm(col(pointGeom), col(centerGeom))
     p.join(cRep, Seq("__cx", "__cy"))
-      .filter(km <= lit(radiusKm))
-      .withColumn("km", km)
+      // compute the haversine ONCE per joined row: filtering on the
+      // raw expression and re-projecting it evaluates the 6-field trig
+      // tree twice on the probe-stage hot path
+      .withColumn("km", haversineKm(col(pointGeom), col(centerGeom)))
+      .filter(col("km") <= lit(radiusKm))
       .drop("__cx", "__cy")
   }
 
@@ -228,6 +264,6 @@ object Geo {
     val h = sLat * sLat +
       cos(rad(a.getField("lat"))) * cos(rad(b.getField("lat"))) *
         (sLon * sLon)
-    lit(2.0 * 6371.0088) * asin(sqrt(h))
+    lit(2.0 * MeanRadiusKm) * asin(sqrt(h))
   }
 }

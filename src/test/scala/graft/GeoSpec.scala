@@ -52,6 +52,30 @@ class GeoSpec extends SparkSpec {
     assert(pts.select(Geo.parseWkt(lit("LINESTRING (0 0, 1 1)")).as("g"))
       .head().isNullAt(0))
     assert(pts.select(Geo.parseWkt(lit("garbage")).as("g")).head().isNullAt(0))
+    // malformed numerics must yield a NULL STRUCT, never a non-null
+    // struct with null fields (which passes isNotNull validity checks)
+    assert(pts.select(Geo.parseWkt(lit("POINT (1.2.3 45)")).as("g")).head().isNullAt(0))
+    assert(pts.select(Geo.parseWkt(lit("POINT (7 1.2.3)")).as("g")).head().isNullAt(0))
+    // scientific notation still parses
+    val sci = pts.select(Geo.parseWkt(lit("POINT (1.5e1 -4E-1)")).as("g")).head()
+    assert(!sci.isNullAt(0) && sci.getStruct(0).getDouble(0) == 15.0)
+  }
+
+  test("radiusJoin fails loud on out-of-range longitude and reserved columns") {
+    import spark.implicits._
+    def geoDf(rows: (Long, Double, Double)*) = rows.toSeq.toDF("id", "lat", "lon")
+      .select(col("id"), struct(col("lon"), col("lat")).as("geometry"))
+    val pts = geoDf((1L, 40.0, 200.0)) // lon > 180: would silently miss pairs
+    val ctr = geoDf((2L, 40.0, -160.0))
+      .withColumnRenamed("geometry", "center_geometry").withColumnRenamed("id", "cid")
+    val e = intercept[Exception](
+      Geo.radiusJoin(pts, ctr, 50.0).count())
+    assert(e.getMessage.contains("longitude beyond"), e.getMessage)
+    // a user column named km (or __cx) is rejected, not silently replaced
+    val withKm = geoDf((1L, 40.0, 10.0)).withColumn("km", lit(99))
+    val e2 = intercept[IllegalArgumentException](
+      Geo.radiusJoin(withKm, ctr, 50.0))
+    assert(e2.getMessage.contains("collide"))
   }
 
   test("haversine: zero to self, known NYC-LA distance, symmetric") {
