@@ -136,17 +136,30 @@ object Catalog {
       // the m/d/yyyy pattern is present; an unanchored rlike would send
       // strings like "1/1/2021 - 6/30/2021" into to_date, which returns
       // null and would DESTROY the original value
+      // try_to_date + coalesce: the anchored regex admits calendar-
+      // invalid dates like 2/30/2021, which to_date THROWS on under
+      // ANSI (and nulls — destroying the cell — without); the try_
+      // form keeps the original value instead.
       df = df.withColumn(c,
         when(col(c).rlike("^\\d{1,2}/\\d{1,2}/\\d{4}$"),
-          to_date(col(c), "M/d/yyyy").cast("string")).otherwise(col(c)))
+          coalesce(call_function("try_to_date", col(c), lit("M/d/yyyy"))
+            .cast("string"), col(c)))
+          .otherwise(col(c)))
     df
   }
 
   /** `datasets.reload` (datasets.py:94): rebuild from a CSV, fail-loud
     * (error=True semantics — a missing/bad file throws). */
   def reload(spark: SparkSession, csvPath: String): DataFrame = {
-    require(new java.io.File(csvPath).isFile,
-      s"reload: catalog CSV not found: $csvPath")
+    // The existence pre-check only applies to LOCAL paths: an s3a://
+    // or hdfs:// catalog is perfectly loadable by spark.read.csv, and
+    // java.io.File would reject it as a false failure. Non-local paths
+    // still fail loud — inside build(), from the reader.
+    val scheme = Option(java.net.URI.create(
+      csvPath.replace(" ", "%20")).getScheme)
+    if (scheme.forall(_ == "file"))
+      require(new java.io.File(csvPath.stripPrefix("file:")).exists(),
+        s"reload: catalog CSV not found: $csvPath")
     build(spark, csvPath)
   }
 
@@ -166,7 +179,13 @@ object Catalog {
     val cols = cat.columns.toSet
     filters.keys.foreach(k => require(cols.contains(k),
       s"Unknown catalog column '$k' (have: ${cat.columns.mkString(", ")})"))
-    filters.foldLeft(cat) { case (df, (k, v)) => df.filter(col(k) === v) }
+    // Compare in the CATALOG column's type: with a string Year column
+    // holding both "2020" and the MULTIPLE/NONE markers, `col === 2020`
+    // would coerce the COLUMN to a number and throw CAST_INVALID_INPUT
+    // on the markers under ANSI; casting the literal instead makes a
+    // non-matching row simply not match (the reference's behavior).
+    filters.foldLeft(cat) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v).cast(df.schema(df.schema.fieldIndex(k)).dataType)) }
       .distinct()
   }
 
@@ -237,14 +256,26 @@ object Catalog {
 
   // ---- dataset version gating (data.py:2249 _check_version) ------------
 
-  /** Sortable semver key: each dot component zero-padded, and the
-    * component list right-padded with zero components so different
-    * arities compare semantically ("2.1" == "2.1.0" < "2.1.1" <
-    * "2.10"). */
+  /** Sortable semver key: each dot component split into its numeric
+    * prefix (zero-padded to 12 — beyond any real version number) and
+    * its textual suffix, with a release marker so a PRERELEASE sorts
+    * BELOW its release ("2.0rc1" < "2.0", matching packaging.version's
+    * ordering in the reference) — a plain lexical lpad compared
+    * "0rc1" > "0" and let prerelease builds through the version gate,
+    * and truncated 7+-digit components. The component list is
+    * right-padded with zero-release components so different arities
+    * compare semantically ("2.1" == "2.1.0" < "2.1.1" < "2.10"). */
   private[graft] def versionKey(v: Column): Column = {
-    val parts = transform(split(v, "\\."), x => lpad(x, 6, "0"))
+    val zeroRelease = "0" * 12 + "1"
+    val parts = transform(split(v, "\\."), x => {
+      val num = regexp_extract(x, "^([0-9]*)", 1)
+      val suffix = regexp_extract(x, "^[0-9]*(.*)$", 1)
+      concat(
+        lpad(when(num === "", "0").otherwise(num), 12, "0"),
+        when(suffix === "", lit("1")).otherwise(concat(lit("0"), suffix)))
+    })
     concat_ws(".", concat(parts,
-      array_repeat(lit("000000"), greatest(lit(8) - size(parts), lit(0)))))
+      array_repeat(lit(zeroRelease), greatest(lit(8) - size(parts), lit(0)))))
   }
 
   /** Rows of a catalog that THIS library version may load — the
@@ -313,7 +344,10 @@ object Catalog {
       case splitRe(base, _) =>
         val sibling = ("(?i)^" + java.util.regex.Pattern.quote(base) + " - (" + subtypeAlt + ")$").r
         var related = entries.filter { case (t, _) =>
-          t != tableType && sibling.pattern.matcher(t).matches()
+          // case-insensitive self-exclusion, consistent with the (?i)
+          // sibling match — a case-variant of the queried type is the
+          // same table, not a related one
+          !t.equalsIgnoreCase(tableType) && sibling.pattern.matcher(t).matches()
         }
         subType.foreach { st =>
           related = related.filter { case (t, _) =>

@@ -53,8 +53,9 @@ object Sources {
       "List of start/stop dates is not length 2")
     def asYear(s: String): Option[Int] =
       if (s.forall(_.isDigit) && s.nonEmpty) {
-        val n = s.toLong
-        require(999 < n && n < 10000, s"Unable to parse number $s as a year")
+        val n = BigInt(s) // arbitrary precision: a 19+-digit string gets
+                          // the reference's year error, not a Long overflow
+        require(n > 999 && n < 10000, s"Unable to parse number $s as a year")
         Some(n.toInt)
       } else None
     def asDate(s: String): java.time.LocalDate = {
@@ -128,8 +129,11 @@ object Sources {
     * contract) regardless of key sparsity/skew, and every page is an
     * independent pruned scan (no global offset skip at 100 TB).
     *
-    * The sort key must be numeric and unique (fails fast otherwise —
-    * a silently-uncastable key must not yield an empty iteration). */
+    * The sort key must be integral, NON-NULL, and UNIQUE — all three
+    * fail fast: type at construction; a null key or a duplicate key
+    * spanning a page boundary with a named error on the page that hits
+    * it (a duplicate at the boundary would otherwise be silently
+    * skipped by the `key > last` filter — invisible data loss). */
   def loadIter(df: DataFrame, sortKey: String, chunk: Int): Iterator[DataFrame] = {
     import org.apache.spark.sql.types._
     val field = df.schema.find(_.name == sortKey).getOrElse(
@@ -150,9 +154,27 @@ object Sources {
         val page = base.orderBy(col(sortKey)).limit(chunk)
         // One driver action per page to learn the page's last key (the
         // reference's load_iter is likewise one request per batch).
-        val keys = page.select(col(sortKey).cast("long")).collect()
+        // chunk+1 keys: the extra row detects a duplicate key at the
+        // page boundary, which the `> lastSeen` filter would skip.
+        val keys = base.orderBy(col(sortKey)).limit(chunk + 1)
+          .select(col(sortKey).cast("long")).collect()
         if (keys.isEmpty) { exhausted = true }
-        else nextPage = Some((page, keys.last.getLong(0), keys.length))
+        else {
+          val pageKeys = keys.take(chunk)
+          // nulls sort first in ascending order, so the first page
+          // catches them — fail with a named error, not ROW_VALUE_IS_NULL
+          if (pageKeys.exists(_.isNullAt(0)))
+            throw new IllegalArgumentException(
+              s"loadIter: sort key '$sortKey' contains nulls — keyset " +
+                "pagination needs a non-null unique key")
+          if (keys.length == chunk + 1 &&
+              keys(chunk - 1).getLong(0) == keys(chunk).getLong(0))
+            throw new IllegalArgumentException(
+              s"loadIter: sort key '$sortKey' is not unique at a page " +
+                s"boundary (duplicate key ${keys(chunk).getLong(0)}) — " +
+                "rows would be silently skipped")
+          nextPage = Some((page, pageKeys.last.getLong(0), pageKeys.length))
+        }
       }
       def hasNext: Boolean = { fetch(); nextPage.nonEmpty }
       def next(): DataFrame = {

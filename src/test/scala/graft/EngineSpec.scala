@@ -88,6 +88,15 @@ class EngineSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](
       Catalog.checkVersion(cat.filter(col("source_id") === "c"), "2.2"))
     assert(e2.getMessage.contains("at least version 2.10"))
+    // prerelease sorts BELOW its release (packaging.version order): a
+    // 2.0rc1 build must NOT pass a min_version=2.0 gate
+    val pre = Seq(("p", "2.0")).toDF("source_id", "min_version")
+    assert(Catalog.compatible(pre, "2.0rc1").count() == 0)
+    assert(Catalog.compatible(pre, "2.0").count() == 1)
+    // 7+ digit components compare numerically (lpad used to truncate)
+    val big = Seq(("q", "1.1000000")).toDF("source_id", "min_version")
+    assert(Catalog.compatible(big, "1.999999").count() == 0)
+    assert(Catalog.compatible(big, "1.1000001").count() == 1)
     // a catalog without the column passes through untouched
     assert(Catalog.compatible(cat.drop("min_version"), "0.0").count() == 5)
     // arity-insensitive: 2.1 satisfies min_version 2.1.0 (and 2.1.0.0)

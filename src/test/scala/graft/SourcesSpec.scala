@@ -162,6 +162,24 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.loadIter(e, "event_type", 10))
   }
 
+  test("loadIter fails loud on null keys and boundary duplicates, not silently") {
+    import spark.implicits._
+    // null key: named error instead of ROW_VALUE_IS_NULL mid-iteration
+    val withNull = Seq(Some(1L), None, Some(3L), Some(4L)).toDF("k")
+    val e1 = intercept[IllegalArgumentException](
+      Sources.loadIter(withNull, "k", 2).foreach(_.count()))
+    assert(e1.getMessage.contains("null"))
+    // duplicate key SPANNING a page boundary: the `> last` filter would
+    // silently skip the remaining duplicates — must throw, naming the key
+    val dup = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val e2 = intercept[IllegalArgumentException](
+      Sources.loadIter(dup, "k", 2).foreach(_.count()))
+    assert(e2.getMessage.contains("not unique") && e2.getMessage.contains("2"))
+    // duplicates fully INSIDE a page are fine
+    val dupInside = Seq(1L, 1L, 2L, 3L).toDF("k")
+    assert(Sources.loadIter(dupInside, "k", 3).map(_.count()).sum == 4)
+  }
+
   test("mergeRelated joins related tables on the incident id") {
     val orders = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
       .withColumnRenamed("o_orderkey", "incident_id").limit(50)
