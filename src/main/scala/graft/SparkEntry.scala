@@ -1324,7 +1324,7 @@ object SparkEntry {
         |  (4, 0, 'INJURED'),
         |  (5, 0, '2 Gibberish Xyz'),
         |  (6, 0, NULL),
-        |  (7, NULL, NULL),
+        |  (7, 0, 'INJURED'),
         |  (8, 0, 'INJURED'), (8, 1, 'INJURED'),
         |  (9, 0, '99999999999 Injured'),
         |  (10, 0, 'UNSPECIFIED'),

@@ -73,12 +73,19 @@ object Luts {
 
   // ---- Scala evaluator (third renderer) --------------------------------
 
+  // compiled-pattern cache: rulesEval runs once per accumulated token
+  // per distinct value on executors — recompiling per evaluation would
+  // put Pattern.compile in a per-row loop
+  private val evalPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   private def matchEval(m: Matcher, x: String, xns: String): Boolean = m match {
     case InSet(vals, ns)       => vals.contains(if (ns) xns else x)
     case ContainsAny(subs, ns) => subs.exists(s => (if (ns) xns else x).contains(s))
     case StartsWithAny(ps)     => ps.exists(x.startsWith)
     case MatchesRegex(re)      =>
-      java.util.regex.Pattern.compile(re).matcher(x).find()
+      evalPatterns.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+        .matcher(x).find()
   }
 
   /** Evaluate the same rules over a plain string (pre-cleaned by the
@@ -95,13 +102,16 @@ object Luts {
     }.map(_.out)
   }
 
-  /** Plain-string twin of [[cleanInjury]] (same regex chain). */
+  /** Plain-string twin of [[cleanInjury]] (same regex chain).
+    * Locale.ROOT: a tr-TR executor JVM would uppercase "injured" to
+    * dotted-capital-I and silently diverge from Spark's upper(). */
   def cleanInjuryStr(s: String): String =
-    s.toUpperCase
+    s.toUpperCase(java.util.Locale.ROOT)
       .replaceAll("^\\d+\\s*-\\s*", "")
       .replaceAll("-", " ")
       .replaceAll("\\*", "")
       .replaceAll("OF[FI]{2}CERS?|SUBJECT", "")
+      .replaceAll("^\\s*\\d\\s+", "") // leading count (_converters.py:793)
       .replaceAll("\\s{2,}", " ").trim
 
   /** Strict injury standardization of a plain string: Some(category)
@@ -193,15 +203,18 @@ object Luts {
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(upper(c), "^\\d+\\s*-\\s*", ""),
-            "-", " "),
-          "\\*", ""),
-        "OF[FI]{2}CERS?|SUBJECT", ""),
+            regexp_replace(
+              regexp_replace(upper(c), "^\\d+\\s*-\\s*", ""),
+              "-", " "),
+            "\\*", ""),
+          "OF[FI]{2}CERS?|SUBJECT", ""),
+        "^\\s*\\d\\s+", ""), // leading count (_converters.py:793)
       "\\s{2,}", " "))
   val cleanInjurySql: String =
-    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(upper(raw), '^\\d+\\s*-\\s*', ''), '-', ' ', 'g'), " +
-      "'\\*', '', 'g'), 'OF[FI]{2}CERS?|SUBJECT', '', 'g'), '\\s{2,}', ' ', 'g'))"
+      "'\\*', '', 'g'), 'OF[FI]{2}CERS?|SUBJECT', '', 'g'), " +
+      "'^\\s*\\d\\s+', ''), '\\s{2,}', ' ', 'g'))"
 
   // ---- Race vocabulary -------------------------------------------------
 
@@ -380,25 +393,45 @@ object Luts {
 
   // ---- Injury vocabulary -----------------------------------------------
 
+  // the FULL keyword list of _converters.py:815-822 (spelling variants
+  // included; 'MARK' subsumes 'MARKS', 'FRACTURE' subsumes 'FRACTURED',
+  // 'MINOR' subsumes 'MINOR INJUR') — a silent subset here would keep
+  // raw values the reference maps to INJURED
   private val injuredKeywords = Seq(
     "WOUND", "PAIN", "BLEEDING", "SWELLING", "SCRAPE", "PUNCTURE",
     "LACERATION", "BRUIS", "BROKEN", "UNCONSCIOUS", "FIRST AID",
-    "DISLOCATED", "FRACTURE", "ABRASION", "BUSTED", "REDNESS", "RASH",
-    "SCRATCH", "NUMBNESS", "BREATHING", "CUT", "STUN", "MARK", "BURN",
-    "CONCUSSION", "CANINE BITE", "MINOR", "SERIOUS", "TREATED",
-    "TAKEN TO HOSPITAL", "SHOT", "VISIBLE INJURY", "BODILY INJURY",
-    "SOFT TISSUE", "BLOOD", "SORE", "HURT", "STRUCK")
+    "INJURED INCIDENTALLY", "DISLOCATED", "FRACTURE", "ABBRASION",
+    "ABRASION", "ABRAISON", "ABRASSION", "BUSTED", "PULLED OUT",
+    "REDNESS", "LOSS", "RASH", "SCRATCH", "NUMBNESS", "BREATHING",
+    "CUT", "STUN", "MARK", "EYE", "PEELING", "HURT", "ELBOW", "KNEE",
+    "SOFT TISSUE", "BLOOD", "HEAD", "SORE", "SHOULDER", "FINGER",
+    "IMPACT", "FACE", "ARM", "MOUTH", "BACK", "RIB", "THUMB", "SHIN",
+    " EAR", "ACHILLES", "STRUCK", "LEG", "SERIOUS", "CONCUSSION",
+    "CANINE BITE", "BURN", "MINOR", "DISABL", "PHYSICAL INJURY",
+    "TREATED", "TAKEN TO HOSPITAL", "SHOT", "VISIBLE INJURY",
+    "BODILY INJURY", "MAJOR INJURY")
 
   val injuryRules: Seq[Rule] = Seq(
     Rule(Seq(InSet(Seq("", "UNSPECIFIED", "NOT AVAILABLE", "NOT SPECIFIED",
                        "(MISSING)", "NA"))), UNSPECIFIED),
-    Rule(Seq(InSet(Seq("0"))), "NO INJURY"),
-    Rule(Seq(InSet(Seq("1", "2", "3", "4", "5"))), "INJURED"),
+    // any non-negative integer: > 0 is INJURED, all-zero is NO INJURY
+    // (the reference's isdigit branch, _converters.py:776 — not just
+    // the literals 1-5)
+    Rule(Seq(MatchesRegex("^0+$")), "NO INJURY"),
+    Rule(Seq(MatchesRegex("^[0-9]+$")), "INJURED"),
     Rule(Seq(ContainsAny(Seq("SUICIDE")),
              InSet(Seq("SELF INFLICTED FATAL", "DECEASED (SELF INFLICTED)",
                        "KILLED (SELF INFLICTED)"))), "SELF-INFLICTED FATAL"),
+    // is_fatal (_converters.py:805-811): "YES ..." plus a fatal word
+    // and no nonfatal word is a FATALITY, not the INJURED the bare
+    // YES-prefix rule below would report
+    Rule(Seq(StartsWithAny(Seq("YES ", "YES,"))), "FATAL",
+         allOf = Seq(ContainsAny(Seq("FATAL", "KILLED", "DECEASED", "DEATH"))),
+         butNot = Seq(ContainsAny(Seq("INJURED", "NON FATAL", "INJURY")))),
     Rule(Seq(InSet(Seq("FATAL", "KILLED", "DECEASED", "DEATH", "FATAL INJURY"))),
          "FATAL"),
+    Rule(Seq(ContainsAny(Seq("SELF INFLICTED GUNSHOT WOUND"))),
+         "SELF-INFLICTED INJURY"),
     Rule(Seq(StartsWithAny(Seq("NO INJUR", "NONE", "NO COMPLAINT")),
              InSet(Seq("NOT INJURED", "NEITHER", "NO", "N", "MISS",
                        "SHOOT AND MISS", "FALSE", "NO VISIBLE INJURY",
@@ -422,21 +455,28 @@ object Luts {
 
   val firearmRules: Seq[Rule] = Seq(
     Rule(Seq(InSet(Seq(""))), UNSPECIFIED),
-    Rule(Seq(InSet(Seq("YES", "Y", "TRUE", "FIREARM", "1"))), "YES"),
+    // any positive integer is YES, all-zero NO (the reference's
+    // isdigit branch, _converters.py:887 — not just the literal "1")
+    Rule(Seq(MatchesRegex("^0+$")), "NO"),
+    Rule(Seq(MatchesRegex("^[0-9]+$")), "YES"),
+    Rule(Seq(InSet(Seq("YES", "Y", "TRUE", "FIREARM"))), "YES"),
     Rule(Seq(InSet(Seq("NO", "N", "FALSE", "PHYSICAL FORCE", "ELECTRICAL WEAPON",
-                       "OC SPRAY", "IMPACT WEAPON", "NO FORCE", "0")),
+                       "OC SPRAY", "IMPACT WEAPON", "NO FORCE")),
              ContainsAny(Seq("CANINE", "BLANKET", "DISPLAYED", "CUTTING"))), "NO")
   )
 
   // ---- Ethnicity vocabulary (_converters.py:233, defs.py:491) ----------
 
   val ethRules: Seq[Rule] = Seq(
-    Rule(Seq(InSet(Seq("MISSING", "NOT SPECIFIED", "", "NOT RECORDED", "N/A",
-                       "NONE", "BLANK")),
-             ContainsAny(Seq("NO DATA", "NULL"))), UNSPECIFIED),
+    // NONE is NOT unspecified here: the reference's non-Latino check
+    // (_converters.py:269, x in ["N","NH","NHIS","NONE"]) claims it —
+    // and runs before the unspecified set, which does not list NONE
     Rule(Seq(ContainsAny(Seq("NONHISPANIC", "NONLATINO", "NOTHISPANIC"), noSpace = true),
-             InSet(Seq("N", "NH", "NON HISPANIC", "NON-HISPANIC"))),
+             InSet(Seq("N", "NH", "NHIS", "NONE", "NON HISPANIC", "NON-HISPANIC"))),
          "NON-HISPANIC/NON-LATINO"),
+    Rule(Seq(InSet(Seq("MISSING", "NOT SPECIFIED", "", "NOT RECORDED", "N/A",
+                       "BLANK")),
+             ContainsAny(Seq("NO DATA", "NULL"))), UNSPECIFIED),
     Rule(Seq(InSet(Seq("H", "L", "HISP", "HIS")),
              ContainsAny(Seq("HISPANIC", "LATINO"))), "HISPANIC/LATINO"),
     Rule(Seq(InSet(Seq("ME", "ARABIC")), ContainsAny(Seq("MIDDLE EAST"))),
@@ -444,10 +484,12 @@ object Luts {
     Rule(Seq(ContainsAny(Seq("UNK")), InSet(Seq("U", "UK"))), "UNKNOWN")
   )
 
-  /** raw → standardized ethnicity category (null → UNSPECIFIED). */
-  def ethStd(raw: Column): Column =
+  /** raw → standardized ethnicity category (null → UNSPECIFIED).
+    * `noId` honors the reference's unknown-value modes like every
+    * other LUT (_create_ethnicity_lut raises under no_id="error"). */
+  def ethStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(ethRules, cleanRace(raw), trim(upper(raw))))
+      .otherwise(rulesToColumn(ethRules, cleanRace(raw), noIdFallback(raw, noId)))
 
   // ---- End-to-end column builders + matching oracle SQL ----------------
 

@@ -87,7 +87,7 @@ object Standardizer {
       field.stripSuffix("_SUBJECT").stripSuffix("_OFFICER") match {
         case "RACE"      => Luts.remapCats(Luts.raceStd(src, noId), raceCats,
           Luts.catValues(Luts.raceRules), "race") -> "race_lut"
-        case "ETHNICITY" => Luts.remapCats(Luts.ethStd(src), ethCats,
+        case "ETHNICITY" => Luts.remapCats(Luts.ethStd(src, noId), ethCats,
           Luts.catValues(Luts.ethRules), "ethnicity") -> "ethnicity_lut"
         case "GENDER"    => Luts.remapCats(Luts.genderStd(src, noId), genderCats,
           Luts.catValues(Luts.genderRules), "gender") -> "gender_lut"

@@ -91,7 +91,17 @@ class OpsSpec extends SparkSpec {
     val cases = Map("3 - LACERATION" -> "INJURED", "OFFICER INJURED" -> "INJURED",
       "Killed" -> "FATAL", "No" -> "NO INJURY", "0" -> "NO INJURY",
       "1" -> "INJURED", "SUICIDE" -> "SELF-INFLICTED FATAL",
-      "COMPLAINT OF PAIN" -> "INJURED")
+      "COMPLAINT OF PAIN" -> "INJURED",
+      // the reference's isdigit branch: ANY positive integer
+      "6" -> "INJURED", "12" -> "INJURED", "00" -> "NO INJURY",
+      // is_fatal (_converters.py:805): YES + fatal word, no nonfatal word
+      "Yes - Deceased" -> "FATAL",
+      "Yes, injured and later deceased" -> "INJURED", // nonfatal word wins
+      "SELF INFLICTED GUNSHOT WOUND" -> "SELF-INFLICTED INJURY",
+      // leading count strip (_converters.py:793): scalar, not two rows
+      "1 No Injury" -> "NO INJURY", "2 Unknown" -> "UNKNOWN",
+      // expanded keyword list
+      "TWISTED KNEE" -> "INJURED", "LOSS OF TOOTH" -> "INJURED")
     cases.foreach { case (k, want) =>
       val got = Seq(k).toDF("raw").select(Luts.injuryStd(col("raw"))).as[String].head()
       assert(got == want, s"for '$k'")
@@ -261,15 +271,17 @@ class OpsSpec extends SparkSpec {
     assert(byId(4) === Seq(std("Complaint Of Pain")))
     assert(byId(5) === Seq("2 Gibberish Xyz")) // kept whole
     assert(byId(6) === Seq(null))
-    // reference quirks + robustness: digit-only expands to nothing (one
-    // null row), trailing counts are ignored, absurd counts keep whole
+    // reference quirks + robustness: a digit-only cell is scalar
+    // INJURED (the isdigit branch, _converters.py:776 — any positive
+    // integer, not just 1-5), trailing counts are ignored, absurd
+    // counts keep whole
     val quirks = Expand.expandInjuryCounts(
         Seq((1, "6"), (2, "2 Injured 1"), (3, "99999999999 Injured"))
           .toDF("id", "cell"), "cell", "v", "item_num")
       .orderBy("id", "item_num")
       .as[(Int, Option[Int], Option[String])].collect().toSeq
       .groupBy(_._1).view.mapValues(_.map(_._3.orNull)).toMap
-    assert(quirks(1) === Seq(null))
+    assert(quirks(1) === Seq(std("6")))
     assert(quirks(2) === Seq(std("Injured"), std("Injured")))
     assert(quirks(3) === Seq("99999999999 Injured"))
   }

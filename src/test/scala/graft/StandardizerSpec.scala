@@ -283,7 +283,9 @@ class StandardizerSpec extends SparkSpec {
     }
     val firearm = Map("FIREARM" -> "YES", "TRUE" -> "YES", "1" -> "YES",
       "OC SPRAY" -> "NO", "canine bite" -> "NO", "DISPLAYED WEAPON" -> "NO",
-      "NO FORCE" -> "NO", "0" -> "NO", "" -> "UNSPECIFIED")
+      "NO FORCE" -> "NO", "0" -> "NO", "" -> "UNSPECIFIED",
+      // the reference's isdigit branch: any positive integer is YES
+      "2" -> "YES", "00" -> "NO")
     firearm.foreach { case (k, want) =>
       val got = Seq(k).toDF("raw").select(Luts.firearmStd(col("raw"))).as[String].head()
       assert(got == want, s"for '$k'")
@@ -293,11 +295,20 @@ class StandardizerSpec extends SparkSpec {
   test("ethnicity LUT core vocabulary") {
     val cases = Map("HISPANIC" -> "HISPANIC/LATINO", "H" -> "HISPANIC/LATINO",
       "NON-HISPANIC" -> "NON-HISPANIC/NON-LATINO", "NOT HISPANIC" -> "NON-HISPANIC/NON-LATINO",
-      "MIDDLE EASTERN" -> "MIDDLE EASTERN", "U" -> "UNKNOWN", "" -> "UNSPECIFIED")
+      "MIDDLE EASTERN" -> "MIDDLE EASTERN", "U" -> "UNKNOWN", "" -> "UNSPECIFIED",
+      // _converters.py:269 claims NONE/NHIS for non-Latino, BEFORE the
+      // unspecified set (which does not list NONE)
+      "NONE" -> "NON-HISPANIC/NON-LATINO", "NHIS" -> "NON-HISPANIC/NON-LATINO")
     cases.foreach { case (k, want) =>
       val got = Seq(k).toDF("raw").select(Luts.ethStd(col("raw"))).as[String].head()
       assert(got == want, s"for '$k'")
     }
+    // ethStd honors noId like every other LUT
+    val e = intercept[Exception](Seq("ZEBRA").toDF("raw")
+      .select(Luts.ethStd(col("raw"), noId = "error")).as[String].head())
+    assert(e.getMessage.contains("Unknown value"))
+    assert(Seq("ZEBRA").toDF("raw")
+      .select(Luts.ethStd(col("raw"), noId = "null")).as[String].head() == "")
   }
 
   test("loader registry round-trips CSV with the Sources API on top") {
