@@ -25,6 +25,18 @@ import org.apache.spark.sql.types._
   */
 object Feather {
 
+  /** Close every resource, keeping the FIRST failure: a throwing
+    * writer.close() (e.g. footer write on a full disk) must not skip
+    * the allocator/channel closes or mask the original exception. */
+  private def closeAll(cs: AutoCloseable*): Unit = {
+    var first: Throwable = null
+    cs.foreach { c =>
+      try { if (c != null) c.close() }
+      catch { case t: Throwable => if (first == null) first = t }
+    }
+    if (first != null) throw first
+  }
+
   def featherFilename(state: String, sourceName: String, agency: String,
                       tableType: String, date: Either[String, (String, String)]): String =
     Export.canonicalBase(state, sourceName, agency, tableType, date) + ".feather"
@@ -58,12 +70,13 @@ object Feather {
   def write(df: DataFrame, path: String, batchRows: Int = 1 << 16): String = {
     require(batchRows > 0, s"batchRows must be positive, got $batchRows")
     val schema = df.schema
+    // resources are constructed INSIDE the try: a failing
+    // FileChannel.open (bad path) must not leak the allocator and the
+    // Arrow buffers already allocated for the root
     val allocator = new RootAllocator()
-    val root = VectorSchemaRoot.create(
-      new ArrowSchema(java.util.Arrays.asList(schema.fields.map(arrowField): _*)), allocator)
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-    val writer = new ArrowFileWriter(root, null, ch)
+    var root: VectorSchemaRoot = null
+    var ch: FileChannel = null
+    var writer: ArrowFileWriter = null
     def setCell(r: Row, i: Int, c: Int, f: StructField): Unit = {
       val v = root.getVector(c)
       if (r.isNullAt(c)) v.asInstanceOf[FieldVector] match {
@@ -86,6 +99,11 @@ object Feather {
       }
     }
     try {
+      root = VectorSchemaRoot.create(
+        new ArrowSchema(java.util.Arrays.asList(schema.fields.map(arrowField): _*)), allocator)
+      ch = FileChannel.open(Paths.get(path), StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      writer = new ArrowFileWriter(root, null, ch)
       writer.start()
       val it = df.toLocalIterator()
       var i = 0
@@ -105,9 +123,7 @@ object Feather {
       if (i > 0 || batches == 0) { root.setRowCount(i); writer.writeBatch() }
       writer.end()
       path
-    } finally {
-      writer.close(); root.close(); allocator.close(); ch.close()
-    }
+    } finally closeAll(writer, root, allocator, ch)
   }
 
   /** `Table.to_feather`: write under outputDir with the canonical name. */
@@ -120,17 +136,41 @@ object Feather {
     * DataFrame. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val allocator = new RootAllocator()
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    val reader = new ArrowFileReader(new SeekableReadChannel(ch), allocator)
+    var ch: FileChannel = null
+    var reader: ArrowFileReader = null
     try {
+      ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+      // CommonsCompressionFactory: pandas to_feather compresses record
+      // batches with LZ4 by DEFAULT — the codec-less reader would fail
+      // on every ordinary pandas export, the exact interop this module
+      // exists for
+      reader = new ArrowFileReader(new SeekableReadChannel(ch), allocator,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields
       val arrowTypes = (0 until fields.size()).map(c => fields.get(c).getType)
       val sparkFields = (0 until fields.size()).map { c =>
         val f = fields.get(c)
+        // dictionary-encoded (pandas categorical) columns carry INDEX
+        // data in the field vector; decoding them as values would be
+        // silent corruption — fail loud at schema time
+        if (f.getDictionary != null) throw new IllegalArgumentException(
+          s"feather load: column '${f.getName}' is dictionary-encoded " +
+            "(pandas categorical) — cast it to its value type before " +
+            "export (e.g. .astype(str))")
         val dt = f.getType match {
-          case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-          case i: ArrowType.Int                        => LongType
+          case i: ArrowType.Int if i.getBitWidth == 64 && !i.getIsSigned =>
+            throw new IllegalArgumentException(
+              s"feather load: column '${f.getName}' is uint64, which a " +
+                "Spark LongType cannot represent")
+          case i: ArrowType.Int if i.getBitWidth == 64                    => LongType
+          case i: ArrowType.Int if i.getBitWidth == 32 && !i.getIsSigned  => LongType
+          case i: ArrowType.Int if i.getBitWidth == 32                    => IntegerType
+          case _: ArrowType.Int                                           => IntegerType
+          case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.HALF =>
+            throw new IllegalArgumentException(
+              s"feather load: column '${f.getName}' is float16 — cast to " +
+                "float32/float64 before export")
           case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
           case _: ArrowType.FloatingPoint              => DoubleType
           case _: ArrowType.Utf8                       => StringType
@@ -150,8 +190,25 @@ object Feather {
             val v = root.getVector(c)
             if (v.isNull(i)) null
             else sparkFields(c).dataType match {
-              case IntegerType   => v.asInstanceOf[IntVector].get(i)
-              case LongType      => v.asInstanceOf[BigIntVector].get(i)
+              // width/sign-aware: the schema mapping admits 8/16-bit and
+              // unsigned-32 ints, so the extraction must match the
+              // concrete vector class, not assume Int/BigIntVector
+              case IntegerType   => arrowTypes(c) match {
+                case it: ArrowType.Int if it.getBitWidth == 8 && it.getIsSigned =>
+                  v.asInstanceOf[TinyIntVector].get(i).toInt
+                case it: ArrowType.Int if it.getBitWidth == 8 =>
+                  v.asInstanceOf[UInt1Vector].get(i) & 0xFF
+                case it: ArrowType.Int if it.getBitWidth == 16 && it.getIsSigned =>
+                  v.asInstanceOf[SmallIntVector].get(i).toInt
+                case it: ArrowType.Int if it.getBitWidth == 16 =>
+                  v.asInstanceOf[UInt2Vector].get(i).toInt
+                case _ => v.asInstanceOf[IntVector].get(i)
+              }
+              case LongType      => arrowTypes(c) match {
+                case it: ArrowType.Int if it.getBitWidth == 32 && !it.getIsSigned =>
+                  v.asInstanceOf[UInt4Vector].get(i) & 0xFFFFFFFFL
+                case _ => v.asInstanceOf[BigIntVector].get(i)
+              }
               case FloatType     => v.asInstanceOf[Float4Vector].get(i)
               case DoubleType    => v.asInstanceOf[Float8Vector].get(i)
               case StringType    => new String(v.asInstanceOf[VarCharVector].get(i), "UTF-8")
@@ -184,9 +241,7 @@ object Feather {
         }
       }
       spark.createDataFrame(spark.sparkContext.parallelize(out.result()), schema)
-    } finally {
-      reader.close(); allocator.close(); ch.close()
-    }
+    } finally closeAll(reader, allocator, ch)
   }
 
   def loadFeather(spark: SparkSession, outputDir: String, state: String,

@@ -140,8 +140,11 @@ object Rank {
     require(queryTerms.nonEmpty, "bm25: query terms must be non-empty")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tf = termFreqs(docs, idCol, textCol)
+    // coalesce NULL text to '' BEFORE split: size(split(null)) is -1
+    // under legacy sizeOfNull, silently polluting avg_dl (the DuckDB
+    // oracle's avg() would skip a NULL — engine/oracle divergence)
     val lens = docs.select(col(idCol).as("doc_id"),
-      size(split(lower(col(textCol)), " ")).cast("double").as("dl"))
+      size(split(lower(coalesce(col(textCol), lit(""))), " ")).cast("double").as("dl"))
     // corpus constants: one row, joined as a literal broadcast
     val consts = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avg_dl"))

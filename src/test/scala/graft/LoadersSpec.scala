@@ -248,4 +248,46 @@ class LoadersSpec extends SparkSpec {
     assert(row.getString(2) == "2020-06-01 14:30:00")
     assert(row.getString(3) == "2020-06-01")
   }
+
+  test("feather: reads LZ4-compressed files and narrow/unsigned int widths") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.ipc.message.IpcOption
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema => ArrowSchema}
+    // pandas.to_feather compresses with LZ4 by DEFAULT and narrows
+    // dtypes (int16, uint32) — this is the file every real pandas
+    // export produces, which the codec-less width-blind reader crashed on
+    val path = tmpFile(".feather")
+    val alloc = new RootAllocator()
+    val fields = java.util.Arrays.asList(
+      Field.nullable("i16", new ArrowType.Int(16, true)),
+      Field.nullable("u32", new ArrowType.Int(32, false)),
+      Field.nullable("i8", new ArrowType.Int(8, true)))
+    val root = VectorSchemaRoot.create(new ArrowSchema(fields), alloc)
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val writer = new ArrowFileWriter(root, null, ch, null,
+      IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE,
+      CompressionUtil.CodecType.LZ4_FRAME)
+    try {
+      root.allocateNew()
+      root.getVector(0).asInstanceOf[SmallIntVector].setSafe(0, -123)
+      // 3_000_000_000 exceeds Int.MaxValue: must surface as a LONG
+      root.getVector(1).asInstanceOf[UInt4Vector].setWithPossibleTruncate(0, 3000000000L.toInt)
+      root.getVector(2).asInstanceOf[TinyIntVector].setSafe(0, -7)
+      root.setRowCount(1)
+      writer.start(); writer.writeBatch(); writer.end()
+    } finally { writer.close(); root.close(); alloc.close(); ch.close() }
+    val back = graft.sources.Feather.read(spark, path)
+    assert(back.schema("i16").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.schema("u32").dataType == org.apache.spark.sql.types.LongType)
+    val row = back.head()
+    assert(row.getInt(0) == -123)
+    assert(row.getLong(1) == 3000000000L)
+    assert(row.getInt(2) == -7)
+  }
 }
