@@ -731,7 +731,7 @@ object Dedup {
     * (cell-blocked salted equi-join — never all-pairs, no corpus-side
     * broadcast); the removal set folds back via a left-anti equi-join
     * on the id. At 100 TB the cells come from a learned coarse
-    * quantizer (see [[graft.sim.Ann.ivfLearned]]); here cells are the
+    * quantizer (see [[graft.sim.Ann.ivfLearnedTopK]]); here cells are the
     * `label` column. */
   def semantic(embs: DataFrame, idCol: String, vecCol: String,
                cellCol: String, threshold: Double): DataFrame = {

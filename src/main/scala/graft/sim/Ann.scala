@@ -54,30 +54,16 @@ object Ann {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1] for
-    * (plane j, dimension d) — seeded by hashing, no RNG state. */
-  private def planeComponent(j: Int, d: Column): Column =
-    (pmod(xxhash64(lit(j), d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into
-    * a long — codegen Expression (one projection loop per row); the
-    * declarative form is kept below as documentation. */
+    * a long — codegen Expression (one tight projection loop per row;
+    * seeded SplittableRandom hyperplanes cached in LshImpl). A previous
+    * "declarative reference form" was removed: it used a DIFFERENT
+    * hyperplane family (hash-derived components) and was therefore not
+    * value-equivalent to this function despite claiming to be — the
+    * kernel's per-plane projection is simple enough to be its own
+    * specification. */
   def lshSignature(vec: Column, numPlanes: Int): Column =
     graft.functions.GraftFunctions.lshSig(asDouble(vec), numPlanes)
-
-  /** Declarative reference form of [[lshSignature]] (static unroll of
-    * zip_with/aggregate per plane). */
-  def lshSignatureDecl(vec: Column, numPlanes: Int): Column = {
-    val v = asDouble(vec)
-    val bits: Seq[Column] = (0 until numPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeComponent(j, d)),
-        lit(0.0), (s, x) => s + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
 
   /** LSH-bucketed ANN: queries and corpus are hashed to `bands` buckets
     * of `numPlanes/bands` sign bits; candidates share any bucket; exact
@@ -86,10 +72,18 @@ object Ann {
               vecCol: String, k: Int, numPlanes: Int = 16,
               bands: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fail loud on broken band math: bands > numPlanes gives 0-bit
+    // bands (every row in ONE bucket — a silent cross join), and a
+    // non-divisible bands silently ignores the trailing sign bits
+    require(bands >= 1 && bands <= numPlanes && numPlanes % bands == 0,
+      s"lshTopK: bands ($bands) must divide numPlanes ($numPlanes)")
     val rows = numPlanes / bands
+    // 1L << 64 wraps to 1 under the JVM's shift-mod-64 — a 64-bit band
+    // needs the all-ones mask spelled out
+    val mask = if (rows == 64) -1L else (1L << rows) - 1L
     def withBuckets(df: DataFrame, id: String) = {
       val bandStructs = (0 until bands).map(b => struct(lit(b).as("band_id"),
-        shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1)).as("band_val")))
+        shiftright(col("sig"), b * rows).bitwiseAND(lit(mask)).as("band_val")))
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(id + "_v"),
           lshSignature(col(vecCol), numPlanes).as("sig"))
         .select(col(id), col(id + "_v"), inline(array(bandStructs: _*)))
@@ -117,7 +111,18 @@ object Ann {
     * centroids, every corpus vector routes to its nearest centroid in
     * one scan (the model's assignment is a broadcast of nCells × dim
     * doubles), and queries probe their `nprobe` closest cells exactly
-    * like [[ivfTopK]]. Deterministic: fixed seed + id-ordered sample.
+    * like [[ivfTopK]].
+    *
+    * CAVEATS (pruned path only; the nprobe >= nCells verify contract
+    * is exact regardless): (1) MLlib k-means clusters by EUCLIDEAN
+    * distance while routing ranks cells by cosine — the metrics agree
+    * for (approximately) normalized embeddings, but with wildly
+    * unnormalized vectors a large-norm corpus point can land in a cell
+    * the query's cosine routing never probes; normalize first if that
+    * is your data. (2) "Deterministic" covers the seed and the
+    * id-ordered sample; MLlib's internal double aggregation can still
+    * differ in the last ulp across partition layouts, which can flip
+    * near-tie cell choices in the pruned path.
     * At 100 TB the fit runs on the sample only; assignment and probing
     * stay scan-parallel with no corpus-sized shuffle beyond the
     * candidate join. `nprobe >= nCells` probes everything → exact
@@ -149,7 +154,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val routed = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
-        cosine(col("qv"), col("centroid")).as("ccos"))
+        cosFast(col("qv"), col("centroid")).as("ccos"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = routed.withColumn("p", row_number().over(wProbe))
@@ -163,12 +168,21 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** Per-cell centroids (IVF coarse quantizer): avg of each dimension.
-    * Tiny result (cells × dim) — always broadcastable. */
+  /** Per-cell centroids (IVF coarse quantizer): mean of each dimension
+    * via the repo's decimal-exact-sum discipline (sum(decimal(30,15)) /
+    * count, rounded) — a plain double avg() merges partition partials
+    * in nondeterministic order, and a last-ulp centroid difference can
+    * flip which cell is a query's nprobe-th closest (run-to-run
+    * instability in the PRUNED ivf path; same reason
+    * [[Kmeans.lloydIteration]] sums decimals). Tiny result
+    * (cells × dim) — always broadcastable. */
   def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
     corpus.select(col(cellCol).as("cell"),
         posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
-      .groupBy("cell", "dim").agg(avg("x").as("x"))
+      .groupBy("cell", "dim").agg(
+        graft.functions.Det.round(
+          (sum(col("x").cast("decimal(30,15)")) / count(lit(1))).cast("double"),
+          6).as("x"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("x"))))
         .getField("x").as("centroid"))
@@ -186,7 +200,9 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val routed = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
-        cosine(col("qv"), col("centroid")).as("ccos"))
+        // codegen cosine — identical double sequence to the declarative
+        // form, one fused loop instead of three array traversals
+        cosFast(col("qv"), col("centroid")).as("ccos"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = routed.withColumn("p", row_number().over(wProbe))

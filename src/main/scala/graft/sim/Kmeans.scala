@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** One deterministic Lloyd (k-means) iteration over the embedding
   * corpus — the distributed TRAINING step behind every learned
-  * quantizer in this engine ([[Ann.ivfLearned]]'s MLlib fit runs
+  * quantizer in this engine ([[Ann.ivfLearnedTopK]]'s MLlib fit runs
   * exactly this assignment/update loop internally). Spelled out
   * Spark-first and bit-pinnable:
   *
@@ -44,19 +44,14 @@ object Kmeans {
     // same deterministic seed discipline as the PQ codebook — shared
     // code so the trainer and the quantizer can never diverge
     val cents = Pq.codebook(corpus, idCol, vecCol, k)
-    // full-vector micro distance = the PQ sub-distance over one
-    // subspace spanning all dims
-    def microDist(a: Column, b: Column): Column =
-      Pq.subDistMicro(a, b, lit(0), dim)
     val assigned = corpus.repartition(parts)
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .crossJoin(broadcast(cents))
+      // the assignment IS the quantizer's nearest-code rule: one
+      // subspace spanning all dims, same tie-break, same integer
+      // distance — Pq.nearestCode is the single shared definition
       .select(col(idCol), col("__v"),
-        array_min(zip_with(col("cb"),
-          sequence(lit(0), size(col("cb")) - 1),
-          (cvec, cid) => struct(microDist(col("__v"), cvec).as("d"),
-            cid.as("cid"))))
-          .getField("cid").as("cluster"))
+        Pq.nearestCode(col("__v"), col("cb"), lit(0), dim).as("cluster"))
     assigned
       .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))

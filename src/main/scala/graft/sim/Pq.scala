@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (the subspace slices of the `nCentroids` lowest-id corpus vectors),
   * so the whole pipeline — codebook, codes, ADC ranks — is exactly
   * reproducible by the DuckDB oracle. A production system would train
-  * per-subspace k-means instead (see [[graft.sim.Ann.ivfLearned]] for
+  * per-subspace k-means instead (see [[graft.sim.Ann.ivfLearnedTopK]] for
   * the seeded-MLlib pattern); every downstream step is codebook-
   * agnostic, so swapping it in changes no operator code.
   *
@@ -63,6 +63,30 @@ object Pq {
       .select(transform(col("es"), e => e.getField("v")).as("cb"))
   }
 
+  /** Index of the nearest codebook entry for subspace `s` (0-based,
+    * id-order tie-break via the integer (d, cid) struct-min) — ONE
+    * definition shared by the encoder and the Lloyd trainer
+    * ([[Kmeans.lloydIteration]]), so the assignment rule cannot
+    * silently diverge between them. */
+  private[sim] def nearestCode(v: Column, cb: Column, s: Column,
+                               subDim: Int): Column =
+    array_min(zip_with(cb, sequence(lit(0), size(cb) - 1),
+      (cvec, cid) => struct(subDistMicro(v, cvec, s, subDim).as("d"),
+        cid.as("cid"))))
+      .getField("cid")
+
+  /** Fail-loud dimension guard: subspaces past the actual vector length
+    * would read out-of-bounds — a null-collapsed code-0 under legacy
+    * SQL, an opaque INVALID_ARRAY_INDEX under ANSI. A standalone FILTER
+    * predicate (never a wrapper column — see the CollapseProject note
+    * in graft.geo). */
+  private def dimGuard(v: Column, m: Int, subDim: Int): Column =
+    when(size(v) >= lit(m * subDim), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"pq: m*subDim = ${m * subDim} exceeds the vector length "),
+        size(v).cast("string"),
+        lit(" — lower m/subDim to cover the embedding dimension"))))
+
   /** Encode every corpus vector as `m` codes (0-based, id-order
     * tie-break): per subspace, the index of the nearest codebook entry.
     * Pure scan-stage expression after a 1-row codebook broadcast —
@@ -72,14 +96,11 @@ object Pq {
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     corpus.repartition(parts)
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .filter(dimGuard(col("__v"), m, subDim))
       .crossJoin(broadcast(cb))
       .select(col(idCol),
         transform(sequence(lit(0), lit(m - 1)), s =>
-          array_min(zip_with(col("cb"),
-            sequence(lit(0), size(col("cb")) - 1),
-            (cvec, cid) => struct(subDistMicro(col("__v"), cvec, s, subDim).as("d"),
-              cid.as("cid"))))
-            .getField("cid")).as("codes"))
+          nearestCode(col("__v"), col("cb"), s, subDim)).as("codes"))
   }
 
   /** One row per query: (query_id, __qtab) where __qtab is the m ×
@@ -92,6 +113,7 @@ object Pq {
       transform(col("cb"), cvec => subDistMicro(col("__q"), cvec, s, subDim)))
     queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__q"))
+      .filter(dimGuard(col("__q"), m, subDim))
       .crossJoin(broadcast(cb))
       .select(col("query_id"), qtab.as("__qtab"))
   }
@@ -160,7 +182,7 @@ object Pq {
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"),
-        Ann.cosine(col("qv"), col("centroid")).as("ccos"))
+        graft.functions.GraftFunctions.cosineSim(col("qv"), col("centroid")).as("ccos"))
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select("query_id", "cell")

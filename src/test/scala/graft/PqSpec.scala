@@ -109,4 +109,20 @@ class PqSpec extends SparkSpec {
     // shortlist to better than chance (100/2000 = 5%)
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("dimension and band guards fail loud, not with null-collapsed codes") {
+    // m*subDim beyond the 64-dim embeddings: subspaces past the end
+    // would silently encode as code 0 (null-collapsed argmin) — must
+    // raise a named error instead
+    val e = intercept[Exception](
+      Pq.pqTopK(embs.filter(col("vec_id") < 2), embs, "vec_id", "embedding",
+        k = 5, m = 16, subDim = 8).collect())
+    assert(e.getMessage.contains("exceeds the vector length"), e.getMessage)
+    // LSH band math: bands > numPlanes would put EVERY row in one
+    // bucket (a silent cross join); non-divisible bands drop sign bits
+    intercept[IllegalArgumentException](
+      Ann.lshTopK(embs, embs, "vec_id", "embedding", 5, numPlanes = 16, bands = 32))
+    intercept[IllegalArgumentException](
+      Ann.lshTopK(embs, embs, "vec_id", "embedding", 5, numPlanes = 16, bands = 3))
+  }
 }
