@@ -21,8 +21,12 @@ object Analytics {
     * bit-for-bit. */
   private def decSum(c: Column): Column = sum(c.cast("decimal(30,10)"))
   private def moneySum(c: Column): Column = round(decSum(c), 2).cast("double")
+  // Det.round, not builtin round(): the quotient is a genuine double
+  // (decimal sum cast / count), and double round() is the documented
+  // Spark-vs-DuckDB boundary divergence Det.scala exists for — the
+  // oracle renders the identical floor-based formula
   private def moneyAvg(c: Column): Column =
-    round(decSum(c).cast("double") / count(lit(1)), 2)
+    graft.functions.Det.round(decSum(c).cast("double") / count(lit(1)), 2)
 
   /** q1: pricing summary (groupBy 2 low-card keys, 8 aggregates over the
     * full lineitem scan — shuffle carries only 6 grouped rows after
@@ -146,10 +150,19 @@ object Analytics {
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "groupQuantiles: need at least one percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupQuantiles: percentiles must be in [0, 1], got $ps")
+    val names = ps.map(p => s"q${math.round(p * 100)}")
+    require(names.distinct.size == names.size,
+      s"groupQuantiles: percentiles collide after rounding to column names $names")
     val w = Window.partitionBy(groupCol).orderBy(col("__v"))
     val wAll = Window.partitionBy(groupCol)
+    // NULLs (and uncastable strings) are EXCLUDED like SQL
+    // percentile_cont — ranked nulls-first they would shift every
+    // quantile down and null out p=0
     val ranked = df
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
     val qs = ps.map { p =>
@@ -164,6 +177,7 @@ object Analytics {
       // boundaries where Spark's and DuckDB's round() disagree
       round(lo + (hi - lo) * frac, 4).as(s"q${math.round(p * 100)}")
     }
+    
     ranked.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*)
   }
 
@@ -171,7 +185,8 @@ object Analytics {
     * null count, exact distinct count, min/max (string-rendered).
     * One pass per column (narrow aggregates), unioned driver-side;
     * every aggregate is map-side partial. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
     cols.map { c =>
       df.agg(
         lit(c).as("column"),
@@ -182,6 +197,7 @@ object Analytics {
         max(col(c)).cast("string").as("max_s"))
         .select("column", "n", "n_null", "n_distinct", "min_s", "max_s")
     }.reduce(_.unionByName(_))
+  }
 
   /** High-cardinality aggregation (AQE/skew path): per-order rollup over
     * lineitem — ~orderkey-many groups, partial agg + AQE-coalesced

@@ -66,10 +66,13 @@ object Graph {
       .distinct(), coalesceTo = par)
     val (deg, releaseDeg) = Mat.releasable(sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg")), coalesceTo = par)
-    val nTab = broadcast(deg.agg(count(lit(1)).cast("double").as("__n")))
-    var (pr, releasePr) = Mat.releasable(deg.crossJoin(nTab)
+    // deg is already materialized — count it ONCE on the driver; the
+    // embedded 1-row aggregate re-ran as a separate job inside every
+    // round's materialization
+    val n = deg.count().toDouble
+    var (pr, releasePr) = Mat.releasable(deg
       .select(col("node"), col("deg"),
-        graft.functions.Det.round(lit(1.0) / col("__n"), digits).as("pr")),
+        graft.functions.Det.round(lit(1.0) / lit(n), digits).as("pr")),
       coalesceTo = par)
     for (_ <- 1 to iterations) {
       val contrib = sym.join(pr, sym("src") === pr("node"))
@@ -78,7 +81,6 @@ object Graph {
       val (next, releaseNext) = Mat.releasable(contrib.groupBy("node")
         .agg(sum(col("__c")).as("__s"))
         .join(deg, "node")
-        .crossJoin(nTab)
         .select(col("node"), col("deg"),
           graft.functions.Det.round(
             // teleport constant folded in SCALA doubles (1.0-0.85 =
@@ -86,7 +88,7 @@ object Graph {
             // not a decimal-exact 0.15 (DuckDB folds decimal literals
             // exactly — the round-trip string pins it)
             col("__s").cast("double") * damping +
-              lit(1.0 - damping) / col("__n"), digits).as("pr")),
+              lit(1.0 - damping) / lit(n), digits).as("pr")),
         coalesceTo = par)
       releasePr() // superseded round
       pr = next
@@ -165,6 +167,14 @@ object Graph {
       .select(shiftright(col("pk"), 32).cast("int").as("item_a"),
         shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("item_b"),
         col("shared"))
+    jaccardTail(pairs, deg, threshold)
+  }
+
+  /** Degree join + Jaccard + threshold — ONE definition shared by the
+    * packed and generic pair paths (EngineSpec pins their exact
+    * agreement; a second copy is how they'd silently diverge). */
+  private def jaccardTail(pairs: DataFrame, deg: DataFrame,
+                          threshold: Double): DataFrame =
     pairs
       .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")
       .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), "item_b")
@@ -172,7 +182,6 @@ object Graph {
         graft.functions.Det.round4(col("shared").cast("double") /
           (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** 32-bit-item fast path: items widen losslessly to int, pack
     * directly (no dictionary); output item columns cast back to the
@@ -207,8 +216,17 @@ object Graph {
     // LAZY persist: the dict subplan (edge scan → distinct → window)
     // feeds THREE broadcasts (basket remap + two restores), each above
     // a different projection, so exchange reuse cannot share it — the
-    // cache computes it once at first use. Vocabulary-sized blocks;
-    // released by the session's standard post-query unpersist hygiene.
+    // cache computes it once at first use.
+    //
+    // PINNED (by design, same contract as Curation.dsirWeights): the
+    // vocabulary-sized MEMORY_AND_DISK blocks stay cached until the
+    // session ends or the caller runs the standard post-query hygiene
+    // (spark.sparkContext.getPersistentRDDs.values.foreach(
+    // _.unpersist(false)) once the result is consumed — what Bench and
+    // Verify do). A long-lived session calling this repeatedly WITHOUT
+    // that hygiene accumulates one dict block set per call; there is
+    // no in-plan release point because the blocks must outlive the
+    // (lazy) query that reads them.
     val dict = edges.select(col(itemCol).as("__item"))
       .where(col("__item").isNotNull)
       .distinct()
@@ -271,12 +289,6 @@ object Graph {
           size(col("items")) - col("p") - lit(1))).as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).cast("long").as("shared"))
-    pairs
-      .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), "item_a")
-      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), "item_b")
-      .select(col("item_a"), col("item_b"), col("shared"),
-        graft.functions.Det.round4(col("shared").cast("double") /
-          (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardTail(pairs, deg, threshold)
   }
 }
