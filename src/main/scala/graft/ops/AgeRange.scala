@@ -37,7 +37,11 @@ object AgeRange {
     // DuckDB's RE2 oracle side.
     val x = trim(regexp_replace(upper(trim(raw)), "^[A-Z]\\s*-\\s*(\\d)", "$1"))
     val decade = regexp_extract(x, "^(\\d+)0S$", 1).cast("int") * 10
-    val n = x.cast("int")
+    // long, not int: a 10-digit junk age would throw CAST_OVERFLOW
+    // under ANSI instead of bucketing to 65-120 like the reference's
+    // arbitrary-precision int(x); the digit branch below is capped at
+    // 18 digits so the long cast itself can never overflow
+    val n = x.cast("long")
     val bucketed = bounds.zip(labels.init).foldRight(lit(labels.last): Column) {
       case ((b, lbl), acc) => when(n < b, lbl).otherwise(acc)
     }
@@ -61,33 +65,35 @@ object AgeRange {
             concat(decade.cast("string"), lit("-"), (decade + 9).cast("string")))
       .when(x === "ADULT", lit("18-120"))
       .when(x === "JUVENILE", lit("0-17"))
-      .when(x.rlike("^\\d+$"), bucketed)
+      .when(x.rlike("^\\d{1,18}$"), bucketed)
       .otherwise(x)
   }
 
   /** Single-value age standardization — the reference's
     * `_standardize_age` scalar path (openpolicedata/preproc.py:2131):
-    * numeric coercion (junk → null), the lone sub-(-1000) sentinel
-    * value nulled when it occurs EXACTLY once (pandas' placeholder-min
-    * fix, preproc.py:2132), out-of-range [0, 120] → null, rounded
-    * (half-even, pandas Series.round), and age 0 → null (preproc.py
-    * :2146). The reference's conversion-rate validation heuristics
-    * belong to column BINDING and live in ops/Identify.
+    * numeric coercion (junk → null), out-of-range [0, 120] → null
+    * (which subsumes the reference's lone sub-(-1000) sentinel fix,
+    * preproc.py:2132 — see the in-body note), rounded (half-even,
+    * pandas Series.round), and age 0 → null (preproc.py:2146). The
+    * reference's conversion-rate validation heuristics belong to
+    * column BINDING and live in ops/Identify.
     *
-    * Scale shape: the sentinel min/count is a 1-row literal broadcast;
-    * everything else is a scan-stage expression. Returns (idCol, age
-    * int). */
+    * Scale shape: pure scan-stage expressions — no aggregate, no
+    * join. Returns (idCol, age int). */
   def standardizeAge(df: DataFrame, idCol: String, rawCol: String): DataFrame = {
     // try_cast: junk strings coerce to null (ANSI-safe), like pandas
-    // to_numeric(errors="coerce")
+    // to_numeric(errors="coerce").
+    //
+    // The reference's lone sub-(-1000) sentinel fix (preproc.py:2132)
+    // is SUBSUMED here: every value it can null is < -1000 < 0 and is
+    // nulled by the [0, 120] range check regardless of its count, so
+    // the output is bit-identical without the extra min/count
+    // aggregation pass the earlier implementation ran per call.
     val base = df.select(col(idCol),
       expr(s"try_cast(`$rawCol` as double)").as("__n"))
-    val sentinel = base.filter(col("__n") < -1000)
-      .agg(min(col("__n")).as("__smin"), count(lit(1)).as("__scnt"))
-    base.crossJoin(broadcast(sentinel))
+    base
       .select(col(idCol),
         when(col("__n").isNull, lit(null))
-          .when(col("__scnt") === 1 && col("__n") === col("__smin"), lit(null))
           .when(col("__n") < 0 || col("__n") > 120, lit(null))
           .when(bround(col("__n")) === 0, lit(null))
           .otherwise(bround(col("__n")))
@@ -97,7 +103,7 @@ object AgeRange {
   /** Matching DuckDB SQL over a column literally named `raw`. */
   val ageRangeStdSql: String = {
     val x = "trim(regexp_replace(upper(trim(raw)), '^[A-Z]\\s*-\\s*(\\d)', '\\1'))"
-    val n = s"CAST($x AS INT)"
+    val n = s"CAST($x AS BIGINT)"
     val decade = s"(CAST(regexp_extract($x, '^(\\d+)0S$$', 1) AS INT) * 10)"
     val bucketed = bounds.zip(labels.init).foldRight(s"'${labels.last}'") {
       case ((b, lbl), acc) => s"CASE WHEN $n < $b THEN '$lbl' ELSE $acc END"
@@ -115,7 +121,7 @@ object AgeRange {
        |  WHEN regexp_matches($x, '^\\d+0S$$') THEN CAST($decade AS VARCHAR) || '-' || CAST($decade + 9 AS VARCHAR)
        |  WHEN $x = 'ADULT' THEN '18-120'
        |  WHEN $x = 'JUVENILE' THEN '0-17'
-       |  WHEN regexp_matches($x, '^\\d+$$') THEN $bucketed
+       |  WHEN regexp_matches($x, '^\\d{1,18}$$') THEN $bucketed
        |  ELSE $x
        |END""".stripMargin
   }

@@ -81,7 +81,13 @@ object Dates {
         val d2 = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2})$", 2).cast("int")
         val y2 = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2})$", 3).cast("int")
         val y4 = when(y2 >= 69, y2 + 1900).otherwise(y2 + 2000)
-        make_timestamp(y4, m2, d2, lit(0), lit(0), lit(0))
+        // try_make_timestamp: the regex admits calendar-invalid cells
+        // ("2/30/99", "13/5/99"), and plain make_timestamp THROWS on
+        // them under default ANSI — breaking the null-on-unparseable
+        // contract exactly where junk tolerance matters (column
+        // identification runs this over arbitrary messy candidates)
+        call_function("try_make_timestamp",
+          y4, m2, d2, lit(0), lit(0), lit(0))
       })
       .otherwise(coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*))
   }
@@ -112,6 +118,9 @@ object Dates {
     val t = when(tt.rlike("^\\d{2};\\d{2}$"), regexp_replace(tt, ";", ":"))
       .when(tt.rlike("^\\d{1,2}\\.\\d{1,2}\\.\\d{1,2}$"), regexp_replace(tt, "\\.", ":"))
       .when(tt.rlike("T\\d{1,2}:\\d{2}"), regexp_extract(tt, "T(\\d.*)$", 1))
+      .when(tt.rlike("^\\d{1,2}(AM|PM)$"), // hour-only "9PM"/"12AM"
+        concat(regexp_extract(tt, "^(\\d{1,2})(AM|PM)$", 1), lit(":00"),
+               regexp_extract(tt, "^(\\d{1,2})(AM|PM)$", 2)))
       .when(tt.rlike("^\\d{3,4}(AM|PM)$"),
         concat(regexp_extract(tt, "^(\\d{1,2})(\\d{2}(?:AM|PM))$", 1), lit(":"),
                regexp_extract(tt, "^(\\d{1,2})(\\d{2}(?:AM|PM))$", 2)))

@@ -21,7 +21,12 @@ object Expand {
     * scalar/NaN rows — data.py:578). */
   def expandDelim(df: DataFrame, column: String, delim: String,
                   as: String): DataFrame =
-    df.withColumn(as, explode_outer(split(col(column), delim))).drop(column)
+    // Pattern.quote: split() takes a REGEX, but delim is a literal
+    // separator (detectMultiValue's contains() treats it as one) — an
+    // unquoted "|" would match the empty string and shred every cell
+    // into characters
+    df.withColumn(as, explode_outer(
+      split(col(column), java.util.regex.Pattern.quote(delim)))).drop(column)
 
   /** Detect which of `cols` actually hold delimited multi-value cells —
     * the reference's `check_for_multiple` (preproc.py:1623): a column
@@ -49,7 +54,8 @@ object Expand {
   def expandDelimPos(df: DataFrame, column: String, delim: String,
                      as: String, posCol: String): DataFrame =
     df.select(df.columns.map(col) :+
-        posexplode_outer(split(col(column), delim)).as(Seq(posCol, as)): _*)
+        posexplode_outer(split(col(column),
+          java.util.regex.Pattern.quote(delim))).as(Seq(posCol, as)): _*)
       .drop(column)
 
   /** The reference's count-annotation regex, verbatim
@@ -120,6 +126,12 @@ object Expand {
 
   /** The converter-guided greedy parse for one (non-null) injury cell —
     * plain Scala, run distributed inside [[expandInjuryCounts]]. */
+  // REFERENCE QUIRK (faithful, _converters.py:793): the whole-cell
+  // strict pass strips only a SINGLE leading count digit, so
+  // "2 Injured" collapses to ONE scalar INJURED while "12 Injured"
+  // takes the greedy count path and expands to twelve rows — the
+  // reference's std_with_counts behaves identically (its converter
+  // count-strip regex is ^\d\s+, one digit).
   def parseInjuryCell(x: String, delim: String = " "): Seq[String] =
     graft.ops.Luts.injuryStdStrict(x) match {
       case Some(std) => Seq(std) // whole cell standardizes: scalar
@@ -154,16 +166,23 @@ object Expand {
   def expandCounts(df: DataFrame, column: String, as: String,
                    posCol: String): DataFrame = {
     val toks = regexp_extract_all(col(column), lit(CountRe), lit(0))
+    // absurd counts keep the cell WHOLE (same guard as
+    // expandInjuryCounts): an 11-digit count would throw CAST_OVERFLOW
+    // under ANSI, and a merely-large one would materialize a
+    // billion-element array per row
+    val absurd = exists(toks,
+      t => length(regexp_extract(t, CountRe, 1)) > lit(6))
     // guard count = 0: Spark's sequence(1, 0) is the DESCENDING [1, 0]
     // (step defaults to -1 when start > stop), which would emit the
     // label twice; a zero count must contribute nothing
     val expanded = flatten(transform(toks, t => {
-      val cnt = regexp_extract(t, CountRe, 1).cast("int")
+      val cnt = when(length(regexp_extract(t, CountRe, 1)) <= 6,
+        regexp_extract(t, CountRe, 1)).cast("int")
       val lbl = trim(regexp_extract(t, CountRe, 2))
       when(cnt >= 1, transform(sequence(lit(1), cnt), _ => lbl))
         .otherwise(array().cast("array<string>"))
     }))
-    val items = when(size(toks) > 0, expanded)
+    val items = when(size(toks) > 0 && !absurd, expanded)
       .otherwise(array(col(column)))
     df.select(df.columns.map(col) :+
         posexplode_outer(items).as(Seq(posCol, as)): _*)

@@ -83,6 +83,20 @@ class DateFidelitySpec extends SparkSpec {
   }
 
   /** test_unix_to_datetime (:107): epoch millis. */
+  test("calendar-invalid 2-digit dates null; hour-only AM/PM times parse") {
+    import graft.ops.Dates
+    // "2/30/99" matches the 2-digit-year regex but is not a real date:
+    // must be null, not a DATETIME_FIELD_OUT_OF_BOUNDS job kill
+    val parsed = Seq("2/30/99", "13/5/99", "1/2/97").toDF("raw")
+      .select(Dates.parseDateFlexible(col("raw")).as("ts")).collect()
+    assert(parsed(0).isNullAt(0) && parsed(1).isNullAt(0))
+    assert(!parsed(2).isNullAt(0))
+    // "9PM"/"12AM" previously fell through every branch to null
+    val times = Seq("9PM", "12AM", "12PM").toDF("raw")
+      .select(Dates.parseTime(col("raw")).as("t")).as[String].collect().toSeq
+    assert(times == Seq("21:00:00", "00:00:00", "12:00:00"), times.toString)
+  }
+
   test("epoch milliseconds round trip") {
     val stamped = graft.sources.Tables(spark, sfDir, "events")
       .select(date_trunc("second", col("ts")).as("want")).limit(100)

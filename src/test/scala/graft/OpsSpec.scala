@@ -112,7 +112,10 @@ class OpsSpec extends SparkSpec {
     val cases = Map("25 - 34" -> "25-34", "OVER 65" -> "65-120", "65+" -> "65-120",
       "UNDER 21" -> "0-21", "20S" -> "20-29", "B - 18-29" -> "18-29",
       "25" -> "25-34", "7" -> "0-17", "" -> "UNSPECIFIED",
-      "ADULT" -> "18-120", "JUVENILE" -> "0-17")
+      "ADULT" -> "18-120", "JUVENILE" -> "0-17",
+      // 10-digit junk bucketed like the reference's arbitrary-precision
+      // int — an ANSI int cast used to kill the job here
+      "9999999999" -> "65-120")
     cases.foreach { case (k, want) =>
       val got = Seq(k).toDF("raw").select(AgeRange.ageRangeStd(col("raw"))).as[String].head()
       assert(got == want, s"for '$k'")
@@ -204,6 +207,22 @@ class OpsSpec extends SparkSpec {
     assert(got.length == 3)
     assert(got.map(r => (r.getInt(0), r.getAs[String]("v"))).toSeq ==
       Seq((1, "a"), (1, "b"), (2, null)))
+  }
+
+  test("regex-metachar delimiters split literally; absurd counts keep whole") {
+    // "|" as a regex matches the empty string — the literal split must
+    // not shred cells into characters
+    val df = Seq((1, "BLACK|WHITE")).toDF("id", "cell")
+    val got = Expand.expandDelim(df, "cell", "|", "v")
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("BLACK", "WHITE"), got.toString)
+    // an 11-digit count would CAST_OVERFLOW under ANSI (and a merely
+    // large one would materialize a billion-element array) — the cell
+    // passes through whole, like expandInjuryCounts' guard
+    val big = Expand.expandCounts(
+        Seq((1, "99999999999 - Black")).toDF("id", "cell"), "cell", "v", "p")
+      .select("v").as[String].collect().toSeq
+    assert(big == Seq("99999999999 - Black"))
   }
 
   test("detectMultiValue finds only the delimited columns") {
