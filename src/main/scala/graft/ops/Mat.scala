@@ -49,15 +49,27 @@ object Mat {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint() // eager: runs the plan now
+    // isLocallyCheckpointed narrows the diff to OUR checkpoint: a lazy
+    // user cache() whose InMemoryRelation buffer happens to persist for
+    // the first time INSIDE this job would otherwise land in the diff
+    // window and be unpersisted by release() — silently dropping the
+    // user's cached data (the buffer RDD is never re-persisted).
     val mine: Seq[RDD[_]] =
       sc.getPersistentRDDs.iterator.collect {
-        case (id, r) if !before(id) => r
+        case (id, r) if !before(id) && r.isCheckpointed => r
       }.toSeq
+    // Re-wrap the checkpointed INTERNAL RDD (Tungsten rows): the public
+    // Dataset.rdd + createDataFrame route would deserialize every row
+    // to an external Row and convert it back on EVERY read — a
+    // per-round tax on the iterative loop state this helper serves.
+    val internal = ck.queryExecution.toRdd
     val rdd =
-      if (coalesceTo > 0 && ck.rdd.getNumPartitions > coalesceTo)
-        ck.rdd.coalesce(coalesceTo)
-      else ck.rdd
-    (spark.createDataFrame(rdd, ck.schema),
+      if (coalesceTo > 0 && internal.getNumPartitions > coalesceTo)
+        internal.coalesce(coalesceTo)
+      else internal
+    (org.apache.spark.sql.graftshim.InternalDf.create(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        rdd, ck.schema),
       () => mine.foreach(_.unpersist(blocking = false)))
   }
 

@@ -43,10 +43,29 @@ object RuntimeFilter {
       dim: DataFrame, dimKey: String,
       numBits: Int = 1 << 22, numHashes: Int = 6): DataFrame = {
     GraftFunctions.ensureRegistered(fact.sparkSession)
+    // HASH IN A COMMON TYPE: xxhash64 is type-sensitive (an int 5 and a
+    // long 5L hash differently) while the exact join coerces — hashing
+    // the raw columns would produce FALSE NEGATIVES for join-coercible
+    // but differently-typed keys, silently dropping matching rows.
+    // Integral pairs widen to long; any other mismatch fails loud
+    // (a silent row loss is the one thing this operator must not do).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val ft = fact.select(col(factKey)).schema.head.dataType
+    val dt = dim.select(col(dimKey)).schema.head.dataType
+    val (fk, dk) =
+      if (ft == dt) (col(factKey), col(dimKey))
+      else if (integral(ft) && integral(dt))
+        (col(factKey).cast("long"), col(dimKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloomPrefilter: key types differ ($factKey: $ft vs $dimKey: $dt) " +
+          "— cast them to a common type first (type-sensitive hashing " +
+          "would silently drop matching rows)")
     val bloom: Array[Byte] = dim
-      .agg(GraftFunctions.bloomAgg(xxhash64(col(dimKey)), numBits, numHashes).as("__bloom"))
+      .agg(GraftFunctions.bloomAgg(xxhash64(dk), numBits, numHashes).as("__bloom"))
       .head().getAs[Array[Byte]]("__bloom")
-    fact.where(GraftFunctions.bloomMightContain(lit(bloom), xxhash64(col(factKey))))
+    fact.where(GraftFunctions.bloomMightContain(lit(bloom), xxhash64(fk)))
   }
 
   /** Exact inner join with the Bloom prefilter applied to the fact side

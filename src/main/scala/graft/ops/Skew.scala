@@ -10,24 +10,31 @@ import org.apache.spark.sql.functions._
   * Complements AQE's skew-join splitting (enabled in GraftSession):
   * AQE re-splits skewed *join* partitions at runtime, while salting is
   * the static answer for skewed *aggregations* whose partial state per
-  * key is mergeable. The salt is derived from a per-row id, so results
-  * are independent of the salt assignment.
+  * key is mergeable. The salt is derived from a CONTENT hash of the
+  * row, so it is stable under partial stage retries — a salt derived
+  * from row ORDER (monotonically_increasing_id, rand) changes when a
+  * fetch-failure recomputes a map task with different shuffle-read
+  * order, and reducers consuming a mix of old and new map output then
+  * double-count or drop rows. The cost of content salting: a hot key
+  * whose rows are EXACT duplicates in every column all land on one
+  * salt (no spread) — the pathological-duplicates case needs an
+  * explicit disambiguating column.
   */
 object Skew {
 
+  private def contentSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+
   /** Salted sum/count rollup of `valueCol` per `key`. Output columns:
-    * key, n (count), total (sum). Equivalent to
-    * `df.groupBy(key).agg(count, sum)` for any salt count. */
+    * key, n (count), total (sum). Value-equivalent to
+    * `df.groupBy(key).agg(count, sum)` for any salt count (NOTE: a
+    * DECIMAL valueCol widens one step more than the single-phase
+    * aggregate — sum-of-sums applies precision widening twice). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     salts: Int = 16): DataFrame = {
-    require(salts > 0, "salts must be positive")
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
-    salted.groupBy(col(key), col("__salt"))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__sum"))
-      .groupBy(col(key))
-      .agg(sum("__n").as("n"), sum("__sum").as("total"))
-  }
+                     salts: Int = 16): DataFrame =
+    salted(df, key, salts)(
+      Seq(count(lit(1)).as("__n"), sum(col(valueCol)).as("__sum")),
+      Seq(sum("__n").as("n"), sum("__sum").as("total")))
 
   /** Skew-safe equi-join for a fact table with pathologically hot join
     * keys: each fact row gets a random salt in [0, salts) and the dim
@@ -45,12 +52,16 @@ object Skew {
                  dim: DataFrame, dimKey: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__fsalt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      contentSalt(fact, salts).cast("int")).alias("__sj_fact")
     val saltRows = fact.sparkSession.range(salts)
       .select(col("id").cast("int").as("__dsalt"))
     val repDim = dim.crossJoin(broadcast(saltRows)) // salts rows — a literal
+      .alias("__sj_dim")
+    // dataset aliases: same-named fact/dim keys would otherwise be an
+    // AMBIGUOUS_REFERENCE analysis error (bloomJoin's established fix)
     saltedFact.join(repDim,
-        col(factKey) === col(dimKey) && col("__fsalt") === col("__dsalt"))
+        col(s"__sj_fact.$factKey") === col(s"__sj_dim.$dimKey") &&
+          col("__sj_fact.__fsalt") === col("__sj_dim.__dsalt"))
       .drop("__fsalt", "__dsalt")
   }
 
@@ -60,7 +71,9 @@ object Skew {
   def salted(df: DataFrame, key: String, salts: Int)
             (partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(salts > 0, "salts must be positive")
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    require(partials.nonEmpty && merges.nonEmpty,
+      "salted: partials and merges must be non-empty")
+    df.withColumn("__salt", contentSalt(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

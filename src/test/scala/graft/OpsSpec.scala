@@ -391,4 +391,28 @@ class OpsSpec extends SparkSpec {
     assert(m2.count() === 2, "a later mat must survive releasing its parent")
     rel2()
   }
+
+  test("Mat.releasable never sweeps a user cache materialized by the checkpoint job") {
+    val sc = spark.sparkContext
+    // LAZY cache: its InMemoryRelation buffer persists for the first
+    // time INSIDE the checkpoint job below — the naive before/after
+    // diff would claim it and release() would silently drop the
+    // user's cached data
+    val lookup = Seq((1, "a"), (2, "b")).toDF("k", "v").cache()
+    val before = sc.getPersistentRDDs.keySet
+    val (m, rel) = Mat.releasable(lookup.select(col("k") * 2 as "k2"))
+    val newIds = sc.getPersistentRDDs.keySet -- before
+    assert(m.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4))
+    rel()
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (newIds.exists(id => sc.getPersistentRDDs.contains(id) &&
+             sc.getPersistentRDDs(id).isCheckpointed) &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    // the cache's buffer RDD (persisted during the job, NOT checkpointed)
+    // must still be registered after release
+    val survivors = sc.getPersistentRDDs.keySet.intersect(newIds)
+    assert(survivors.exists(id => !sc.getPersistentRDDs(id).isCheckpointed),
+      s"user cache was swept (surviving new ids: $survivors)")
+    lookup.unpersist()
+  }
 }
