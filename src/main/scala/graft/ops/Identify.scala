@@ -108,7 +108,8 @@ object Identify {
   def identifyColumnsValidated(df: DataFrame,
                                known: Map[String, String] = Map.empty,
                                sampleSize: Int = 1000,
-                               minParseRate: Double = 0.5): Map[String, String] = {
+                               minParseRate: Double = 0.5,
+                               dateFormats: Seq[String] = Dates.defaultFormats): Map[String, String] = {
     val base = identifyColumns(df, known)
     val dateCands = if (known.contains("DATE")) Nil else candidatesFor(df, "DATE")
     val timeCands = if (known.contains("TIME")) Nil else candidatesFor(df, "TIME")
@@ -116,7 +117,10 @@ object Identify {
 
     val sample = df.limit(sampleSize)
     def metricsFor(c: String): Seq[Column] = {
-      val parsed = Dates.parseDateFlexible(col(c))
+      // caller-supplied formats participate in validation: scoring with
+      // only the defaults would REJECT the very column custom formats
+      // were supplied to parse
+      val parsed = Dates.parseDateFlexible(col(c), dateFormats)
       Seq(
         count(col(c)).as(s"n_$c"),
         count(parsed).as(s"np_$c"),
@@ -152,6 +156,12 @@ object Identify {
     val out = scala.collection.mutable.Map[String, String]() ++= base
     val taken = scala.collection.mutable.Set[String]() ++=
       (base - "DATE" - "TIME").values
+    // BOTH known bindings are claimed up front: DATE scoring runs
+    // first, and a declared TIME column (e.g. an event_datetime the
+    // caller pinned) scores 5 on the date metrics — without this it
+    // would be re-bound as DATE over the real date column
+    known.get("DATE").foreach(taken += _)
+    known.get("TIME").foreach(taken += _)
     if (!known.contains("DATE")) {
       val scored = dateCands.filterNot(taken.contains).map(c => c -> dateScore(c))
         .filter(_._2 > 0)

@@ -26,7 +26,7 @@ object Standardize {
               nullOut: String = "UNSPECIFIED"): Column = {
     val norm = upper(trim(c))
     val mapped = lut.foldRight(lit(default): Column) { case ((k, v), acc) =>
-      when(norm === k.trim.toUpperCase, v).otherwise(acc)
+      when(norm === k.trim.toUpperCase(java.util.Locale.ROOT), v).otherwise(acc)
     }
     when(c.isNull, lit(nullOut)).otherwise(mapped)
   }
@@ -87,8 +87,13 @@ object Standardize {
     * values ("BLACK, WHITE") is standardized per item and re-joined in
     * order. Cells without the delimiter go through `stdFn` unchanged. */
   def stdMulti(c: Column, delim: String, stdFn: Column => Column): Column =
+    // Pattern.quote: split() takes a regex but delim is a literal — an
+    // unquoted "|" would shred every cell into characters (same fix as
+    // nameParts below and Expand.expandDelim)
     when(c.isNull, stdFn(c))
-      .otherwise(array_join(transform(split(c, delim), x => stdFn(trim(x))), delim.trim + " "))
+      .otherwise(array_join(transform(
+        split(c, java.util.regex.Pattern.quote(delim)), x => stdFn(trim(x))),
+        delim.trim + " "))
 
   /** `standardize_name` (preproc.py:1424): nulls become UNSPECIFIED;
     * cells holding several people's names split on the delimiter into

@@ -80,7 +80,8 @@ object Standardizer {
     require(Seq("merge", "concat", "false").contains(raceEthCombo),
       s"raceEthCombo must be merge|concat|false, got $raceEthCombo")
     val colMap =
-      if (validateContent) Identify.identifyColumnsValidated(df, known)
+      if (validateContent)
+        Identify.identifyColumnsValidated(df, known, dateFormats = dateFormats)
       else Identify.identifyColumns(df, known)
 
     def convert(field: String, src: Column): (Column, String) =
@@ -95,7 +96,19 @@ object Standardizer {
         case "FATAL"     => Luts.fatalStd(src, noId) -> "fatal_lut"
         case "ROLE"      => Luts.roleStd(src, noId) -> "role_lut"
         case "AGE_RANGE" => AgeRange.ageRangeStd(src) -> "age_range_lut"
-        case "AGE"       => src.cast("string") -> "cast_string"
+        case "AGE"       => {
+          // the reference's _standardize_age scalar path (preproc.py
+          // :2131-2146, same rules as AgeRange.standardizeAge): numeric
+          // coercion (junk → null), [0, 120] range-null, half-even
+          // round, age 0 → null — previously the column was only
+          // string-cast, passing junk the reference would have nulled
+          val d = when(trim(src.cast("string")).rlike("^[-+]?\\d+(\\.\\d+)?$"),
+            trim(src.cast("string")).cast("double"))
+          when(d.isNull, lit(null).cast("string"))
+            .when(d < 0 || d > 120, lit(null).cast("string"))
+            .when(bround(d) === 0, lit(null).cast("string"))
+            .otherwise(bround(d).cast("int").cast("string")) -> "age_std"
+        }
         // date-only canonical string ("yyyy-MM-dd") so the DATETIME
         // merge below can re-parse it with the default formats
         case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string") -> "date_parse"
@@ -115,8 +128,24 @@ object Standardizer {
     // final select to fail). Renaming first makes the canonical names
     // always-free and keeps every consumed original under RAW_.
     var out = df
-    colMap.values.toSeq.distinct.foreach(c =>
-      out = out.withColumnRenamed(c, RawPrefix + c))
+    // produced canonical names, for the collision sweep below
+    val producedNames = (stdCols.map(_._1) ++
+      Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER")).map(_.toLowerCase)
+    val consumed = colMap.values.toSeq.distinct
+    // UNCONSUMED passthrough columns whose names case-insensitively
+    // collide with a produced canonical name would be silently
+    // REPLACED by the withColumn below (Spark resolves
+    // case-insensitively) — move them to RAW_ too, data preserved
+    val collisions = df.columns.toSeq
+      .filterNot(consumed.contains)
+      .filter(c => producedNames.contains(c.toLowerCase))
+    val renamedToRaw = consumed ++ collisions
+    renamedToRaw.foreach { c =>
+      require(!df.columns.contains(RawPrefix + c),
+        s"standardize: input already has a column '${RawPrefix + c}' — " +
+          s"renaming '$c' would create a duplicate; rename one first")
+    }
+    renamedToRaw.foreach(c => out = out.withColumnRenamed(c, RawPrefix + c))
     val log = Seq.newBuilder[Transform]
     stdCols.foreach { case (field, srcName) =>
       val (converted, kind) = convert(field, col(RawPrefix + srcName))
@@ -154,9 +183,14 @@ object Standardizer {
     // keepRaw=false drops them, the reference's keep_raw=False).
     val stdNames = stdCols.map(_._1) ++
       Seq("DATETIME", "RE_GROUP_SUBJECT", "RE_GROUP_OFFICER").filter(out.columns.contains)
-    val rawNames = if (keepRaw) out.columns.filter(_.startsWith(RawPrefix)).toSeq else Nil
+    // track the RAW_ names WE created — a pre-existing input column
+    // that happens to be named RAW_something is ordinary user data and
+    // must pass through (keyed off the prefix it was silently dropped
+    // under keepRaw=false)
+    val rawSet = renamedToRaw.map(RawPrefix + _).toSet
+    val rawNames = if (keepRaw) out.columns.filter(rawSet.contains).toSeq else Nil
     val passthru = out.columns.filterNot(c => stdNames.contains(c) ||
-      c.startsWith(RawPrefix)).toSeq
+      rawSet.contains(c)).toSeq
     Result(out.select((stdNames ++ passthru ++ rawNames).map(col): _*), colMap, log.result())
   }
 }

@@ -110,6 +110,45 @@ class StandardizerSpec extends SparkSpec {
     assert(r.raceCol("OFFICER").isEmpty)
   }
 
+  test("collisions, custom date formats, age junk, regex delimiters (r6 review)") {
+    // an UNCONSUMED passthrough column named like a produced canonical
+    // name must be preserved under RAW_, not silently replaced
+    val df = Seq(("2020-01-01", "booked", 1L))
+      .toDF("arrest_date", "Date", "id")
+    val r = Standardizer.standardize(df, known = Map("DATE" -> "arrest_date"),
+      validateContent = false)
+    assert(r.df.columns.contains("RAW_Date"), r.df.columns.mkString(","))
+    assert(r.df.select("RAW_Date").head().getString(0) == "booked")
+    // a pre-existing RAW_-named user column passes through under
+    // keepRaw=false instead of being dropped
+    val withRaw = Seq(("2020-01-01", "note", 1L))
+      .toDF("arrest_date", "RAW_notes", "id")
+    val r2 = Standardizer.standardize(withRaw,
+      known = Map("DATE" -> "arrest_date"), validateContent = false,
+      keepRaw = false)
+    assert(r2.df.columns.contains("RAW_notes"))
+    // caller-supplied dateFormats participate in content validation —
+    // scoring with only the defaults rejected the binding
+    val dotted = Seq.tabulate(20)(i => (f"${i % 28 + 1}%02d.06.2020", i))
+      .toDF("incident_date", "n")
+    val r3 = Standardizer.standardize(dotted,
+      dateFormats = Seq("dd.MM.yyyy"))
+    assert(r3.colMap.get("DATE").contains("incident_date"), r3.colMap.toString)
+    assert(r3.df.select("DATE").head().getString(0) == "2020-06-01")
+    // AGE runs the reference's numeric standardization (junk/range →
+    // null), not a bare string cast
+    val ages = Seq(("999", 1L), ("-5", 2L), ("34.4", 3L), ("junk", 4L), ("25", 5L))
+      .toDF("subject_age", "id")
+    val r4 = Standardizer.standardize(ages, validateContent = false).df
+      .orderBy("id").select("AGE_SUBJECT").collect().map(_.getString(0))
+    assert(r4.toSeq == Seq(null, null, "34", null, "25"), r4.mkString(","))
+    // stdMulti treats the delimiter literally
+    val multi = Seq("B|WHITE").toDF("raw")
+      .select(graft.ops.Standardize.stdMulti(col("raw"), "|", Luts.raceStd(_)).as("y"))
+      .as[String].head()
+    assert(multi == "BLACK| WHITE", multi)
+  }
+
   test("standardize option surface: keep_raw, merge_datetime, combo, no_id") {
     // keep_raw=False drops the RAW_ originals (test_not_keep_raw)
     val noRaw = Standardizer.standardize(messy, keepRaw = false).df
