@@ -41,21 +41,34 @@ object Rank {
   def postings(docs: DataFrame, idCol: String, textCol: String,
                denom: Int = 25): DataFrame = {
     require(denom >= 1, s"postings: denom must be >= 1, got $denom")
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    // repartition = the projection barrier Curation.rawWordNgrams
+    // documents (CollapseProject would inline the split into the
+    // per-element gram lambda — O(len²) per row) AND the spread of the
+    // gram work off a single parquet split; grams come from the ONE
+    // shared wordNgrams helper, not an inline re-implementation.
     val terms = docs
       .select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), " ").as("w"))
+      .repartition(parts)
       .filter(size(col("w")) >= 2)
-      .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(0, size(w) - 2), " +
-          "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))) AS term")
+      .select(col("doc_id"),
+        explode(graft.text.Curation.wordNgrams(col("w"), 2)).as("term"))
       .filter(col("term").rlike("^\\S+ \\S+$"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    terms.groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
+    // TWO-PHASE: df alone first, cut the hot head, then build posting
+    // lists ONLY for the surviving long-tail terms — the single-phase
+    // form materialized a corpus-sized collect_list buffer for every
+    // hot term ('of the' ≈ every doc) and then threw the row away at
+    // the filter, exactly the aggregate row the docstring forbids.
+    val tail = terms.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") * denom <= col("__n"))
       .drop("__n")
+    terms.join(tail, "term")
+      .groupBy("term", "df")
+      .agg(array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
+      .select("term", "df", "docs")
   }
 
   /** Tokenizer-style vocabulary table: terms appearing in at least
@@ -89,6 +102,9 @@ object Rank {
     * [[graft.text.Curation.lineDedup]]. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                minDf: Long): DataFrame = {
+    require(!Seq("pos", "term", "term_id", "n_tokens", "n_oov", "ids_csv")
+        .contains(idCol.toLowerCase),
+      s"tokenize: idCol '$idCol' collides with the operator's working/output columns")
     val vocab = buildVocab(docs, idCol, textCol, minDf).select("term", "term_id")
     val toks = docs.select(col(idCol),
       posexplode(split(lower(coalesce(col(textCol), lit(""))), " "))
@@ -138,6 +154,7 @@ object Rank {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            limit: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: query terms must be non-empty")
+    require(limit >= 1, s"bm25: limit must be >= 1, got $limit")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tf = termFreqs(docs, idCol, textCol)
     // coalesce NULL text to '' BEFORE split: size(split(null)) is -1

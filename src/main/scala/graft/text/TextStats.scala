@@ -37,24 +37,33 @@ object TextStats {
     pick
   }
 
-  /** Whitespace token count. */
-  def wsTokens(text: Column): Column = size(split(text, " ")).cast("long")
+  /** Whitespace token count. NULL text counts like '' (one empty
+    * token) — under legacy sizeOfNull a raw split(null) would return
+    * -1 and silently pollute downstream sums (the bm25 fix class). */
+  def wsTokens(text: Column): Column =
+    size(split(coalesce(text, lit("")), " ")).cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric glyphs — a cheap proxy for subword tokenizers. */
   val bpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def bpeTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeLikePattern), lit(0))).cast("long")
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit(bpeLikePattern), lit(0))).cast("long")
 
   /** Length / punctuation / stopword-ratio quality score in [0,1]:
     *   0.4 * min(1, words/50) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
     * (rounded to 4). High = prose-like. */
   def qualityScore(text: Column): Column = {
-    val nWords = size(split(text, " ")).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
-    val stops = stopwordHits(text, stopwords.flatMap(_._2).distinct).cast("double")
+    // NOTE deliberate ASCII-centric simplification: the punct class
+    // counts every non-ASCII letter as punctuation, so accent-dense
+    // es/de/fr prose scores lower than equivalent English — a real
+    // multilingual pipeline should widen the class to \p{L}\p{N}.
+    val t = coalesce(text, lit(""))
+    val nWords = size(split(t, " ")).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stops = stopwordHits(t, stopwords.flatMap(_._2).distinct).cast("double")
     val lenScore = least(lit(1.0), nWords / 50.0)
-    val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
+    val punctRatio = punct / greatest(length(t).cast("double"), lit(1.0))
     val stopRatio = stops / greatest(nWords, lit(1.0))
     graft.functions.Det.round4(
       lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio)
@@ -68,6 +77,7 @@ object TextStats {
     * attribute (see [[graft.text.Curation.wordNgrams]] for the
     * CollapseProject caveat). Pure per-row expressions. */
   def repetitionRatio(words: Column, n: Int): Column = {
+    require(n >= 1, s"repetitionRatio: n must be >= 1, got $n")
     val grams = graft.text.Curation.rawWordNgrams(words, n)
     when(size(words) < n, lit(0.0)).otherwise(
       graft.functions.Det.round4(lit(1.0) - size(array_distinct(grams)).cast("double") /
