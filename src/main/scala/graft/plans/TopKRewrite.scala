@@ -180,10 +180,19 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxK: Long =
     conf.getConfString("spark.graft.topk.rewrite.maxK", "16384").toLong
 
-  /** rn attr possibly wrapped in an (implicit widening) cast. */
+  /** rn attr possibly wrapped in a WIDENING cast. Narrowing casts
+    * (tinyint/smallint) must NOT unwrap: under non-ANSI they WRAP, so
+    * CAST(rn AS TINYINT) <= 10 also passes rn = 257..266 — inferring
+    * k = 10 would make the heap drop rows the original filter keeps
+    * (and the re-applied filter cannot resurrect rows never kept). */
   private def isRn(e: Expression, rn: Attribute): Boolean = e match {
     case a: AttributeReference => a.exprId == rn.exprId
-    case c: Cast => isRn(c.child, rn)
+    case c: Cast => (c.dataType match {
+      case LongType | DoubleType => true
+      case d: DecimalType => d.precision >= 10 // holds any int rn
+      case IntegerType => true // rn IS int; identity cast
+      case _ => false
+    }) && isRn(c.child, rn)
     case _ => false
   }
 
@@ -243,8 +252,12 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           wgl.child
         case c => c
       }
+      // hard cap: TopKRows requires k <= 2^20 — a raised maxK conf must
+      // make the rule SKIP (keeping the valid window plan), not throw
+      // inside the optimizer; the toInt below is safe under this bound
+      val kCap = math.min(maxK, 1L << 20)
       val eligible =
-        ks.nonEmpty && ks.min >= 1 && ks.min <= maxK &&
+        ks.nonEmpty && ks.min >= 1 && ks.min <= kCap &&
         w.orderSpec.nonEmpty && w.orderSpec.size <= 64 &&
         w.orderSpec.forall(so => so.child.deterministic &&
           RowOrdering.isOrderable(so.child.dataType)) &&

@@ -259,8 +259,12 @@ object Xlsx {
               .filter(_.nonEmpty).map(i => shared(i.toInt)).orNull
           case "inlineStr" =>
             textRuns(c) match { case "" => null; case s => s }
-          case _ => // numeric / str / bool: literal lexical value
-            childElems(c, "v").headOption.map(v => decodeX(v.getTextContent)).orNull
+          case _ => // numeric / str / bool: literal lexical value; an
+            // empty <v></v> is null — the StAX header() treats it that
+            // way, and a "" here would desynchronize the executor's
+            // header-row detection from the driver's schema inference
+            childElems(c, "v").headOption.map(_.getTextContent)
+              .filter(_.nonEmpty).map(decodeX).orNull
         }
         if (idx >= 0) out(idx) = v
       }

@@ -57,8 +57,16 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // every cell surfaces as a string (pandas-style dtype inference is
+    // the caller's cast) — a user schema with non-string fields would
+    // CCE at runtime when the reader emits UTF8String into an int slot
+    val bad = schema.fields.filter(_.dataType != org.apache.spark.sql.types.StringType)
+    require(bad.isEmpty,
+      s"graft-xlsx: all columns read as STRING (cast afterwards); " +
+        s"non-string fields in the user schema: ${bad.map(_.name).mkString(", ")}")
     new XlsxTable(schema, new CaseInsensitiveStringMap(properties))
+  }
 }
 
 object XlsxV2 {
@@ -170,9 +178,16 @@ case class XlsxReaderFactory(required: Array[String], pushed: Array[Filter])
 class XlsxPartitionReader(file: String, sheet: String, required: Array[String],
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   private val (header, rows) = Xlsx.headerAndRows(file, sheet)
-  private val idx: Array[Int] = required.map(n => header.indexOf(n)) // -1 → null
+  // CASE-INSENSITIVE name lookup, like Spark's default resolution and
+  // the V1 unionByName path: a file whose header says 'RACE' while the
+  // inferred schema says 'Race' must still bind (case-sensitive
+  // indexOf silently nulled the column AND let a pushed IsNotNull drop
+  // every row of the case-variant file)
+  private def colIndex(n: String): Int =
+    header.indexWhere(_.equalsIgnoreCase(n))
+  private val idx: Array[Int] = required.map(colIndex) // -1 → null
   private val filterIdx: Map[String, Int] =
-    pushed.flatMap(_.references).distinct.map(n => n -> header.indexOf(n)).toMap
+    pushed.flatMap(_.references).distinct.map(n => n -> colIndex(n)).toMap
   private val it = rows.iterator
   private var row: Array[String] = _
 
