@@ -57,6 +57,11 @@ object Profile {
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== rep $r: $dt%.3f s, $n rows")
+      // Same post-query hygiene as Bench/Verify: eager+pinned Mat
+      // checkpoints (dsir, pagerank, components…) otherwise accumulate
+      // one block set PER REP and the later reps measure GC thrash,
+      // not the query.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (r == reps - 1) {
         println(f"${"stage"}%8s ${"ms"}%8s ${"tasks"}%6s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s  name")
         stages.sortBy(_.id).foreach { s =>

@@ -739,6 +739,14 @@ object SparkEntry {
       Curation.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
           isTarget = col("lang") === "fr")
         .orderBy("doc_id")),
+    // DSIR's production form: features hashed into a fixed bucket
+    // count (the paper's own trick), so the model dimension is bounded
+    // no matter the corpus vocabulary. Oracle mirrors the md5-derived
+    // bucket, pinning the collided model bit-for-bit.
+    "q_dsir_hashed" -> ((s, dir) =>
+      Curation.dsirWeightsHashed(T(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "fr", buckets = 4096)
+        .orderBy("doc_id")),
     "q_distinct_kmv" -> ((s, dir) =>
       Curation.kmvDistinct(T(s, dir, "orders"), col("o_custkey"), k = 256)),
     // Incremental dedup demo: the delta is exact copies of the %7 docs
@@ -1914,6 +1922,35 @@ object SparkEntry {
         |  CAST(round(sum(CAST(ln(((m.ct + 1) * (t.ns + t.v)) /
         |    ((m.cs + 1) * (t.nt + t.v))) AS DECIMAL(30,15))), 6) AS DOUBLE) AS logw
         |FROM f JOIN m USING (feat), t
+        |GROUP BY doc_id, tgt ORDER BY doc_id""".stripMargin,
+    // Same models, features hashed to buckets: bucket = 60-bit md5
+    // prefix mod 4096 — both engines compute the identical bucket, so
+    // collisions merge identically. The per-doc (bucket, cnt) CTE
+    // mirrors graft's pre-aggregated scoring (Σ cnt·lr as exact
+    // decimals ≡ the per-occurrence Σ lr).
+    "q_dsir_hashed" ->
+      """WITH d AS (SELECT doc_id, lang = 'fr' AS tgt,
+        |    string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(w) AS feat FROM d),
+        |bi AS (SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS feat FROM d),
+        |f AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(feat), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |pd AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM f GROUP BY 1, 2, 3),
+        |m AS (SELECT b,
+        |    sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct,
+        |    sum(CASE WHEN tgt THEN 0 ELSE cnt END) AS cs
+        |  FROM pd GROUP BY 1),
+        |t AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns,
+        |    CAST(count(*) AS DOUBLE) AS v FROM m)
+        |SELECT doc_id, tgt AS is_target, CAST(sum(cnt) AS BIGINT) AS n_feats,
+        |  CAST(round(sum(CAST(cnt AS DECIMAL(12,0)) *
+        |    CAST(ln(((m.ct + 1) * (t.ns + t.v)) /
+        |      ((m.cs + 1) * (t.nt + t.v))) AS DECIMAL(20,15))), 6) AS DOUBLE) AS logw
+        |FROM pd JOIN m USING (b), t
         |GROUP BY doc_id, tgt ORDER BY doc_id""".stripMargin,
     "q_distinct_kmv" ->
       """WITH h AS (SELECT DISTINCT

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, DoubleType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,6 +142,403 @@ object GramHashImpl {
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
+}
+
+object WordNgramHashImpl {
+  /** 64-bit hashes of every word UNIGRAM and adjacent-pair BIGRAM of
+    * the space-split text, in one pass over the UTF-8 bytes — the
+    * hashed-feature form DSIR consumes (Curation.dsirWeights). Split
+    * semantics mirror `split(text, " ")` / DuckDB `string_split`:
+    * every single 0x20 byte delimits (safe on UTF-8 — multi-byte
+    * sequences never contain 0x20), empty tokens are kept, and ""
+    * yields the single empty word. Output length is exactly
+    * 2·n_words − 1, so a per-doc feature COUNT over the explode is
+    * value-identical to the string-feature form's.
+    *
+    * Hash family: FNV-1a over word bytes for unigrams; bigrams combine
+    * the two word hashes with the boost-style 64-bit mix (golden-gamma
+    * constant) rather than re-hashing the concatenated bytes — word
+    * hashes are computed once per token. Like GramHashImpl, the family
+    * differs from xxhash64 deliberately: downstream consumers group
+    * and join on IDENTITY, so any well-distributed 64-bit hash is
+    * value-equal to string keys modulo ~1e-13 collisions (the repo's
+    * standard md5-fingerprint discipline). */
+  def hashes(text: UTF8String): Array[Long] = {
+    val b = text.getBytes
+    val n = b.length
+    // count words = spaces + 1
+    var words = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) words += 1; i += 1 }
+    val out = new Array[Long](2 * words - 1)
+    var prev = 0L
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        var h = Fnv.Offset
+        var j = start
+        while (j < i) { h = (h ^ (b(j) & 0xff)) * Fnv.Prime; j += 1 }
+        out(w) = h
+        if (w > 0) {
+          // bigram of words (w-1, w): boost hash_combine, 64-bit gamma
+          var c = prev
+          c ^= h + 0x9e3779b97f4a7c15L + (c << 6) + (c >>> 2)
+          out(words + w - 1) = c
+        }
+        prev = h
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def compute(text: UTF8String): ArrayData =
+    new GenericArrayData(hashes(text))
+
+  /** Per-document feature-count map: the same 2n−1 hashes collapsed to
+    * (feature → occurrence count). The compressed form of
+    * `explode(word_ngram_hashes(t))` — per-doc row count drops from
+    * 2n−1 to |distinct features| (~1.5× fewer on this corpus, more on
+    * natural prose), and any per-occurrence DECIMAL cost downstream
+    * multiplies by the count exactly instead of being paid per
+    * occurrence. Map iteration order is unspecified; consumers
+    * aggregate or fold, so order never reaches a result. */
+  def counts(text: UTF8String): MapData = {
+    val hs = hashes(text)
+    val m = new java.util.HashMap[Long, Long](hs.length * 2)
+    var i = 0
+    while (i < hs.length) {
+      m.merge(hs(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(w) = e.getKey.longValue()
+      vals(w) = e.getValue.longValue()
+      w += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+}
+
+/** word_ngram_hashes(text) → array<bigint>: unigram then bigram word
+  * feature hashes (2n−1 entries). NULL text → NULL (callers coalesce). */
+case class WordNgramHashes(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramHashImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramHashImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
+object WordNgramMd5Impl {
+  /** Per-document (md5-bucket → count) map for the oracle-pinned
+    * hashed-DSIR form: bucket = (first 15 hex chars of md5(feature))
+    * as a 60-bit integer, mod `buckets` — BIT-IDENTICAL to the SQL
+    * `conv(substring(md5(feat), 1, 15), 16, 10) % B` / DuckDB
+    * `('0x' || substr(md5(feat), 1, 15))::BIGINT % B`, but with none
+    * of the per-occurrence machinery that made the declarative form
+    * 3× slower at sf1: no hex STRING is rendered (the first 15 hex
+    * chars are just the digest's first 60 bits, big-endian), no
+    * bigram string is concatenated (a "w1 w2" feature is a CONTIGUOUS
+    * slice of the original text bytes, because the split delimiter is
+    * the single space the bigram re-inserts), and the digest runs
+    * over byte slices with one reused MessageDigest per thread. */
+  private val Md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def bucketOf(md: java.security.MessageDigest,
+      bytes: Array[Byte], off: Int, len: Int, b: Long): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (be >>> 4) % b // first 60 bits: nonnegative, so % matches SQL
+  }
+
+  def buckets(text: UTF8String, b: Long): MapData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val md = Md.get()
+    val m = new java.util.HashMap[Long, Long]()
+    var prevStart = -1 // start of previous word, for the bigram slice
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        m.merge(bucketOf(md, bytes, start, i - start, b), 1L, (x, y) => x + y)
+        if (prevStart >= 0)
+          m.merge(bucketOf(md, bytes, prevStart, i - prevStart, b), 1L, (x, y) => x + y)
+        prevStart = start
+        start = i + 1
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(w) = e.getKey.longValue()
+      vals(w) = e.getValue.longValue()
+      w += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+}
+
+/** word_ngram_md5_buckets(text, buckets) → map<bigint,bigint>: distinct
+  * md5-derived feature buckets to occurrence counts (Σ values =
+  * 2·n_words − 1). NULL text → NULL (callers coalesce). */
+case class WordNgramMd5Buckets(child: Expression, buckets: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(buckets > 0, s"word_ngram_md5_buckets: buckets must be > 0, got $buckets")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def prettyName: String = "word_ngram_md5_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramMd5Impl.buckets(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramMd5Impl.buckets($c, ${buckets}L)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramMd5Buckets =
+    copy(child = newChild)
+}
+
+/** word_ngram_counts(text) → map<bigint,bigint>: distinct word
+  * unigram+bigram feature hashes to occurrence counts (Σ values =
+  * 2·n_words − 1). NULL text → NULL (callers coalesce). */
+case class WordNgramCounts(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def prettyName: String = "word_ngram_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramHashImpl.counts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramHashImpl.counts($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramCounts =
+    copy(child = newChild)
+}
+
+/** dsir_model_agg(counts_map, is_target) → map<bigint, array<bigint>>:
+  * global aggregate folding per-document (feature → count) maps into
+  * the DSIR model — feature → [target_count, source_count] — without
+  * ever exploding occurrences into rows: each partition's partial
+  * state is a vocabulary-bounded hashmap (bucket-bounded in the hashed
+  * form), updates are pure hashmap arithmetic, and the merge shuffles
+  * one small map per partition. The row-machinery alternative
+  * (explode + groupBy) was profiled 2× this aggregate's cost at sf1
+  * purely on Generate overhead. */
+case class DsirModelAgg(fc: Expression, tgt: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+
+  override def children: Seq[Expression] = fc :: tgt :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DsirModelAgg =
+    copy(fc = newChildren(0), tgt = newChildren(1))
+  override def dataType: DataType =
+    MapType(LongType, ArrayType(LongType, containsNull = false), valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "dsir_model_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): DsirModelAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DsirModelAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
+    new java.util.HashMap[Long, Array[Long]]()
+
+  override def update(buf: java.util.HashMap[Long, Array[Long]],
+      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+    val m = fc.eval(input)
+    val t = tgt.eval(input)
+    // NULL count-map or NULL flag: contract matches the caller's
+    // coalesce discipline (callers pass coalesced columns; a null here
+    // means "no features"/"source")
+    if (m != null) {
+      val md = m.asInstanceOf[MapData]
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      val slot = if (t != null && t.asInstanceOf[Boolean]) 0 else 1
+      var i = 0
+      val n = md.numElements()
+      while (i < n) {
+        val cell = buf.computeIfAbsent(ks.getLong(i), _ => new Array[Long](2))
+        cell(slot) += vs.getLong(i)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[Long, Array[Long]],
+      b2: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cell = b1.computeIfAbsent(e.getKey, _ => new Array[Long](2))
+      cell(0) += e.getValue()(0)
+      cell(1) += e.getValue()(1)
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any = {
+    val keys = new Array[Any](buf.size)
+    val vals = new Array[Any](buf.size)
+    val it = buf.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(w) = e.getKey.longValue()
+      vals(w) = new GenericArrayData(e.getValue)
+      w += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 24 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      bb.putLong(e.getValue()(0))
+      bb.putLong(e.getValue()(1))
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var n = bb.getInt
+    while (n > 0) {
+      val k = bb.getLong
+      buf.put(k, Array(bb.getLong, bb.getLong))
+      n -= 1
+    }
+    buf
+  }
+}
+
+/** dsir_score(counts_map, lr_map) → struct<n_feats:bigint, s:decimal(38,15)>:
+  * fold a document's (feature → count) map against a FOLDABLE
+  * (feature → log-ratio) model map in one pass — the no-explode,
+  * no-join form of `explode(counts) ⋈ broadcast(lr) → groupBy(doc)`.
+  * The model map is a literal (the trained model is bounded:
+  * vocabulary-sized, or bucket-bounded in the hashed form), so the
+  * lookup table is built ONCE per executor, not per row. Log-ratios
+  * travel as STRINGS and are parsed to exact BigDecimals — a decimal
+  * literal map would ride Spark's default (38,18) encoding and invite
+  * silent rescaling; strings make exactness unconditional. The
+  * `setScale(15, UNNECESSARY)` guard below fails loud if a model value
+  * ever carries more than 15 decimals (the lr table is cast to
+  * decimal(*,15) upstream, so this is an invariant check, not a
+  * rounding site). Missing feature → error: the model was trained on
+  * the same corpus, so every document feature must be present. */
+case class DsirScore(counts: Expression, lrMap: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = counts
+  override def right: Expression = lrMap
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("s", DecimalType(38, 15), nullable = false)))
+  override def prettyName: String = "dsir_score"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = counts.dataType.isInstanceOf[MapType] &&
+      lrMap.dataType.isInstanceOf[MapType] && lrMap.foldable
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "dsir_score expects (map<bigint,bigint> column, foldable map<bigint,string> literal)")
+  }
+  // Log-ratios live as UNSCALED scale-15 longs (an lr would overflow
+  // a long only past |lr| ≈ 9200 — ln of a probability ratio cannot
+  // get near that, and the build fails loud if it ever did), so the
+  // per-feature multiply-accumulate is exact integer arithmetic. The
+  // BigDecimal slow path exists only for a document whose SUM
+  // overflows 64 bits (≳ 10^5 features of extreme lr) — exactness is
+  // unconditional either way.
+  @transient private lazy val lut: java.util.HashMap[Long, java.lang.Long] = {
+    val md = lrMap.eval(InternalRow.empty).asInstanceOf[MapData]
+    val ks = md.keyArray().toLongArray()
+    val vs = md.valueArray()
+    val m = new java.util.HashMap[Long, java.lang.Long](ks.length * 2)
+    var i = 0
+    while (i < ks.length) {
+      m.put(ks(i),
+        new java.math.BigDecimal(vs.getUTF8String(i).toString)
+          .setScale(15, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().longValueExact())
+      i += 1
+    }
+    m
+  }
+  override def nullSafeEval(c: Any, ignoredLr: Any): Any = {
+    val md = c.asInstanceOf[MapData]
+    val ks = md.keyArray().toLongArray()
+    val vs = md.valueArray().toLongArray()
+    var n = 0L
+    var i = 0
+    try {
+      var s = 0L
+      while (i < ks.length) {
+        val lr = lut.get(ks(i))
+        if (lr == null) throw new IllegalStateException(
+          s"dsir_score: feature ${ks(i)} absent from the model map — " +
+            "the model must be trained on the same corpus being scored")
+        n += vs(i)
+        s = Math.addExact(s, Math.multiplyExact(lr.longValue(), vs(i)))
+        i += 1
+      }
+      InternalRow(n, org.apache.spark.sql.types.Decimal(s, 38, 15))
+    } catch {
+      case _: ArithmeticException =>
+        // rare exact-overflow fallback: redo the whole document in
+        // arbitrary precision
+        n = 0L
+        var s = java.math.BigInteger.ZERO
+        i = 0
+        while (i < ks.length) {
+          val lr = lut.get(ks(i))
+          if (lr == null) throw new IllegalStateException(
+            s"dsir_score: feature ${ks(i)} absent from the model map")
+          n += vs(i)
+          s = s.add(java.math.BigInteger.valueOf(lr.longValue())
+            .multiply(java.math.BigInteger.valueOf(vs(i))))
+          i += 1
+        }
+        InternalRow(n, org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s, 15), 38, 15))
+    }
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DsirScore = copy(counts = newLeft, lrMap = newRight)
 }
 
 object BigramCountsImpl {
@@ -877,6 +1274,17 @@ object GraftFunctions {
       GramHashes(es.head, intLit("gram_hashes", es, 1)) }),
     ("bigram_counts", classOf[BigramCounts], (es: Seq[Expression]) => {
       nargs("bigram_counts", 1, es); BigramCounts(es.head) }),
+    ("word_ngram_hashes", classOf[WordNgramHashes], (es: Seq[Expression]) => {
+      nargs("word_ngram_hashes", 1, es); WordNgramHashes(es.head) }),
+    ("word_ngram_counts", classOf[WordNgramCounts], (es: Seq[Expression]) => {
+      nargs("word_ngram_counts", 1, es); WordNgramCounts(es.head) }),
+    ("word_ngram_md5_buckets", classOf[WordNgramMd5Buckets], (es: Seq[Expression]) => {
+      nargs("word_ngram_md5_buckets", 2, es)
+      WordNgramMd5Buckets(es.head, intLit("word_ngram_md5_buckets", es, 1).toLong) }),
+    ("dsir_score", classOf[DsirScore], (es: Seq[Expression]) => {
+      nargs("dsir_score", 2, es); DsirScore(es(0), es(1)) }),
+    ("dsir_model_agg", classOf[DsirModelAgg], (es: Seq[Expression]) => {
+      nargs("dsir_model_agg", 2, es); DsirModelAgg(es(0), es(1)) }),
     ("lsh_sig", classOf[LshSignature], (es: Seq[Expression]) => {
       nargs("lsh_sig", 2, es)
       LshSignature(es.head, intLit("lsh_sig", es, 1)) }),
@@ -926,6 +1334,14 @@ object GraftFunctions {
   def gramHashes(c: Column, k: Int): Column =
     call_function("gram_hashes", c, org.apache.spark.sql.functions.lit(k))
   def bigramCounts(c: Column): Column = call_function("bigram_counts", c)
+  def wordNgramHashes(c: Column): Column = call_function("word_ngram_hashes", c)
+  def wordNgramCounts(c: Column): Column = call_function("word_ngram_counts", c)
+  def wordNgramMd5Buckets(c: Column, buckets: Int): Column =
+    call_function("word_ngram_md5_buckets", c, org.apache.spark.sql.functions.lit(buckets))
+  def dsirScore(counts: Column, lrMap: Column): Column =
+    call_function("dsir_score", counts, lrMap)
+  def dsirModelAgg(counts: Column, isTarget: Column): Column =
+    call_function("dsir_model_agg", counts, isTarget)
   def lshSig(c: Column, numPlanes: Int): Column =
     call_function("lsh_sig", c, org.apache.spark.sql.functions.lit(numPlanes))
   def topKLargest(c: Column, k: Int): Column =

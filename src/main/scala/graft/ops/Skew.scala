@@ -22,8 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  private def contentSalt(df: DataFrame, salts: Int) =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+  /** Content hash over the row's HASHABLE columns. MapType columns
+    * are excluded: hashing maps is disallowed by default since Spark
+    * 3.0 (map iteration order is unspecified, so the hash would be
+    * nondeterministic — the exact retry-stability property the
+    * content salt exists for). Casting maps to string would inherit
+    * the same order instability, so exclusion is the correct guard;
+    * a frame whose ONLY columns are maps falls back to a constant
+    * salt (no spread — same documented tradeoff as all-duplicate
+    * rows, and still retry-stable). */
+  private def contentSalt(df: DataFrame, salts: Int) = {
+    import org.apache.spark.sql.types.MapType
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: MapType => false
+      case org.apache.spark.sql.types.ArrayType(e, _) => hashable(e)
+      case org.apache.spark.sql.types.StructType(fs) => fs.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    if (cols.isEmpty) lit(0) else pmod(xxhash64(cols: _*), lit(salts))
+  }
 
   /** Salted sum/count rollup of `valueCol` per `key`. Output columns:
     * key, n (count), total (sum). Value-equivalent to

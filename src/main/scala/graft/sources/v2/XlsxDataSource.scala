@@ -178,13 +178,20 @@ case class XlsxReaderFactory(required: Array[String], pushed: Array[Filter])
 class XlsxPartitionReader(file: String, sheet: String, required: Array[String],
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
   private val (header, rows) = Xlsx.headerAndRows(file, sheet)
-  // CASE-INSENSITIVE name lookup, like Spark's default resolution and
-  // the V1 unionByName path: a file whose header says 'RACE' while the
-  // inferred schema says 'Race' must still bind (case-sensitive
-  // indexOf silently nulled the column AND let a pushed IsNotNull drop
-  // every row of the case-variant file)
-  private def colIndex(n: String): Int =
-    header.indexWhere(_.equalsIgnoreCase(n))
+  // Name lookup: EXACT match first, case-insensitive as fallback.
+  // The fallback matches Spark's default resolution and the V1
+  // unionByName path: a file whose header says 'RACE' while the
+  // inferred schema says 'Race' must still bind (case-sensitive-only
+  // indexOf silently nulled the column AND let a pushed IsNotNull
+  // drop every row of the case-variant file). Exact-first matters
+  // when one sheet legitimately holds BOTH 'RACE' and 'Race': schema
+  // inference dedups headers case-sensitively and emits two fields,
+  // and a bare equalsIgnoreCase would bind both fields to the FIRST
+  // header index, silently reading the first column's data twice.
+  private def colIndex(n: String): Int = header.indexOf(n) match {
+    case -1 => header.indexWhere(_.equalsIgnoreCase(n))
+    case i  => i
+  }
   private val idx: Array[Int] = required.map(colIndex) // -1 → null
   private val filterIdx: Map[String, Int] =
     pushed.flatMap(_.references).distinct.map(n => n -> colIndex(n)).toMap

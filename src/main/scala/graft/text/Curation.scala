@@ -484,14 +484,33 @@ object Curation {
     * discipline (see [[graft.text.TextStats.lmScore]]), so accumulation
     * is partition-order-independent and the oracle matches bit-for-bit.
     *
-    * Scale shape: one exploded-feature count shuffle trains both models
-    * in a single pass (map-side combine); the vocabulary-sized model is
-    * materialized once and the per-feature log-ratio table is
-    * HINT-broadcast into the Zipfian scoring join (see the inline
-    * comments for why the planner cannot pick this side itself). At
-    * 100 TB the features would be hashed into a fixed bucket count
-    * (DSIR's actual trick, making the model a bounded dim); they stay
-    * strings here so the oracle joins on the same key.
+    * Scale shape (reworked after the r6 profile): features are keyed
+    * by xxhash64 THROUGHOUT — unigrams as xxhash64(word), bigrams as
+    * xxhash64(word_i, word_i+1), which hashes the PAIR directly and
+    * never materializes the "w1 w2" string the r6 form concat_ws'd
+    * once per occurrence per pass (the profiled per-row cost driver).
+    * The exploded column, the model's group-by key, and the broadcast
+    * probe key are all 8-byte longs. Feature IDENTITY rides on the
+    * hash under the repo's standard collision-acceptance discipline
+    * (same as the md5-fingerprint dedup operators): a 64-bit collision
+    * merges two features' counts — P ≈ n²/2^65, i.e. 2.7·10^-8 at a
+    * million-feature vocabulary (at billion-feature vocabularies,
+    * where P reaches ~3%, use [[dsirWeightsHashed]], whose collisions
+    * are the algorithm's own contract); the string-keyed oracle pins
+    * the values exactly at test scales. Two corpus passes remain (training +
+    * scoring) — measured CHEAPER than materializing the per-doc count
+    * table, which collapses only 1.53× on this corpus (4.1M distinct
+    * (doc, feat) pairs of 6.3M occurrences at sf1) while costing a
+    * corpus-scale shuffle + checkpoint. A map-side partial aggregate
+    * reduces the training shuffle to distinct-features-per-partition;
+    * the scoring pass probes a broadcast and partially aggregates per
+    * doc before its tiny doc-keyed shuffle.
+    *
+    * The per-feature log-ratio table is HINT-broadcast into the
+    * Zipfian scoring join (see the inline comments for why the planner
+    * cannot pick this side itself). In DSIR's own formulation features
+    * are hashed into a FIXED bucket count precisely so the model stays
+    * a bounded dim — [[dsirWeightsHashed]] is that form, oracle-pinned.
     *
     * EAGER + PINNED (by design): constructing this DataFrame runs the
     * model-training job immediately (graft.ops.Mat localCheckpoints the
@@ -507,67 +526,112 @@ object Curation {
     *
     * Returns (idCol, is_target, n_feats, logw). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column): DataFrame = {
-    val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val words = docs
-      // a NULL target flag means "not in the target set": it must land
-      // in the SOURCE model (a three-valued !NULL would count it in
-      // neither model, silently shifting every weight)
+                  isTarget: Column): DataFrame =
+    dsirCore(docs, idCol, textCol, isTarget,
+      graft.functions.GraftFunctions.wordNgramCounts)
+
+  /** The shared DSIR engine: one tokenize pass through `featCounts`
+    * (a kernel column mapping text → per-doc feature→count map),
+    * model training as a typed-imperative map-fold, driver-resident
+    * bounded model, and a no-explode no-join scoring fold. */
+  private def dsirCore(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column,
+                       featCounts: Column => Column): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val parts = spark.sparkContext.defaultParallelism
+    // ONE tokenize pass: the kernel (codegen'd; one tight loop over
+    // the UTF-8 bytes) folds each document straight to its
+    // (feature → count) map — 2n−1 occurrences never exist as rows.
+    // Materialized ONCE (this per-doc hashed-count table is exactly
+    // the artifact DSIR's reference implementation persists) and read
+    // twice: model training and scoring. Raw text is repartitioned
+    // BEFORE tokenization — the parquet is a handful of input splits
+    // at test scale, and the shuffle carries the raw string once.
+    //
+    // A NULL target flag means "not in the target set": it must land
+    // in the SOURCE model (a three-valued !NULL would count it in
+    // neither model, silently shifting every weight).
+    val counts = graft.ops.Mat(docs
       .select(col(idCol), coalesce(isTarget.cast("boolean"), lit(false)).as("__tgt"),
-        split(coalesce(col(textCol), lit("")), " ").as("__w"))
+        coalesce(col(textCol), lit("")).as("__t"))
       .repartition(parts)
-    val bigramIdx = when(size(col("__w")) >= 2, sequence(lit(1), size(col("__w")) - 1))
-      .otherwise(array().cast("array<int>"))
-    val feats = words.select(col(idCol), col("__tgt"),
-      explode(concat(col("__w"),
-        transform(bigramIdx, i =>
-          concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))))
-        .as("feat"))
-    // Materialize the trained model ONCE (it is vocabulary-sized). The
-    // un-materialized form was computed three times — for the totals,
-    // for the model side of the scoring join, and (because column
-    // pruning makes the three feats exchanges non-identical subplans)
-    // ReuseExchange could not share the exploded-feature pass — and the
-    // static planner, seeing only pre-explode scan estimates, picked
-    // the CORPUS side (millions of exploded rows) as the broadcast
-    // build, a single-threaded hash-table build that dominated the
-    // query (measured at sf1). After Mat the totals and the per-feature
-    // log-ratio are derived from the materialized vocabulary, the
-    // log() runs once per FEATURE instead of once per occurrence.
-    val model = graft.ops.Mat(feats.groupBy("feat").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("cs")))
-    val tot = model.agg(
-      sum(col("ct")).cast("double").as("nt"),
-      sum(col("cs")).cast("double").as("ns"),
-      count(lit(1)).cast("double").as("v"))
-    // Per-feature log-likelihood ratio, truncated to decimal(30,15)
-    // exactly as the per-occurrence form did: every occurrence of a
-    // feature contributes the identical decimal, so the document sums
-    // (and the oracle) are bit-for-bit unchanged.
-    val lrTab = model
-      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("__tgt"), featCounts(col("__t")).as("__fc")))
+    // Model training: dsir_model_agg folds the count maps straight
+    // into the feature → [target_count, source_count] model with
+    // hashmap arithmetic — NO occurrence (or even distinct-pair)
+    // explode; each partition ships one vocabulary-bounded partial
+    // map. The explode + groupBy row form was profiled 2× this cost
+    // at sf1 purely on Generate machinery.
+    val modelMap = counts
+      .select(graft.functions.GraftFunctions.dsirModelAgg(col("__fc"), col("__tgt"))
+        .as("m"))
+      .head().getMap[Long, scala.collection.Seq[Long]](0)
+    val modelRows = modelMap.iterator.map { case (f, cc) => (f, cc.head, cc(1)) }.toSeq
+    // Per-feature log-likelihood ratio, truncated to decimal(30,15):
+    // every occurrence of a feature contributes the identical decimal,
+    // so the document sums (and the string-keyed oracle) match
+    // bit-for-bit. The model is driver-resident — it is bounded
+    // (vocabulary-sized; callers with unbounded free-text vocabularies
+    // use dsirWeightsHashed, where it is ≤ the bucket count), the same
+    // memory the r6 broadcast-join build held — but the lr arithmetic
+    // must stay SPARK-evaluated: a hand-rolled driver Math.log +
+    // BigDecimal rounding would have to re-implement Cast's
+    // double→decimal semantics and silently drift if they ever change.
+    // So the 1529-row model round-trips through a local DataFrame and
+    // the engine computes lr exactly as the r6 plan did.
+    import spark.implicits._
+    val nt = modelRows.iterator.map(_._2).sum.toDouble
+    val ns = modelRows.iterator.map(_._3).sum.toDouble
+    val v = modelRows.size.toDouble
+    val lrMap: Map[Long, String] = spark.createDataset(modelRows)
+      .toDF("feat", "ct", "cs")
       .select(col("feat"),
-        log(((col("ct") + 1) * (col("ns") + col("v"))) /
-            ((col("cs") + 1) * (col("nt") + col("v"))))
-          .cast("decimal(30,15)").as("lr"))
-    // Scoring join: BROADCAST the per-feature table. A shuffle join on
-    // `feat` is wrong twice over — the probe side keys are Zipfian (a
-    // stopword's occurrences all land on one reducer), and the planner
-    // cannot be trusted to pick the build side here (the corpus side's
-    // pre-explode estimate looks small, and both a plain join and an
-    // AQE-replanned one were measured building the hash table over the
-    // MILLIONS of exploded occurrences on one thread). The model is
-    // vocabulary-sized; in DSIR's own formulation features are hashed
-    // into a fixed bucket count precisely so the model stays a bounded
-    // dim — when a free-text vocabulary can outgrow a broadcast, switch
-    // the feats to hashed buckets rather than this join to a shuffle.
-    feats.join(broadcast(lrTab), "feat")
-      .select(col(idCol), col("__tgt"), col("lr"))
+        log(((col("ct") + 1) * (lit(ns) + lit(v))) /
+            ((col("cs") + 1) * (lit(nt) + lit(v))))
+          .cast("decimal(30,15)").cast("string").as("lr"))
+      .collect().iterator.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Scoring: fold each document's count map against the model in one
+    // codegen-adjacent kernel pass — no explode, no join, no Zipfian
+    // key anywhere (the r6 broadcast-join form probed the model once
+    // per OCCURRENCE; this touches each doc once). Σ cnt·lr over exact
+    // decimals ≡ the per-occurrence Σ lr, so the oracle matches
+    // bit-for-bit. The trailing groupBy preserves the multi-row-per-id
+    // contract (features of duplicate ids pool into one score) and is
+    // doc-keyed — rows ≤ documents, not occurrences.
+    counts
+      .select(col(idCol), col("__tgt"),
+        graft.functions.GraftFunctions.dsirScore(col("__fc"),
+          typedLit(lrMap)).as("__sc"))
       .groupBy(col(idCol), col("__tgt"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("__s"))
+      .agg(sum(col("__sc.n_feats")).as("n_feats"), sum(col("__sc.s")).as("__s"))
       .select(col(idCol), col("__tgt").as("is_target"), col("n_feats"),
         round(col("__s"), 6).cast("double").as("logw"))
+  }
+
+  /** DSIR with features hashed into a FIXED bucket count — the form
+    * the paper actually runs at scale (Xie et al. 2023 §3.1 hash the
+    * n-grams into 10k buckets): bucket = md5(feat)-derived 60-bit int
+    * mod `buckets`, counts summed per bucket, so the model is a
+    * BOUNDED dim (≤ `buckets` rows) no matter how large the corpus
+    * vocabulary grows — the broadcast in the scoring join can never
+    * outgrow an executor. Collisions merge features by design; both
+    * engines compute the identical md5-based bucket, so the oracle
+    * pins the collided model bit-for-bit.
+    *
+    * Same engine as [[dsirWeights]] (dsirCore), different kernel:
+    * word_ngram_md5_buckets digests CONTIGUOUS byte slices of the
+    * text (a "w1 w2" bigram is literally the original bytes between
+    * the two word boundaries) and takes the digest's first 60 bits
+    * directly — no hex string, no conv(), no concat — so the
+    * oracle-pinned md5 bucketing costs barely more than the FNV form
+    * (the declarative md5→substring→conv pipeline was 3× slower at
+    * sf1 on string machinery alone). */
+  def dsirWeightsHashed(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    dsirCore(docs, idCol, textCol, isTarget,
+      t => graft.functions.GraftFunctions.wordNgramMd5Buckets(t, buckets))
   }
 
   // ---- KMV distinct-count sketch ---------------------------------------

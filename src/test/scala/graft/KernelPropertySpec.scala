@@ -222,4 +222,66 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == values.sorted.reverse.take(5), s"values=$values cut=$cut")
     }
   }
+
+  test("WordNgramHashImpl: 2n-1 features, count-map equals hash multiset, split mirrors string_split") {
+    import graft.functions.WordNgramHashImpl
+    def words(t: String): Array[String] = {
+      // string_split semantics: every single space delimits, empties kept
+      var out = List.empty[String]; var start = 0
+      (0 to t.length).foreach { i =>
+        if (i == t.length || t.charAt(i) == ' ') { out = t.substring(start, i) :: out; start = i + 1 }
+      }
+      out.reverse.toArray
+    }
+    val texts = Seq("", "a", "a b", "a  b", " a b ", "alpha beta alpha beta") ++
+      (1 to 50).map(_ => randomText())
+    texts.foreach { t =>
+      val hs = WordNgramHashImpl.hashes(UTF8String.fromString(t))
+      val w = words(t)
+      assert(hs.length == 2 * w.length - 1, s"t='$t'")
+      // identity property: equal word strings -> equal unigram hashes,
+      // equal adjacent pairs -> equal bigram hashes
+      val uni = hs.take(w.length)
+      w.zipWithIndex.groupBy(_._1).values.foreach { grp =>
+        assert(grp.map(x => uni(x._2)).toSet.size == 1, s"t='$t'")
+      }
+      // count map equals the multiset of hashes
+      val md = WordNgramHashImpl.counts(UTF8String.fromString(t))
+      val got = md.keyArray().toLongArray().zip(md.valueArray().toLongArray()).toMap
+      val want = hs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(got == want, s"t='$t'")
+    }
+  }
+
+  test("WordNgramHashImpl: distinct words get distinct hashes on the test vocab") {
+    import graft.functions.WordNgramHashImpl
+    val hs = vocab.map(v => WordNgramHashImpl.hashes(UTF8String.fromString(v))(0))
+    assert(hs.toSet.size == vocab.size)
+  }
+
+  test("WordNgramMd5Impl bucket equals the declarative md5-hex definition") {
+    import graft.functions.WordNgramMd5Impl
+    // declarative twin: first 15 hex chars of md5(feat) as int, mod B
+    def sqlBucket(feat: String, b: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8"))
+      val hex = d.map(x => f"$x%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val texts = Seq("", "a", "a b", "a  b", "alpha beta gamma") ++
+      (1 to 30).map(_ => randomText())
+    for (t <- texts; b <- Seq(7L, 4096L)) {
+      val md = WordNgramMd5Impl.buckets(UTF8String.fromString(t), b)
+      val got = md.keyArray().toLongArray().zip(md.valueArray().toLongArray()).toMap
+      // build expected from string features
+      var w = List.empty[String]; var start = 0
+      (0 to t.length).foreach { i =>
+        if (i == t.length || t.charAt(i) == ' ') { w = t.substring(start, i) :: w; start = i + 1 }
+      }
+      val ws = w.reverse.toArray
+      val feats = ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val want = feats.groupBy(f => sqlBucket(f, b)).view.mapValues(_.length.toLong).toMap
+      assert(got == want, s"t='$t' b=$b")
+    }
+  }
 }

@@ -179,13 +179,14 @@ class PlanSpec extends SparkSpec {
         docs, "doc_id", "text", k = 10, minCount = 2))
       assert(!pspan.contains("BroadcastExchange") && !pspan.contains("CartesianProduct"),
         s"gram/word sides are corpus-derived, must not broadcast:\n$pspan")
-      // dsir broadcasts exactly two BOUNDED tables — the 1-row totals
-      // and the vocabulary-sized per-feature lr table (bounded by
-      // DSIR's hashed-feature construction) — and NEVER the corpus:
-      // the exploded-occurrence side must stay streamed. A broadcast
-      // whose subtree contains the Generate (the feature explode) or a
-      // file scan would be a corpus-side build, the measured 100 TB
-      // killer this plan shape exists to avoid.
+      // dsir (r7 no-explode architecture): the model is trained by a
+      // typed-imperative map-fold and applied by a driver-built
+      // bounded lookup INSIDE dsir_score — the scoring plan must
+      // contain NO join of any kind (the r6 broadcast-join probe paid
+      // per-occurrence costs; a reappearing join means a regression to
+      // that shape, and a SHUFFLE join on Zipfian feature keys is the
+      // measured 100 TB killer this plan shape exists to avoid) and
+      // NO Generate (occurrences must never exist as rows).
       // Unwrap AQE first: AdaptiveSparkPlanExec is a LEAF node, so a
       // collect over the wrapper sees nothing and the assertion would
       // pass vacuously (the r5 ADVICE finding) — traverse the initial
@@ -193,33 +194,29 @@ class PlanSpec extends SparkSpec {
       val rawPlan = graft.text.Curation.dsirWeights(
         docs, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 0)
         .queryExecution.executedPlan
-      import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, SparkPlan}
+      import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
-      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
       val dsirPlan = rawPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
         case p => p
       }
-      // inputPlan may not carry exchange nodes yet, so pin the BUILD
-      // SIDE of each broadcast join instead of BroadcastExchangeExec
-      val builds: Seq[SparkPlan] = dsirPlan.collect {
-        case j: BroadcastHashJoinExec =>
-          if (j.buildSide == BuildRight) j.right else j.left
-        case j: BroadcastNestedLoopJoinExec =>
-          if (j.buildSide == BuildRight) j.right else j.left
+      // sensitivity guard: the scoring projection (dsir_score over the
+      // materialized count maps) must be VISIBLE to this traversal,
+      // else the check is vacuous (the r5 finding: collect over the
+      // AQE leaf saw nothing)
+      val hasScore = dsirPlan.collect {
+        case p: SparkPlan if p.expressions.exists(_.exists(
+          _.isInstanceOf[graft.functions.DsirScore])) => p
       }
-      // sensitivity guard: the bounded totals/lr broadcasts must be
-      // VISIBLE to this traversal, else the check is vacuous again
-      // (the r5 finding: collect over the AQE leaf saw nothing)
-      assert(builds.nonEmpty,
-        s"expected the bounded lr/totals broadcast joins in the unwrapped plan:\n$dsirPlan")
-      val badBuilds = builds.filter(b => b.collect {
-        case g: GenerateExec => g
-        case f: FileSourceScanExec => f
-      }.nonEmpty)
-      assert(badBuilds.isEmpty,
-        s"corpus side (explode/scan) must never be a broadcast build:\n$dsirPlan")
+      assert(hasScore.nonEmpty,
+        s"expected the dsir_score fold in the unwrapped plan:\n$dsirPlan")
+      val joins = dsirPlan.collect { case j: BaseJoinExec => j }
+      assert(joins.isEmpty,
+        s"dsir scoring must not join (model is a driver-built bounded fold):\n$dsirPlan")
+      val gens = dsirPlan.collect { case g: GenerateExec => g }
+      assert(gens.isEmpty,
+        s"dsir must never explode occurrences into rows:\n$dsirPlan")
     }
   }
 
