@@ -597,38 +597,58 @@ object Dedup {
                     k: Int, minCount: Long = 2): DataFrame = {
     require(k >= 2, s"repeatedSpans: k must be >= 2, got $k")
     require(minCount >= 2, s"repeatedSpans: minCount must be >= 2, got $minCount")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    // Round-robin exchange before the gram projection: spreads per-row
-    // gram work off the single parquet split and acts as the projection
-    // barrier keeping __w an attribute inside the lambdas (the
-    // CollapseProject O(len²) trap — see Curation.rawWordNgrams).
+    // Round-robin exchange before the gram kernel: spreads per-row
+    // gram work off the single parquet split. Deliberately NOT
+    // Mat'd despite three consumers (the gram-count pass, the
+    // islands-join gram pass, the span-content join — column pruning
+    // makes their exchanges non-identical, so ReuseExchange shares
+    // nothing and the scan+shuffle runs three times, ~0.45 s at sf1):
+    // the A/B showed Mat is WORSE here, because the stats reset turns
+    // the grams ⋈ repeated join from an AQE broadcast into a static
+    // sort-merge join that shuffles the full 50 MB gram stream —
+    // costlier than the two extra 10 MB text scans it saved. Scan
+    // amplification of the smallest corpus-shaped frame is the right
+    // trade; keeping the planner's cardinalities is worth more.
     val words = docs
       .select(col(idCol).as("__id"),
-        split(coalesce(col(textCol), lit("")), " ").as("__w"))
+        coalesce(col(textCol), lit("")).as("__t"))
       .repartition(parts)
-    val idx = when(size(col("__w")) >= k,
-      sequence(lit(1), size(col("__w")) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = words.select(col("__id"),
-      explode(transform(idx, i => struct(i.as("pos"),
-        array_join(slice(col("__w"), i, lit(k)), " ").as("gram")))).as("pg"))
-      .select(col("__id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val repeated = grams.groupBy(col("gram"))
+    // Hashed k-word grams from the word_window_hashes kernel: one
+    // tight pass over the text bytes (a k-word gram is a CONTIGUOUS
+    // byte slice, so nothing is joined or sliced into strings), and
+    // the count shuffle below keys on 8-byte longs instead of the
+    // ~6·k-byte gram strings that dominated its shuffle volume (the
+    // r6 sf1 profile's cost driver). Built fresh per consumer (the
+    // kernel re-run is cheaper than checkpointing corpus-scale gram
+    // rows — same measurement as dsirCore's counts table).
+    def grams = words.select(col("__id"),
+      posexplode(graft.functions.GraftFunctions.wordWindowHashes(col("__t"), k))
+        .as(Seq("__p", "gh")))
+      .select(col("__id"), (col("__p") + 1).as("pos"), col("gh"))
+    val repeated = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
-      .select("gram")
+      .select("gh")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("pos"))
-    val spans = grams.join(repeated, "gram")
+    // Survivors of the repeated-gram join are the DUPLICATED tail of
+    // the corpus (bounded by true duplication, not corpus size), so
+    // the islands window shuffles only those.
+    val spans = grams.join(repeated, "gh")
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("__id"), col("__grp"))
       .agg(min(col("pos")).cast("long").as("span_pos"),
         (count(lit(1)) + (k - 1)).cast("long").as("span_tokens"),
         count(lit(1)).cast("long").as("n_grams"))
+    // Span CONTENT stays md5-pinned (the 64-bit gram hash is a
+    // counting key under the repo's collision discipline, never an
+    // identity the caller sees).
     spans.join(words, "__id")
       .select(col("__id").as(idCol), col("span_pos"), col("span_tokens"),
         col("n_grams"),
-        md5(array_join(slice(col("__w"), col("span_pos").cast("int"),
+        md5(array_join(slice(split(col("__t"), " "), col("span_pos").cast("int"),
           col("span_tokens").cast("int")), " ")).as("span_md5"))
   }
 

@@ -325,6 +325,68 @@ case class WordNgramMd5Buckets(child: Expression, buckets: Long)
     copy(child = newChild)
 }
 
+object WordWindowHashImpl {
+  /** 64-bit FNV-1a hashes of every k-word sliding window of the
+    * space-split text, in document order — the hashed-gram form the
+    * exact substring-dedup count shuffle keys on
+    * (Dedup.repeatedSpans). A k-word gram joined with single spaces
+    * is a CONTIGUOUS slice of the original bytes (the join delimiter
+    * IS the split delimiter), so the hash runs straight over
+    * [start(word_i), end(word_{i+k−1})) — no slice/array_join string
+    * is ever materialized. n_words < k → empty array (matches the
+    * declarative sequence() guard). Hash-identity discipline as
+    * elsewhere: counting keys on a 64-bit hash accepts ~n²/2^65
+    * collisions (3·10⁻⁷ at 3M grams); span CONTENT stays md5-pinned
+    * downstream. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    var words = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) words += 1; i += 1 }
+    if (words < k) return new GenericArrayData(Array.emptyLongArray)
+    // word start offsets (end(w_j) = start(w_j+1) - 1; end(last) = n)
+    val starts = new Array[Int](words + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < n) {
+      if (b(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = n + 1 // sentinel: end of word j is starts(j+1) - 1
+    val out = new Array[Long](words - k + 1)
+    var g = 0
+    while (g <= words - k) {
+      val from = starts(g)
+      val until = starts(g + k) - 1 // end of word g+k-1
+      var h = Fnv.Offset
+      var j = from
+      while (j < until) { h = (h ^ (b(j) & 0xff)) * Fnv.Prime; j += 1 }
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** word_window_hashes(text, k) → array<bigint>: hash per k-word
+  * sliding window, document order. NULL text → NULL (callers
+  * coalesce). */
+case class WordWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, s"word_window_hashes: window k must be >= 1, got $k")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    WordWindowHashImpl.compute(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordWindowHashImpl.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashes =
+    copy(child = newChild)
+}
+
 /** word_ngram_counts(text) → map<bigint,bigint>: distinct word
   * unigram+bigram feature hashes to occurrence counts (Σ values =
   * 2·n_words − 1). NULL text → NULL (callers coalesce). */
@@ -1278,6 +1340,9 @@ object GraftFunctions {
       nargs("word_ngram_hashes", 1, es); WordNgramHashes(es.head) }),
     ("word_ngram_counts", classOf[WordNgramCounts], (es: Seq[Expression]) => {
       nargs("word_ngram_counts", 1, es); WordNgramCounts(es.head) }),
+    ("word_window_hashes", classOf[WordWindowHashes], (es: Seq[Expression]) => {
+      nargs("word_window_hashes", 2, es)
+      WordWindowHashes(es.head, intLit("word_window_hashes", es, 1)) }),
     ("word_ngram_md5_buckets", classOf[WordNgramMd5Buckets], (es: Seq[Expression]) => {
       nargs("word_ngram_md5_buckets", 2, es)
       WordNgramMd5Buckets(es.head, intLit("word_ngram_md5_buckets", es, 1).toLong) }),
@@ -1336,6 +1401,8 @@ object GraftFunctions {
   def bigramCounts(c: Column): Column = call_function("bigram_counts", c)
   def wordNgramHashes(c: Column): Column = call_function("word_ngram_hashes", c)
   def wordNgramCounts(c: Column): Column = call_function("word_ngram_counts", c)
+  def wordWindowHashes(c: Column, k: Int): Column =
+    call_function("word_window_hashes", c, org.apache.spark.sql.functions.lit(k))
   def wordNgramMd5Buckets(c: Column, buckets: Int): Column =
     call_function("word_ngram_md5_buckets", c, org.apache.spark.sql.functions.lit(buckets))
   def dsirScore(counts: Column, lrMap: Column): Column =

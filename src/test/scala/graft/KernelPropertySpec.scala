@@ -284,4 +284,31 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == want, s"t='$t' b=$b")
     }
   }
+
+  test("WordWindowHashImpl: one hash per k-window, identity tracks the joined string windows") {
+    import graft.functions.WordWindowHashImpl
+    def words(t: String): Array[String] = {
+      var out = List.empty[String]; var start = 0
+      (0 to t.length).foreach { i =>
+        if (i == t.length || t.charAt(i) == ' ') { out = t.substring(start, i) :: out; start = i + 1 }
+      }
+      out.reverse.toArray
+    }
+    val texts = Seq("", "a", "a b", "a  b c", "x y x y x y") ++
+      (1 to 50).map(_ => randomText())
+    for (t <- texts; k <- Seq(2, 3, 10)) {
+      val hs = WordWindowHashImpl.compute(UTF8String.fromString(t), k)
+        .asInstanceOf[GenericArrayData].toLongArray()
+      val w = words(t)
+      val wins = if (w.length < k) Array.empty[String]
+                 else w.sliding(k).map(_.mkString(" ")).toArray
+      assert(hs.length == wins.length, s"t='$t' k=$k")
+      // equal string windows -> equal hashes; distinct windows -> distinct
+      // hashes on these samples (collision would be a test-data miracle)
+      wins.zipWithIndex.groupBy(_._1).values.foreach { grp =>
+        assert(grp.map(x => hs(x._2)).toSet.size == 1, s"t='$t' k=$k")
+      }
+      assert(hs.toSet.size == wins.toSet.size, s"t='$t' k=$k")
+    }
+  }
 }
