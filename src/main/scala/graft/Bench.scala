@@ -68,8 +68,9 @@ object Bench {
       case None => SparkEntry.queries
     }
     if (reps == 1 && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
-      selected.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      selected.foreach { case (name, fn) =>
+        try SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
+        catch { case _: Throwable => () }
       }
     val outcomes = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
@@ -77,7 +78,10 @@ object Bench {
       var r = 0
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try {
+          SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
+          times += (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable => err = Some(e.toString.take(200)) }
         r += 1
       }

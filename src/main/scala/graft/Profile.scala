@@ -28,7 +28,8 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -54,7 +55,7 @@ object Profile {
     while (r < reps) {
       stages.clear()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== rep $r: $dt%.3f s, $n rows")
       // Same post-query hygiene as Bench/Verify: eager+pinned Mat

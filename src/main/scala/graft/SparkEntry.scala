@@ -143,6 +143,35 @@ object SparkEntry {
 
   // ---- the full SURVEY §2 inventory ------------------------------------
 
+  /** Per-query session-conf overrides, applied (and restored) by
+    * Bench / Verify / Profile around the query. The session default
+    * `spark.sql.codegen.hugeMethodLimit=8000` aligns Spark's codegen
+    * fallback with HotSpot's DontCompileHugeMethods refusal — the
+    * safer default, because the failure it prevents is SILENT
+    * interpretation of a hot loop (q_geo_join: 6.3 s → 1.2 s at sf1).
+    * But the tradeoff is real and was measured in the other direction
+    * on the streaming stream-stream join, whose >8000-bytecode stage
+    * is NOT its hot loop: falling back to volcano execution there
+    * costs more than running the generated outer method interpreted
+    * (q_stream_joined sf0.1 isolated A/B: 8.5–9.0 s at 65535 vs
+    * 10.7–12.8 s at 8000 — the whole r5→r6 "regression" was this
+    * config change, not code). Ops that measured the opposite trade
+    * declare it here instead of flipping the global. */
+  val queryConfs: Map[String, Map[String, String]] = Map(
+    "q_stream_joined" -> Map("spark.sql.codegen.hugeMethodLimit" -> "65535"))
+
+  /** Run `body` with `queryConfs(name)` applied to the session conf,
+    * restoring prior values (or unsetting) afterwards. */
+  def withQueryConfs[A](spark: SparkSession, name: String)(body: => A): A = {
+    val overrides = queryConfs.getOrElse(name, Map.empty[String, String])
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core query API
     "q_load_year" -> ((s, dir) =>
