@@ -1,0 +1,266 @@
+package graft.sources
+
+/** Minimal Compound File Binary reader + ECMA-376 Standard Encryption
+  * decryptor, for the reference's default-password Excel path
+  * (excel.py:132-150: agencies publish workbooks implicitly encrypted
+  * with Excel's 'VelvetSweatshop' default; the reference opens them via
+  * msoffcrypto). Both formats are public Microsoft specs: [MS-CFB] for
+  * the container, [MS-OFFCRYPTO] §2.3.4 for Standard Encryption
+  * (SHA-1 spin key derivation + AES-ECB package encryption). Agile
+  * encryption (4.4, the Excel 2013+ XML descriptor) and RC4 CryptoAPI
+  * are detected and fail loud — the reference's msoffcrypto handles
+  * them, but every implicitly-encrypted file Excel writes with the
+  * default password under "no password" semantics uses Standard or
+  * Agile, and Standard is the one observed in the reference's
+  * allow-listed dataset.
+  *
+  * Everything here is driver-side, single-file work (an xlsx open),
+  * never on the executor hot path.
+  */
+object Cfb {
+  private val Magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect = 0xFFFFFFFF
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o).toLong & 0xFFFFFFFFL) | ((u32(b, o + 4).toLong & 0xFFFFFFFFL) << 32)
+
+  def isCfb(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes.take(8).sameElements(Magic)
+
+  /** Stream name → content for every stream entry in the directory
+    * (flat namespace: encryption streams live directly under root).
+    * Supports v3 (512 B) and v4 (4096 B) sectors, DIFAT chaining, and
+    * the mini stream (real EncryptionInfo streams are ~200 bytes and
+    * live there). Cycle-guarded: corrupt chains fail loud, never spin. */
+  def streams(b: Array[Byte]): Map[String, Array[Byte]] = {
+    require(isCfb(b), "not a CFB container")
+    val sectorSize = 1 << u16(b, 30)
+    require(sectorSize == 512 || sectorSize == 4096,
+      s"CFB: unsupported sector size $sectorSize")
+    val miniSize = 1 << u16(b, 32)
+    val firstDir = u32(b, 48)
+    val miniCutoff = u32(b, 56)
+    val firstMiniFat = u32(b, 60)
+    val firstDifat = u32(b, 68)
+    val maxSectors = (b.length / sectorSize) + 1
+
+    def sector(i: Int): Array[Byte] = {
+      val off = (i + 1) * sectorSize
+      require(i >= 0 && off + sectorSize <= b.length + sectorSize - 1 && off < b.length,
+        s"CFB: sector $i out of bounds")
+      java.util.Arrays.copyOfRange(b, off, math.min(off + sectorSize, b.length))
+    }
+
+    // FAT sector list: 109 header DIFAT slots + chained DIFAT sectors
+    val fatSectors = {
+      val ids = Seq.newBuilder[Int]
+      var i = 0
+      while (i < 109) {
+        val s = u32(b, 76 + 4 * i)
+        if (s != FreeSect && s != EndOfChain) ids += s
+        i += 1
+      }
+      var difat = firstDifat
+      var guard = 0
+      while (difat != EndOfChain && difat != FreeSect && guard < maxSectors) {
+        val ds = sector(difat)
+        val per = sectorSize / 4 - 1
+        var j = 0
+        while (j < per) {
+          val s = u32(ds, 4 * j)
+          if (s != FreeSect && s != EndOfChain) ids += s
+          j += 1
+        }
+        difat = u32(ds, sectorSize - 4)
+        guard += 1
+      }
+      require(guard < maxSectors, "CFB: DIFAT chain cycle")
+      ids.result()
+    }
+    val fat: Array[Int] = fatSectors.iterator.flatMap { s =>
+      val ss = sector(s)
+      (0 until sectorSize / 4).iterator.map(j => u32(ss, 4 * j))
+    }.toArray
+
+    def chain(start: Int, table: Array[Int]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var cur = start
+      var guard = 0
+      while (cur != EndOfChain && cur != FreeSect && guard <= table.length) {
+        require(cur >= 0 && cur < table.length, s"CFB: chain sector $cur out of FAT range")
+        out += cur
+        cur = table(cur)
+        guard += 1
+      }
+      require(guard <= table.length, "CFB: sector chain cycle")
+      out.result()
+    }
+
+    // directory entries (128 B each) across the directory chain
+    val dirBytes = chain(firstDir, fat).toArray.flatMap(sector)
+    case class Entry(name: String, objType: Int, start: Int, size: Long)
+    val entries = (0 until dirBytes.length / 128).map { k =>
+      val o = k * 128
+      val nameLen = u16(dirBytes, o + 64) // bytes incl. UTF-16 terminator
+      val name =
+        if (nameLen >= 2 && nameLen <= 64)
+          new String(dirBytes, o, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+        else ""
+      val size =
+        if (sectorSize == 512) u32(dirBytes, o + 120).toLong & 0xFFFFFFFFL
+        else u64(dirBytes, o + 120)
+      Entry(name, dirBytes(o + 66) & 0xff, u32(dirBytes, o + 116), size)
+    }
+    val root = entries.find(_.objType == 5).getOrElse(
+      throw new IllegalArgumentException("CFB: no root directory entry"))
+
+    // mini stream container + miniFAT (lazily — absent in some files)
+    lazy val miniStream: Array[Byte] = chain(root.start, fat).toArray.flatMap(sector)
+    lazy val miniFat: Array[Int] = chain(firstMiniFat, fat).iterator.flatMap { s =>
+      val ss = sector(s)
+      (0 until sectorSize / 4).iterator.map(j => u32(ss, 4 * j))
+    }.toArray
+
+    def readStream(e: Entry): Array[Byte] = {
+      require(e.size <= Int.MaxValue, s"CFB: stream '${e.name}' too large")
+      val raw: Array[Byte] =
+        if (e.size < miniCutoff) {
+          chain(e.start, miniFat).toArray.flatMap { m =>
+            val off = m * miniSize
+            require(off + miniSize <= miniStream.length + miniSize - 1 && off < miniStream.length,
+              s"CFB: mini sector $m out of bounds")
+            java.util.Arrays.copyOfRange(miniStream, off,
+              math.min(off + miniSize, miniStream.length))
+          }
+        } else chain(e.start, fat).toArray.flatMap(sector)
+      require(raw.length >= e.size,
+        s"CFB: stream '${e.name}' truncated (${raw.length} < ${e.size})")
+      java.util.Arrays.copyOf(raw, e.size.toInt)
+    }
+
+    entries.filter(_.objType == 2).map(e => e.name -> readStream(e)).toMap
+  }
+}
+
+object OffCrypto {
+  /** Excel's implicit default password: a workbook saved with
+    * "no password" protection semantics is still encrypted, with this
+    * well-known constant (public knowledge since Excel 97; the
+    * reference relies on msoffcrypto's same default, excel.py:140). */
+  val DefaultPassword = "VelvetSweatshop"
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o).toLong & 0xFFFFFFFFL) | ((u32(b, o + 4).toLong & 0xFFFFFFFFL) << 32)
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** [MS-OFFCRYPTO] 2.3.4.7 Standard key derivation: SHA-1 spin of
+    * 50000 iterations with a little-endian iterator PREPENDED each
+    * round, block number 0 appended, then the 0x36/0x5C HMAC-style
+    * expansion truncated to the header's key length. */
+  private[graft] def deriveStandardKey(salt: Array[Byte], password: String,
+                                         keyBytes: Int): Array[Byte] = {
+    val pw = password.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    var h = sha1(salt, pw)
+    val it = new Array[Byte](4)
+    var n = 0
+    while (n < 50000) {
+      it(0) = (n & 0xff).toByte
+      it(1) = ((n >> 8) & 0xff).toByte
+      it(2) = ((n >> 16) & 0xff).toByte
+      it(3) = ((n >> 24) & 0xff).toByte
+      h = sha1(it, h)
+      n += 1
+    }
+    val hFinal = sha1(h, Array[Byte](0, 0, 0, 0)) // block number 0, LE
+    def expand(pad: Byte): Array[Byte] = {
+      val buf = Array.fill[Byte](64)(pad)
+      var i = 0
+      while (i < hFinal.length) { buf(i) = (buf(i) ^ hFinal(i)).toByte; i += 1 }
+      sha1(buf)
+    }
+    val x = expand(0x36) ++ expand(0x5C.toByte)
+    java.util.Arrays.copyOf(x, keyBytes)
+  }
+
+  private def aesEcb(key: Array[Byte], mode: Int, data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  private[graft] def aesEcbDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    aesEcb(key, javax.crypto.Cipher.DECRYPT_MODE, data)
+  private[graft] def aesEcbEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    aesEcb(key, javax.crypto.Cipher.ENCRYPT_MODE, data)
+
+  /** Decrypt a CFB-wrapped encrypted OOXML package → the zip bytes.
+    * Standard Encryption only; Agile / RC4 / extensible fail loud with
+    * the scheme named. Wrong password (a file encrypted with a REAL
+    * password, not the implicit default) also fails loud — silently
+    * returning garbage zip bytes would surface as an opaque zip error
+    * three layers up. */
+  def decrypt(cfbBytes: Array[Byte], password: String = DefaultPassword): Array[Byte] = {
+    val ss = Cfb.streams(cfbBytes)
+    val info = ss.getOrElse("EncryptionInfo",
+      throw new IllegalArgumentException("offcrypto: no EncryptionInfo stream"))
+    val pkg = ss.getOrElse("EncryptedPackage",
+      throw new IllegalArgumentException("offcrypto: no EncryptedPackage stream"))
+    val (vMajor, vMinor) = (u16(info, 0), u16(info, 2))
+    if (vMajor == 4 && vMinor == 4)
+      throw new IllegalArgumentException(
+        "offcrypto: Agile encryption (4.4) not supported — Standard only")
+    require((vMajor == 2 || vMajor == 3 || vMajor == 4) && vMinor == 2,
+      s"offcrypto: unsupported EncryptionInfo version $vMajor.$vMinor")
+    val headerSize = u32(info, 8)
+    val hdr = 12 // EncryptionHeader start
+    val algId = u32(info, hdr + 8)
+    val keyBits = u32(info, hdr + 16)
+    val keyBytes = keyBits / 8
+    val aesIds = Set(0x660E, 0x660F, 0x6610) // AES-128/192/256
+    if (!aesIds.contains(algId))
+      throw new IllegalArgumentException(
+        f"offcrypto: AlgID 0x$algId%04X not supported (RC4 CryptoAPI " +
+          "Standard variants are out of scope — Standard AES only)")
+    // EncryptionVerifier follows the variable-length header
+    val v = hdr + headerSize
+    val saltSize = u32(info, v)
+    require(saltSize == 16, s"offcrypto: salt size $saltSize (expected 16)")
+    val salt = java.util.Arrays.copyOfRange(info, v + 4, v + 4 + 16)
+    val encVerifier = java.util.Arrays.copyOfRange(info, v + 20, v + 36)
+    val verifierHashSize = u32(info, v + 36)
+    require(verifierHashSize == 20,
+      s"offcrypto: verifier hash size $verifierHashSize (expected SHA-1's 20)")
+    val encVerifierHash = java.util.Arrays.copyOfRange(info, v + 40, v + 72)
+
+    val key = deriveStandardKey(salt, password, keyBytes)
+    val verifier = aesEcbDecrypt(key, encVerifier)
+    val verifierHash = aesEcbDecrypt(key, encVerifierHash)
+    val expect = sha1(verifier)
+    if (!java.util.Arrays.equals(expect,
+        java.util.Arrays.copyOf(verifierHash, 20)))
+      throw new IllegalArgumentException(
+        s"offcrypto: password verifier mismatch — the workbook is not " +
+          s"encrypted with the '$password' default (a real password was set)")
+
+    val size = u64(pkg, 0)
+    val body = java.util.Arrays.copyOfRange(pkg, 8, pkg.length - ((pkg.length - 8) % 16))
+    val plain = aesEcbDecrypt(key, body)
+    require(size <= plain.length,
+      s"offcrypto: declared package size $size exceeds payload ${plain.length}")
+    java.util.Arrays.copyOf(plain, size.toInt)
+  }
+}

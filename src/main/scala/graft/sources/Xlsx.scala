@@ -130,29 +130,27 @@ object Xlsx {
       "(.odf, .ods, .odt) are not supported. Please submit an issue " +
       "if this is needed."
 
-  /** Detect payloads this parser cannot read and fail with the
-    * reference's message instead of an opaque zip/XML parse error:
+  /** Handle payloads that are not plain OOXML zips:
     *
     *  - CFB container (magic D0 CF 11 E0 A1 B1 1A E1) wrapping an
     *    ENCRYPTED OOXML workbook — identified by the EncryptionInfo /
-    *    EncryptedPackage streams in the CFB directory (excel.py:140
-    *    decrypts these with msoffcrypto's 'VelvetSweatshop' default for
-    *    one allow-listed dataset; decryption is out of scope here, so
-    *    the error says to decrypt first);
-    *  - CFB container holding a legacy .xls (BIFF) workbook;
+    *    EncryptedPackage streams in the CFB directory. Like the
+    *    reference (excel.py:132-150, via msoffcrypto), the workbook is
+    *    DECRYPTED with Excel's implicit 'VelvetSweatshop' default
+    *    password when it uses [MS-OFFCRYPTO] Standard Encryption; the
+    *    decrypted zip lands in a cached temp file. Agile/RC4 schemes
+    *    and real (non-default) passwords fail loud, naming the scheme
+    *    or the failed default.
+    *  - CFB container holding a legacy .xls (BIFF) workbook → the
+    *    reference's unsupported-format message;
     *  - OpenDocument spreadsheet (a zip whose `mimetype` entry names
-    *    opendocument) — the reference documents both as unsupported.
+    *    opendocument) — same reference message (checked in withZip).
     *
-    * Directory stream names are UTF-16LE in the CFB directory sectors;
-    * scanning the first 4 MB for the encoded names is format-faithful
-    * without a full CFB reader (the directory sits near the front). */
-  private[sources] def checkSupportedFormat(path: String): Unit = {
+    * Returns the path to OPEN as a zip: the original for plain xlsx,
+    * the decrypted temp file for default-password-encrypted ones. */
+  private[sources] def resolveReadable(path: String): String = {
     val f = new java.io.File(path)
-    if (!f.isFile) return
-    val cfbMagic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
-      .map(_.toByte)
-    // Cheap 8-byte sniff first: the common case (a real xlsx = a zip,
-    // magic "PK") pays one tiny read, not a 4 MB prefix scan.
+    if (!f.isFile) return path
     def readPrefix(len: Long): Array[Byte] = {
       val in = new java.io.FileInputStream(f)
       try {
@@ -164,29 +162,56 @@ object Xlsx {
         buf
       } finally in.close()
     }
+    // Cheap 8-byte sniff first: the common case (a real xlsx = a zip,
+    // magic "PK") pays one tiny read.
     val magic = readPrefix(8L)
-    if (magic.length >= 8 && magic.sameElements(cfbMagic)) {
-      // CFB container confirmed — now pull enough to classify it (the
-      // directory sits near the front; 4 MB covers any real workbook)
-      val head = readPrefix(4L << 20)
-      def utf16(s: String): Array[Byte] =
-        s.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
-      def contains(needle: Array[Byte]): Boolean =
-        head.indexOfSlice(needle) >= 0
-      if (contains(utf16("EncryptionInfo")) || contains(utf16("EncryptedPackage")))
+    if (magic.length < 8 || !Cfb.isCfb(magic)) return path
+    val whole = readPrefix(f.length())
+    def utf16(s: String): Array[Byte] =
+      s.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
+    def looksEncrypted: Boolean =
+      whole.indexOfSlice(utf16("EncryptionInfo")) >= 0 ||
+        whole.indexOfSlice(utf16("EncryptedPackage")) >= 0
+    val streams =
+      try Some(Cfb.streams(whole))
+      catch { case _: Exception => None } // corrupt CFB → classify by scan below
+    streams match {
+      case Some(ss) if ss.contains("EncryptionInfo") && ss.contains("EncryptedPackage") =>
+        decryptedCache.computeIfAbsent((f.getAbsolutePath, f.length(), f.lastModified()), _ => {
+          val zipBytes =
+            try OffCrypto.decrypt(whole)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                "graft-xlsx: workbook is encrypted (CFB-wrapped OOXML) and " +
+                  "the reference's implicit 'VelvetSweatshop' default-password " +
+                  s"decryption (excel.py:140) failed: ${e.getMessage}")
+            }
+          val tmp = java.io.File.createTempFile("graft-xlsx-dec", ".xlsx")
+          tmp.deleteOnExit()
+          java.nio.file.Files.write(tmp.toPath, zipBytes)
+          tmp.getAbsolutePath
+        })
+      case Some(_) =>
+        throw new IllegalArgumentException("graft-xlsx: " + UnsupportedLegacyMsg)
+      case None if looksEncrypted =>
         throw new IllegalArgumentException(
-          "graft-xlsx: workbook is encrypted (CFB-wrapped OOXML). " +
-            "Decrypt it first (the reference uses msoffcrypto with the " +
-            "'VelvetSweatshop' default password for one allow-listed " +
-            "dataset, excel.py:140); encrypted workbooks are not " +
-            "supported here.")
-      throw new IllegalArgumentException("graft-xlsx: " + UnsupportedLegacyMsg)
+          "graft-xlsx: workbook is encrypted (CFB-wrapped OOXML) but the " +
+            "container is unreadable; the reference decrypts such files with " +
+            "msoffcrypto's 'VelvetSweatshop' default password (excel.py:140) — " +
+            "decrypt it first.")
+      case None =>
+        throw new IllegalArgumentException("graft-xlsx: " + UnsupportedLegacyMsg)
     }
   }
 
+  /** Decrypted-workbook temp paths, keyed by (path, length, mtime):
+    * header/sheet/read calls each reopen the zip, and the 50000-round
+    * key spin should run once per file, not once per call. */
+  private val decryptedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
   private def withZip[T](path: String)(f: ZipFile => T): T = {
-    checkSupportedFormat(path)
-    val zf = new ZipFile(path)
+    val zf = new ZipFile(resolveReadable(path))
     try {
       // OpenDocument spreadsheets are zips too; catch them before the
       // missing-xl/workbook.xml error surfaces as "not an xlsx".
