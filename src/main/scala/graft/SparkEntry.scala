@@ -628,6 +628,19 @@ object SparkEntry {
           "label", k = 10, nprobe = 1000, shortlist = 10000000)
         .orderBy("query_id", "rank")
     }),
+    // The PRODUCTION IVF-PQ form (nprobe << |cells|, bounded
+    // shortlist): the serving shape whose cost is nprobe/|cells| of
+    // the corpus in 8-byte codes + `shortlist` float reads per query.
+    // Approximate by construction → rows-only; the exactness twin
+    // above (same code path, full probe) is its SQL-verified
+    // companion, and measured recall@10 vs brute force is tabled in
+    // SCALING.md.
+    "q_ann_ivfpq_probe" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      graft.sim.Pq.ivfPqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          "label", k = 10, nprobe = 3, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     // SQL-verifiable companion to q_ann_lsh: 16 one-bit bands — a corpus
     // vector is excluded only if its signature disagrees with the query
     // on ALL 16 hyperplanes (probability ~(θ/π)^16; for actual top-k
