@@ -114,17 +114,27 @@ object Plans {
       "salts-row literal broadcast cross join before its exchange. The salt " +
       "never reaches the aggregate.", true),
     ("q_substr_dedup", "Exact substring dedup at the 100 TB shape " +
-      "(auto-broadcast disabled): position-annotated k-grams behind a " +
-      "round-robin exchange, ONE partial-aggregated count shuffle keyed on " +
-      "the gram, repeated positions fold back via a gram equi-join, islands " +
-      "merge in a PER-DOC window (bounded by doc length), and the span text " +
-      "re-joins the token arrays on the id — no corpus-side broadcast " +
-      "anywhere.", true),
-    ("q_dsir_weights", "DSIR at the 100 TB shape (auto-broadcast disabled): " +
-      "one exploded-feature shuffle trains target+source counts in a single " +
-      "pass (map-side combine); scoring folds the model back via a " +
-      "feature-keyed equi-join; only the 1-row totals cross as a literal " +
-      "broadcast; the per-doc sum is a decimal-exact partial aggregate.", true),
+      "(auto-broadcast disabled): position-annotated k-gram HASHES (r8: the " +
+      "word_window_hashes kernel digests contiguous byte slices; the count " +
+      "shuffle keys on 8-byte longs, gram strings never exist) behind a " +
+      "round-robin exchange, ONE partial-aggregated count shuffle, repeated " +
+      "positions fold back via a long-keyed equi-join, islands merge in a " +
+      "PER-DOC window (bounded by doc length), and the span text re-joins " +
+      "the raw text on the id with md5 pinning span CONTENT — no corpus-side " +
+      "broadcast anywhere.", true),
+    ("q_dsir_weights", "DSIR, no-explode architecture (r8): the " +
+      "word_ngram_counts kernel folds each doc to its feature-count map in " +
+      "the scan stage; dsir_model_agg trains both models as a " +
+      "typed-imperative map-fold (one vocabulary-bounded partial per " +
+      "partition, no Generate anywhere); the bounded model applies via the " +
+      "dsir_score foldable-literal fold — the scoring plan has NO join at " +
+      "all, which PlanSpec pins. Occurrences never exist as rows.", true),
+    ("q_dsir_hashed", "DSIR's fixed-bucket production form: same no-explode " +
+      "engine, features md5-bucketed inside the kernel (contiguous byte " +
+      "slices, digest's first 60 bits taken numerically — no hex/conv " +
+      "strings); the model is <= bucket-count rows REGARDLESS of corpus " +
+      "vocabulary, so the driver-resident model application is bounded by " +
+      "construction at any scale.", true),
     ("q_ann_pq", "Product quantization: the codebook is a bounded 1-row " +
       "broadcast (16 vectors by construction — NOT corpus-sized); encoding " +
       "is a pure scan-stage projection; ADC scoring broadcasts only the " +
@@ -192,14 +202,34 @@ object Plans {
       // q_bloom_join: render the REAL registered query, just with a
       // small bitmap (2^22 bits would print a ~1 MB hex literal twice;
       // the plan SHAPE is identical at any size)
-      val df =
-        if (name == "q_bloom_join") SparkEntry.bloomJoinQuery(spark, sfDir, 1 << 10)
-        else SparkEntry.queries(name)(spark, sfDir)
+      // q_dsir_*: same idea — the driver-bounded model applies as a
+      // literal map, so render over a ~1% doc subset to keep the
+      // literal readable; the plan SHAPE is identical at any model size
+      val df = name match {
+        case "q_bloom_join" => SparkEntry.bloomJoinQuery(spark, sfDir, 1 << 10)
+        case "q_dsir_weights" | "q_dsir_hashed" =>
+          import org.apache.spark.sql.functions.{col, lit, pmod}
+          val docs = graft.sources.Tables(spark, sfDir, "documents")
+            .filter(pmod(col("doc_id"), lit(97)) === 0)
+          if (name == "q_dsir_weights")
+            graft.text.Curation.dsirWeights(docs, "doc_id", "text",
+              isTarget = col("lang") === "fr")
+          else
+            graft.text.Curation.dsirWeightsHashed(docs, "doc_id", "text",
+              isTarget = col("lang") === "fr", buckets = 64)
+        case _ => SparkEntry.queries(name)(spark, sfDir)
+      }
       println(s"\n## $name\n")
       println(note)
       println()
       println("```")
-      println(df.queryExecution.explainString(FormattedMode).trim)
+      // Literal-heavy plans (the DSIR model map, bloom bitmaps) can put
+      // tens of KB on one line; elide the tail — the SHAPE is the point.
+      println(df.queryExecution.explainString(FormattedMode).trim
+        .split('\n')
+        .map(l => if (l.length > 800)
+          l.take(800) + s"... (literal elided, ${l.length} chars)" else l)
+        .mkString("\n"))
       println("```")
     }
     spark.stop()
