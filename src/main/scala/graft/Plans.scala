@@ -36,7 +36,10 @@ object Plans {
       "planner would stats-pick broadcast for these tiny sides - no hint involved): " +
       "banded signature table hash-partitioned on (band_id, band_hash); the " +
       "self-join REUSES that single exchange (signatures computed once); the " +
-      "signature re-attach joins shuffle on id.", true),
+      "signature re-attach joins shuffle on id. (r8: the carrySigs variant " +
+      "used by the e2e/verify pipelines instead computes est INSIDE the join " +
+      "stage and emits each pair once from its first agreeing band — no " +
+      "distinct(), no re-attach; see SCALING.md's sf10 drill.)", true),
     ("q_dedup_ngram", "Corpus-scale shape (auto-broadcast disabled): salted " +
       "equi-join on (blk, salt) - right side carries one deterministic salt per " +
       "doc, left side replicated across salts, so parallelism is |blocks| x salts " +

@@ -447,8 +447,17 @@ object SparkEntry {
     // determinism, banding, the candidate join, and estimation.
     "q_dedup_minhash_verify" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+      // Candidate gate 0.6, not the 0.5 the standalone pair query uses:
+      // everything below the 0.8 exact-confirm dies downstream anyway,
+      // and P(est < 0.6 | J >= 0.8) = P(Bin(128,.8) < 76.8) ~ 7e-9 —
+      // tighter than the 5e-8 banding-recall bound this query already
+      // documents. At corpora with fat ~0.5-similar clusters (sf10:
+      // ~100-member cross-copy families) the gate cuts the gram-array
+      // confirm join ~40x; it is the difference between the confirm
+      // shuffle fitting and detonating.
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        k = 5, numPerms = 128, bands = 32, threshold = 0.5)
+        k = 5, numPerms = 128, bands = 32, threshold = 0.6,
+        carrySigs = true)
       // Repartition before the gram kernel: the docs scan is one parquet
       // split and the projection feeds both join probes — unpartitioned
       // it would run 2x on one core.
@@ -525,8 +534,12 @@ object SparkEntry {
     // hash-equality gate is then probabilistic, not exact.
     "q_dedup_minhash_e2e" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+      // est gate 0.6 (see q_dedup_minhash_verify): P(est<0.6 | J>=0.8)
+      // ~ 7e-9 < the 5e-8 band-miss bound above, and the gate keeps the
+      // exact-confirm join output-shaped instead of cluster²-shaped.
       val cand = Dedup.minhashPairs(docs, "doc_id", "text",
-        k = 5, numPerms = 128, bands = 32, threshold = 0.5)
+        k = 5, numPerms = 128, bands = 32, threshold = 0.6,
+        carrySigs = true)
       val g = docs.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.gramHashes(col("text"), 5).as("grams"))

@@ -294,10 +294,40 @@ object Dedup {
   /** MinHash near-dup pairs: signature → banded buckets → bucket
     * self-join (id_a < id_b) → distinct candidates → estimated-Jaccard
     * filter. Never an all-pairs product: the join key is
-    * (band_id, band_hash). */
+    * (band_id, band_hash).
+    *
+    * TWO INTERMEDIATE SHAPES, one output (`carrySigs`), because the
+    * dominant cost term is DATA-DEPENDENT:
+    *
+    * - `carrySigs = false` (default, sparse-dup corpora): bucket rows
+    *   are 24 B; candidates are distinct()-ed and the signatures
+    *   re-attach via two id-keyed equi-joins. Every intermediate is
+    *   proportional to corpus + CANDIDATE volume — with the default
+    *   S-curve (32×4 at t=0.5) candidates ≈ true near-dups, so this is
+    *   the cheap path when dup clusters are thin (measured: the carry
+    *   form's fat bucket exchange costs more than re-attach saves at
+    *   sf0.1–sf1 on the base corpus).
+    * - `carrySigs = true` (fat-cluster corpora): candidate volume is
+    *   Σ cluster² and the re-attach joins must MOVE a 1 KB signature
+    *   per candidate — measured at sf10 (≈100-member near-dup families
+    *   from the scale generator): a ~100 GB sig-carrying shuffle that
+    *   fills the local disk, after the band-multiplied distinct()
+    *   shuffle already wrote 20+ GB. Carrying sig + the band-hash
+    *   array ON the bucket rows makes every shuffle corpus-linear
+    *   (bands × sig per doc, ~21 GB at sf10 — REGARDLESS of cluster
+    *   shape): est_jaccard computes inside the join stage, and the
+    *   pair is emitted exactly once, from its first agreeing band
+    *   (earlier_band_agree kernel on the SAME xxhash64 values as the
+    *   bucket key, so emission ≡ distinct() row for row), so neither
+    *   the distinct() nor the re-attach exchanges exist at all.
+    *
+    * Same rows either way; pick by corpus shape. At 100 TB the carry
+    * form is the safe default for web-scale text (boilerplate clusters
+    * are the norm), which is why the e2e/verify pipelines use it. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, numPerms: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   carrySigs: Boolean = false): DataFrame = {
     // Fail loud on a broken (b, r) shape: bands > numPerms would make
     // rowsPerBand 0, every band slice empty, and ALL docs collide into
     // one bucket per band — the unblocked cross join this operator
@@ -314,6 +344,7 @@ object Dedup {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val sigs = docs.repartition(parts).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.minhashSig(col(textCol), k, numPerms).as("sig"))
+    if (carrySigs) return minhashPairsCarry(sigs, numPerms, bands, threshold)
     // Hash-partition the banded table on the bucket key. The self-join
     // then needs no further exchange, and because both sides are the
     // SAME repartitioned plan, ReuseExchange computes the signatures
@@ -332,7 +363,8 @@ object Dedup {
     // Signature re-attach: plain equi-joins on id (shuffle on the id
     // key; AQE picks broadcast only if the side is actually small).
     // Re-joining beats carrying the 128-long signature through the
-    // band explode, which would multiply the bucket shuffle by `bands`.
+    // band explode on thin-cluster corpora (the default tradeoff —
+    // carrySigs flips it, see the scaladoc).
     cands
       .join(sigs.withColumnRenamed("sig", "sig_a"), col("id_a") === col("id"))
       .drop("id")
@@ -341,6 +373,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.Det.round4(graft.functions.GraftFunctions.sigAgree(
           col("sig_a"), col("sig_b"))).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** The carrySigs=true body: fat bucket rows (sig + band-hash array),
+    * one corpus-linear exchange, est and emit-once computed inside the
+    * join stage. See minhashPairs for when this wins.
+    *
+    * The signature table is Mat'd (eager localCheckpoint, like the
+    * DSIR vocabulary — session-pinned; callers that loop call
+    * Mat.releasable themselves): without the hard barrier the
+    * optimizer sank the minhash kernel below the round-robin exchange
+    * onto the SCAN partitioning — measured 10 s on 7 parquet-split
+    * tasks at sf1 where the post-exchange form costs 1 s on 32 — and
+    * the checkpoint also computes each signature once instead of once
+    * per consumer branch. Size is numPerms longs per doc (~1 KB):
+    * bounded, corpus-linear, spillable (MEMORY_AND_DISK). */
+  private def minhashPairsCarry(sigs: DataFrame, numPerms: Int,
+                                bands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val buckets = graft.ops.Mat(sigs)
+      .select(col("id"), col("sig"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("string"))).as("band_hashes"))
+      .select(col("id"), col("sig"), col("band_hashes"),
+        posexplode(col("band_hashes")).as(Seq("band_id", "band_hash")))
+      .repartition(col("band_id"), col("band_hash"))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      // first-agreeing-band emission: agreement is band_hash equality —
+      // exactly the bucket key — so the kept rows ARE the distinct
+      // candidate set; the band-duplicated rows die inside the stage.
+      .filter(!graft.functions.GraftFunctions.earlierBandAgree(
+        col("l.band_hashes"), col("r.band_hashes"), col("l.band_id")))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        graft.functions.Det.round4(graft.functions.GraftFunctions.sigAgree(
+          col("l.sig"), col("r.sig"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -396,16 +467,27 @@ object Dedup {
     val banded = sims.select(col("id"), col("sim"),
         inline(array(bandStructs: _*)))
       .repartition(col("band_id"), col("band_val"))
+    // Emit-once join instead of join→distinct (the minhashPairs move,
+    // here for free: both full hashes already ride the join, so "did an
+    // earlier band agree?" is pure bit arithmetic on l.sim/r.sim —
+    // statically unrolled over the ≤ bands-1 earlier bands). A hamming-0
+    // pair collides in ALL bands; distinct() would shuffle that
+    // band-multiplied stream.
+    val earlierAgree = (0 until bands - 1).map { b =>
+      (col("l.band_id") > b) &&
+        (shiftright(col("l.sim"), b * width).bitwiseAND(lit(mask)) ===
+         shiftright(col("r.sim"), b * width).bitwiseAND(lit(mask)))
+    }.reduceOption(_ || _).getOrElse(lit(false))
     banded.as("l").join(banded.as("r"),
         col("l.band_id") === col("r.band_id") &&
         col("l.band_val") === col("r.band_val") &&
         col("l.id") < col("r.id"))
+      .filter(!earlierAgree)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
-      // Hamming filter BEFORE the distinct: the dedup shuffle then only
-      // carries true near-dup pairs instead of every band collision.
+      // Hamming filter before anything shuffles: downstream consumers
+      // only ever see true near-dup pairs, never raw band collisions.
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ---- N-gram Jaccard --------------------------------------------------

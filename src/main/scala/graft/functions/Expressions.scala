@@ -387,6 +387,47 @@ case class WordWindowHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+object BandEmitOnceImpl {
+  /** True iff any band BEFORE `bandId` has equal hashes on both sides —
+    * the reject condition of the emit-once LSH bucket join
+    * (Dedup.minhashPairs): a candidate pair is kept only in its FIRST
+    * agreeing band, making the join output the distinct candidate set
+    * without a distinct() shuffle. Allocation-free prefix scan (the
+    * declarative exists(zip_with(slice...)) form ran interpreted and
+    * allocated 3 arrays per joined row — measured 8× the whole e2e
+    * pipeline's cost at sf1). */
+  def earlierAgree(a: ArrayData, b: ArrayData, bandId: Int): Boolean = {
+    var i = 0
+    while (i < bandId) {
+      if (a.getLong(i) == b.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** earlier_band_agree(l_hashes, r_hashes, band_id) → boolean. */
+case class EarlierBandAgree(lh: Expression, rh: Expression, bid: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = lh
+  override def second: Expression = rh
+  override def third: Expression = bid
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false),
+    ArrayType(LongType, containsNull = false),
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "earlier_band_agree"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    BandEmitOnceImpl.earlierAgree(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.BandEmitOnceImpl.earlierAgree($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): EarlierBandAgree =
+    copy(lh = newFirst, rh = newSecond, bid = newThird)
+}
+
 /** word_ngram_counts(text) → map<bigint,bigint>: distinct word
   * unigram+bigram feature hashes to occurrence counts (Σ values =
   * 2·n_words − 1). NULL text → NULL (callers coalesce). */
@@ -1343,6 +1384,9 @@ object GraftFunctions {
     ("word_window_hashes", classOf[WordWindowHashes], (es: Seq[Expression]) => {
       nargs("word_window_hashes", 2, es)
       WordWindowHashes(es.head, intLit("word_window_hashes", es, 1)) }),
+    ("earlier_band_agree", classOf[EarlierBandAgree], (es: Seq[Expression]) => {
+      nargs("earlier_band_agree", 3, es)
+      EarlierBandAgree(es(0), es(1), es(2)) }),
     ("word_ngram_md5_buckets", classOf[WordNgramMd5Buckets], (es: Seq[Expression]) => {
       nargs("word_ngram_md5_buckets", 2, es)
       WordNgramMd5Buckets(es.head, intLit("word_ngram_md5_buckets", es, 1).toLong) }),
@@ -1401,6 +1445,8 @@ object GraftFunctions {
   def bigramCounts(c: Column): Column = call_function("bigram_counts", c)
   def wordNgramHashes(c: Column): Column = call_function("word_ngram_hashes", c)
   def wordNgramCounts(c: Column): Column = call_function("word_ngram_counts", c)
+  def earlierBandAgree(lh: Column, rh: Column, bandId: Column): Column =
+    call_function("earlier_band_agree", lh, rh, bandId)
   def wordWindowHashes(c: Column, k: Int): Column =
     call_function("word_window_hashes", c, org.apache.spark.sql.functions.lit(k))
   def wordNgramMd5Buckets(c: Column, buckets: Int): Column =

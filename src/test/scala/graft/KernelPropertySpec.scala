@@ -311,4 +311,34 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(hs.toSet.size == wins.toSet.size, s"t='$t' k=$k")
     }
   }
+
+  test("BandEmitOnceImpl.earlierAgree equals the prefix-scan definition") {
+    (1 to Trials).foreach { _ =>
+      val n = 1 + rng.nextInt(32)
+      // small value domain so prefix agreements actually occur
+      val a = Array.fill(n)((rng.nextLong() % 4).abs)
+      val b = Array.fill(n)((rng.nextLong() % 4).abs)
+      (0 to n).foreach { bandId =>
+        val want = (0 until bandId).exists(i => a(i) == b(i))
+        assert(graft.functions.BandEmitOnceImpl.earlierAgree(
+          new GenericArrayData(a), new GenericArrayData(b), bandId) == want,
+          s"a=${a.toSeq} b=${b.toSeq} bandId=$bandId")
+      }
+    }
+  }
+
+  test("emit-once over all agreeing bands keeps each pair exactly once") {
+    (1 to Trials).foreach { _ =>
+      val n = 1 + rng.nextInt(32)
+      val a = Array.fill(n)((rng.nextLong() % 3).abs)
+      val b = Array.fill(n)((rng.nextLong() % 3).abs)
+      val agreeing = (0 until n).filter(i => a(i) == b(i))
+      val emitted = agreeing.filterNot(i =>
+        graft.functions.BandEmitOnceImpl.earlierAgree(
+          new GenericArrayData(a), new GenericArrayData(b), i))
+      assert(emitted.size == (if (agreeing.isEmpty) 0 else 1),
+        s"a=${a.toSeq} b=${b.toSeq}")
+      if (agreeing.nonEmpty) assert(emitted.head == agreeing.head)
+    }
+  }
 }
