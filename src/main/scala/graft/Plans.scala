@@ -97,8 +97,11 @@ object Plans {
       "compiles through TopKRewrite to a topk_rows heap keyed on doc_id — " +
       "bounded by document length, never corpus-wide.", false),
     ("q_dedup_minhash_e2e", "Corpus-scale shape (auto-broadcast disabled): the " +
-      "full dedup pipeline — banded candidate join (exchange-reused signature " +
-      "table), exact-Jaccard confirmation kernel inside the join stage, " +
+      "full dedup pipeline — carrySigs banded candidate join (r8: Mat'd " +
+      "signature table; sig + band-hash array ride the bucket rows, so " +
+      "est_jaccard computes inside the join stage and each pair emits once " +
+      "from its first agreeing band — no distinct, no per-pair sig re-attach; " +
+      "every exchange corpus-linear), exact-Jaccard confirmation kernel, " +
       "iterative min-label components over the CONFIRMED pairs only (the " +
       "tiny graph, not the corpus), and a left join folding survivors back.", true),
     ("q_token_budget", "Corpus reduces to |domains| rows via one " +
