@@ -112,6 +112,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("minhash carrySigs: every exchange corpus-linear — no distinct, no re-attach") {
+    withoutAutoBroadcast {
+      val df = graft.dedup.Dedup.minhashPairs(
+        Tables(spark, sfDir, "documents"), "doc_id", "text",
+        carrySigs = true)
+      // Unwrap AQE (the leaf-wrapper trap — see the DSIR test).
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      // The whole point of carry mode: CANDIDATE-volume (Σ cluster²)
+      // work must never reach an exchange. distinct() would appear as
+      // an aggregate over the band-multiplied join output; the sig
+      // re-attach as joins beyond the single bucket self-join. Both
+      // detonated the disk at sf10 (SCALING.md, the sf10 drill).
+      assert(plan.collect { case a: BaseAggregateExec => a }.isEmpty,
+        s"carry mode must not distinct/aggregate the candidate stream:\n$plan")
+      assert(plan.collect { case j: BaseJoinExec => j }.size == 1,
+        s"carry mode has exactly the bucket self-join, no sig re-attach:\n$plan")
+      // EVERY shuffle must key on the bucket columns (bands × sig per
+      // doc — corpus-linear). An id-keyed exchange would be the sig
+      // re-attach creeping back; a pair-keyed one the distinct. (The
+      // initial plan holds one band-keyed copy per join side —
+      // identical subtrees that ReuseExchange computes once at
+      // runtime.)
+      val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty &&
+          shuffles.forall(_.outputPartitioning.toString.contains("band_hash")),
+        s"carry mode shuffles only on the bucket key:\n$plan")
+      // The signature table is Mat'd (checkpoint barrier): its scan
+      // must be an ExistingRDD, not a recomputable parquet branch.
+      assert(plan.toString.contains("Scan ExistingRDD"),
+        s"sigs must be Mat'd (sunk-projection barrier):\n$plan")
+      assert(plan.toString.contains("earlier_band_agree"),
+        s"emit-once filter missing:\n$plan")
+    }
+  }
+
   test("simhash/embed pairs: no corpus-side broadcast") {
     withoutAutoBroadcast {
       val ps = planOf(graft.dedup.Dedup.simhashPairs(
