@@ -431,9 +431,13 @@ object SparkEntry {
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
     "q_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprint(T(s, dir, "documents"), "doc_id", "text").orderBy("fingerprint")),
+    // carrySigs: the fat-cluster-safe form (corpus-linear shuffles —
+    // SCALING.md "the sf10 drill"); identical rows to the re-attach
+    // default, measured at parity on the thin-cluster bench corpora.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
-          k = 5, numPerms = 128, bands = 16, threshold = 0.5)
+          k = 5, numPerms = 128, bands = 16, threshold = 0.5,
+          carrySigs = true)
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
