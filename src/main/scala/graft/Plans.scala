@@ -32,14 +32,14 @@ object Plans {
       "partial_topk_largest BEFORE its exchange - the shuffle carries at most " +
       "k rows per group per partition instead of every (brand, part) row " +
       "followed by a per-group sort.", false),
-    ("q_dedup_minhash", "Corpus-scale shape (auto-broadcast disabled; at sf0.1 the " +
-      "planner would stats-pick broadcast for these tiny sides - no hint involved): " +
-      "banded signature table hash-partitioned on (band_id, band_hash); the " +
-      "self-join REUSES that single exchange (signatures computed once); the " +
-      "signature re-attach joins shuffle on id. (r8: the carrySigs variant " +
-      "used by the e2e/verify pipelines instead computes est INSIDE the join " +
-      "stage and emits each pair once from its first agreeing band — no " +
-      "distinct(), no re-attach; see SCALING.md's sf10 drill.)", true),
+    ("q_dedup_minhash", "Corpus-scale shape (auto-broadcast disabled), carrySigs " +
+      "form (r8): Mat'd signature table; sig + band-hash array ride the bucket " +
+      "rows, hash-partitioned on (band_id, band_hash) — the ONE corpus-linear " +
+      "exchange, reused by both join sides. est_jaccard computes inside the " +
+      "join stage and each pair emits once from its first agreeing band " +
+      "(earlier_band_agree) — no distinct(), no per-pair signature re-attach, " +
+      "so no exchange scales with candidate volume (SCALING.md, sf10 drill). " +
+      "The thin-cluster re-attach form remains available as carrySigs=false.", true),
     ("q_dedup_ngram", "Corpus-scale shape (auto-broadcast disabled): salted " +
       "equi-join on (blk, salt) - right side carries one deterministic salt per " +
       "doc, left side replicated across salts, so parallelism is |blocks| x salts " +
