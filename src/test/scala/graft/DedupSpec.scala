@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash carrySigs emits exactly the re-attach form's rows") {
+    // The carry form must be a pure intermediate-shape change: same
+    // pairs, same est values, each pair exactly once (the emit-once
+    // filter replaces distinct()). Checked on a corpus with an exact
+    // dup (collides in ALL bands — the case distinct() existed for)
+    // plus sub-threshold docs, across two bandings.
+    for (bands <- Seq(16, 32)) {
+      val d = Dedup.minhashPairs(docs, "doc_id", "text",
+        bands = bands, threshold = 0.3, carrySigs = false)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val c = Dedup.minhashPairs(docs, "doc_id", "text",
+        bands = bands, threshold = 0.3, carrySigs = true)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(c == d, s"bands=$bands carry=$c default=$d")
+      assert(c.map(p => (p._1, p._2)).distinct.size == c.size,
+        s"bands=$bands duplicate pair emitted: $c")
+    }
+  }
+
   test("simhash: identical normalized docs have hamming 0") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .filter(col("id_a") === 1 && col("id_b") === 2)
