@@ -116,23 +116,48 @@ object Identify {
     if (dateCands.isEmpty && timeCands.isEmpty) return base
 
     val sample = df.limit(sampleSize)
-    def metricsFor(c: String): Seq[Column] = {
+    // The multi-count_distinct aggregate below plans as an Expand with
+    // one projection per distinct group. If the aggregate children were
+    // the raw parse expressions, EVERY Expand projection would carry a
+    // full copy of the parseDateFlexible when-chain — measured to blow
+    // Janino's 64KB method limit in expand_switchCaseCode (the whole
+    // stage then silently runs interpreted) and to re-parse each value
+    // once per metric. So: evaluate the heavy chains ONCE per row in a
+    // projection below the aggregate, and keep the cheap field
+    // extraction in a SECOND projection — CollapseProject will not
+    // inline the non-cheap parse chain into its six consumers, and the
+    // Expand then routes bare attributes only.
+    val cands = (dateCands ++ timeCands).distinct
+    val parsedCols = sample.select(cands.zipWithIndex.flatMap { case (c, i) =>
       // caller-supplied formats participate in validation: scoring with
       // only the defaults would REJECT the very column custom formats
       // were supplied to parse
       val parsed = Dates.parseDateFlexible(col(c), dateFormats)
+      Seq(col(c).isNotNull.as(s"nn_$i"),
+        parsed.as(s"p_$i"),
+        Dates.parseTime(col(c)).isNotNull.as(s"t_$i"))
+    }: _*)
+    val fields = parsedCols.select(cands.indices.flatMap { i =>
+      Seq(col(s"nn_$i"), col(s"t_$i"),
+        col(s"p_$i").isNotNull.as(s"np_$i"),
+        minute(col(s"p_$i")).as(s"min_$i"),
+        hour(col(s"p_$i")).as(s"hour_$i"),
+        dayofmonth(col(s"p_$i")).as(s"day_$i"),
+        month(col(s"p_$i")).as(s"mon_$i"),
+        to_date(col(s"p_$i")).as(s"date_$i"))
+    }: _*)
+    val aggCols = cands.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"n_$c"),
-        count(parsed).as(s"np_$c"),
-        count_distinct(minute(parsed)).as(s"nmin_$c"),
-        count_distinct(hour(parsed)).as(s"nhour_$c"),
-        count_distinct(dayofmonth(parsed)).as(s"nday_$c"),
-        count_distinct(month(parsed)).as(s"nmon_$c"),
-        count(Dates.parseTime(col(c))).as(s"nt_$c"),
-        count_distinct(to_date(parsed)).as(s"ndate_$c"))
+        count(when(col(s"nn_$i"), 1)).as(s"n_$c"),
+        count(when(col(s"np_$i"), 1)).as(s"np_$c"),
+        count_distinct(col(s"min_$i")).as(s"nmin_$c"),
+        count_distinct(col(s"hour_$i")).as(s"nhour_$c"),
+        count_distinct(col(s"day_$i")).as(s"nday_$c"),
+        count_distinct(col(s"mon_$i")).as(s"nmon_$c"),
+        count(when(col(s"t_$i"), 1)).as(s"nt_$c"),
+        count_distinct(col(s"date_$i")).as(s"ndate_$c"))
     }
-    val aggCols = (dateCands ++ timeCands).distinct.flatMap(metricsFor)
-    val m = sample.agg(aggCols.head, aggCols.tail: _*).head()
+    val m = fields.agg(aggCols.head, aggCols.tail: _*).head()
     def g(name: String): Long = m.getAs[Long](name)
 
     // validate_date scoring: 5 = minutes vary … 1 = parses but constant.
