@@ -229,6 +229,70 @@ object WordNgramHashImpl {
   }
 }
 
+object CleanBigramImpl {
+  /** Distinct adjacent-word bigram STRINGS of the space-split text,
+    * keeping only bigrams whose two tokens both match `\S+` — the fused
+    * form of `array_distinct(rawWordNgrams(split(t," "),2))` followed
+    * by `rlike("^\S+ \S+$")`, which ran as interpreted CodegenFallback
+    * HOFs plus a per-gram Java regex (the dominant cost of the postings
+    * stages at sf1). One byte scan: token boundaries are single 0x20
+    * bytes (safe on UTF-8 — multi-byte sequences never contain 0x20),
+    * and because the join delimiter equals the split delimiter, every
+    * emitted bigram is a CONTIGUOUS slice [start of w_i, end of
+    * w_{i+1}) of the input — no intermediate token array or string
+    * concat exists. The `\S+` check matches Java's ASCII `\s` class
+    * exactly: a token is clean iff non-empty with no 0x09–0x0D byte
+    * (0x20 cannot occur inside a token); non-ASCII whitespace
+    * (U+00A0…) is `\S` in both engines. Per-token cleanliness is
+    * computed once, not once per gram. Distinctness keeps first
+    * occurrence (consumers aggregate, so order never reaches a
+    * result). <2 tokens → empty array (the truncated single-word gram
+    * always fails `\S+ \S+`). */
+  def compute(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var prevStart = 0
+    var prevEnd = -1
+    var prevClean = false
+    var start = 0
+    var clean = true
+    var i = 0
+    while (i <= n) {
+      val c: Byte = if (i == n) 0x20 else b(i)
+      if (c == 0x20) {
+        val curClean = clean && i > start
+        if (prevEnd >= 0 && prevClean && curClean)
+          seen.add(UTF8String.fromBytes(b, prevStart, i - prevStart))
+        prevStart = start; prevEnd = i; prevClean = curClean
+        start = i + 1; clean = true
+      } else if (c >= 0x09 && c <= 0x0D) clean = false
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) { out(w) = it.next(); w += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** clean_word_bigrams(text) → array<string>: distinct adjacent-word
+  * bigrams whose tokens both match \S+ — see [[CleanBigramImpl]].
+  * NULL text → NULL (callers coalesce or explode-drop). */
+case class CleanWordBigrams(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "clean_word_bigrams"
+  override protected def nullSafeEval(input: Any): Any =
+    CleanBigramImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CleanBigramImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CleanWordBigrams =
+    copy(child = newChild)
+}
+
 /** word_ngram_hashes(text) → array<bigint>: unigram then bigram word
   * feature hashes (2n−1 entries). NULL text → NULL (callers coalesce). */
 case class WordNgramHashes(child: Expression) extends UnaryExpression
@@ -1381,6 +1445,8 @@ object GraftFunctions {
       nargs("word_ngram_hashes", 1, es); WordNgramHashes(es.head) }),
     ("word_ngram_counts", classOf[WordNgramCounts], (es: Seq[Expression]) => {
       nargs("word_ngram_counts", 1, es); WordNgramCounts(es.head) }),
+    ("clean_word_bigrams", classOf[CleanWordBigrams], (es: Seq[Expression]) => {
+      nargs("clean_word_bigrams", 1, es); CleanWordBigrams(es.head) }),
     ("word_window_hashes", classOf[WordWindowHashes], (es: Seq[Expression]) => {
       nargs("word_window_hashes", 2, es)
       WordWindowHashes(es.head, intLit("word_window_hashes", es, 1)) }),
@@ -1445,6 +1511,7 @@ object GraftFunctions {
   def bigramCounts(c: Column): Column = call_function("bigram_counts", c)
   def wordNgramHashes(c: Column): Column = call_function("word_ngram_hashes", c)
   def wordNgramCounts(c: Column): Column = call_function("word_ngram_counts", c)
+  def cleanWordBigrams(c: Column): Column = call_function("clean_word_bigrams", c)
   def earlierBandAgree(lh: Column, rh: Column, bandId: Column): Column =
     call_function("earlier_band_agree", lh, rh, bandId)
   def wordWindowHashes(c: Column, k: Int): Column =

@@ -42,32 +42,43 @@ object Rank {
                denom: Int = 25): DataFrame = {
     require(denom >= 1, s"postings: denom must be >= 1, got $denom")
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    // repartition = the projection barrier Curation.rawWordNgrams
-    // documents (CollapseProject would inline the split into the
-    // per-element gram lambda — O(len²) per row) AND the spread of the
-    // gram work off a single parquet split; grams come from the ONE
-    // shared wordNgrams helper, not an inline re-implementation.
-    val terms = docs
-      .select(col(idCol).as("doc_id"),
-        split(lower(col(textCol)), " ").as("w"))
+    // repartition spreads the gram work off the few parquet splits AND
+    // is the exchange BOTH phases reuse (same columns consumed →
+    // ReuseExchange; the scan+lower runs once). Gram generation +
+    // per-doc distinct + the ^\S+ \S+$ cleanliness filter are fused in
+    // the codegen'd clean_word_bigrams kernel — the HOF
+    // (array_distinct∘transform∘slice) + per-gram rlike form ran
+    // interpreted with three allocations per gram
+    // ([[graft.functions.CleanBigramImpl]]).
+    def gramStream = docs
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
       .repartition(parts)
-      .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
-        explode(graft.text.Curation.wordNgrams(col("w"), 2)).as("term"))
-      .filter(col("term").rlike("^\\S+ \\S+$"))
+        explode(graft.functions.GraftFunctions.cleanWordBigrams(col("t"))).as("term"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    // TWO-PHASE: df alone first, cut the hot head, then build posting
-    // lists ONLY for the surviving long-tail terms — the single-phase
-    // form materialized a corpus-sized collect_list buffer for every
-    // hot term ('of the' ≈ every doc) and then threw the row away at
-    // the filter, exactly the aggregate row the docstring forbids.
-    val tail = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    // TWO-PHASE, head-anti form. Phase 1 computes df ALONE (map-side
+    // partial counts — the exchange carries ≤ |vocab|×partitions rows,
+    // never the gram stream) and keeps only the HOT HEAD: terms with
+    // df·denom > N. The head is corpus-bounded — Σdf ≤ total grams, each
+    // head term exceeds N/denom, so |head| < denom × avg grams/doc —
+    // and is broadcast. Phase 2 re-explodes and builds df + posting
+    // list in ONE aggregate, with the head dropped by a broadcast
+    // anti-join BEFORE the shuffle. Net: the gram stream crosses ONE
+    // exchange (partial collect_list), and no hot term ever
+    // materializes a corpus-sized aggregation buffer. The previous
+    // form instead shuffle-joined the full gram stream against the
+    // (vocabulary-sized) tail df table — two gram-stream exchanges and
+    // a 14.9× sf1 proxy gap; recomputing the codegen'd explode is
+    // cheaper than materializing it (measured round 7: checkpoint
+    // read ≈ 2× the kernel re-run).
+    val head = gramStream.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .filter(col("df") * denom <= col("__n"))
-      .drop("__n")
-    terms.join(tail, "term")
-      .groupBy("term", "df")
-      .agg(array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
+      .filter(col("df") * denom > col("__n"))
+      .select("term")
+    gramStream.join(broadcast(head), Seq("term"), "left_anti")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
       .select("term", "df", "docs")
   }
 

@@ -341,4 +341,33 @@ class KernelPropertySpec extends AnyFunSuite {
       if (agreeing.nonEmpty) assert(emitted.head == agreeing.head)
     }
   }
+
+  test("CleanBigramImpl equals split+adjacent-join+distinct+regex on adversarial whitespace") {
+    import graft.functions.CleanBigramImpl
+    def naive(t: String): Seq[String] = {
+      val w = t.split(" ", -1) // keep empty tokens, like split(col, " ")
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(_.mkString(" ")).toSeq.distinct
+        .filter(_.matches("^\\S+ \\S+$"))
+    }
+    val chars = "ab \t\n\f\r " // incl. double-space chances + NBSP (\S!)
+    (1 to Trials).foreach { _ =>
+      val t = Seq.fill(rng.nextInt(40))(chars(rng.nextInt(chars.length))).mkString
+      val got = CleanBigramImpl.compute(UTF8String.fromString(t))
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == naive(t), s"text=${t.map(c => f"\\u${c.toInt}%04x")}")
+      assert(gotSeq.distinct == gotSeq)
+    }
+    // pinned cases: empty, single word, clean pair, empty token, tab token
+    assert(CleanBigramImpl.compute(UTF8String.fromString("")).numElements() == 0)
+    assert(CleanBigramImpl.compute(UTF8String.fromString("solo")).numElements() == 0)
+    val ab = CleanBigramImpl.compute(UTF8String.fromString("a b"))
+    assert(ab.numElements() == 1 && ab.getUTF8String(0).toString == "a b")
+    assert(CleanBigramImpl.compute(UTF8String.fromString("a  b")).numElements() == 0)
+    assert(CleanBigramImpl.compute(UTF8String.fromString("a\tx b")).numElements() == 0)
+    // repeated bigram dedupes; NBSP is \S so it binds
+    assert(CleanBigramImpl.compute(UTF8String.fromString("x y x y")).numElements() == 2)
+    assert(CleanBigramImpl.compute(UTF8String.fromString("a b c")).numElements() == 1)
+  }
 }
