@@ -489,17 +489,22 @@ object SparkEntry {
         concat_ws(" ", array_sort(split(col("nt"), " "))).as("nt"))
       val all = base.unionByName(perm)
       val pairs = Dedup.simhashPairs(all, "doc_id", "nt", maxHamming = 6)
-      // repartition before the two word-array joins: wa and wb shuffle
-      // on different keys (id_a / id_b), so without a shared exchange
-      // below them each side re-runs the normText + split + sort scan
-      // (measured as two identical 3 s stages at sf1). The round-robin
-      // exchange is an identical subplan in both branches, so
-      // ReuseExchange computes the word arrays once.
-      val w = all.select(col("doc_id"), array_sort(split(col("nt"), " ")).as("words"))
+      // Word-multiset agreement = equality of the sorted-word STRING,
+      // carried as ONE xxhash64 (the line-dedup fingerprint trick): the
+      // verify joins move 8 bytes per side instead of the full word
+      // arrays, and the equality check is a long compare instead of an
+      // array walk (was 9.1× the sf1 proxy carrying + comparing arrays
+      // twice). Collision risk ~1e-13 per corpus — the repo's standard
+      // fingerprint discipline, and the oracle recomputes the multiset
+      // equality exactly. repartition = the shared exchange both joins
+      // reuse (they shuffle on different keys, so without it each side
+      // re-runs the normText + split + sort scan).
+      val w = all.select(col("doc_id"),
+          xxhash64(concat_ws(" ", array_sort(split(col("nt"), " ")))).as("wh"))
         .repartition(s.sparkContext.defaultParallelism)
       pairs.join(w.as("wa"), col("id_a") === col("wa.doc_id"))
         .join(w.as("wb"), col("id_b") === col("wb.doc_id"))
-        .filter(col("wa.words") === col("wb.words"))
+        .filter(col("wa.wh") === col("wb.wh"))
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
