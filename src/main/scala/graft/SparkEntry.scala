@@ -130,6 +130,17 @@ object SparkEntry {
     "ME", "ARABIC", "MIDDLE EASTERN", "MIDDLE EAST",
     "U", "UK", "UNK", "UNKNOWN", "ZEBRA")
 
+  // scalar-age vectors for the e2e standardize pipeline: junk, zero,
+  // out-of-range, decimals on both sides of the half-even boundary
+  private val ageScalarRaws: Seq[String] = Seq(
+    "25", "0", "117", "150", "17.4", "2.5", "3.5", "-3", "UNKNOWN", "",
+    null, "44", "63.0")
+
+  /** DuckDB list literal over a raws fixture (1-based indexing at the
+    * use site: `listSql(xs)[key % n + 1]`). */
+  private def listSql(raws: Seq[String]): String =
+    raws.map(v => if (v == null) "NULL" else sqlLit(v)).mkString("[", ", ", "]")
+
   private val raceEthRaws: Seq[(String, String)] = Seq(
     ("WHITE", "HISPANIC"), ("WHITE", "NON-HISPANIC"), ("BLACK", "HISPANIC OR LATINO"),
     ("BLACK", null), ("ASIAN", "NOT HISPANIC"), (null, "HISPANIC"),
@@ -425,6 +436,40 @@ object SparkEntry {
           col("event_type").as("agency"),
           col("value"))
         .orderBy("incident_id")),
+    // The reference's flagship Table.standardize() composition in ONE
+    // oracle-pinned row: messy column NAMES (identify + role binding +
+    // content validation), messy VALUES (race/eth/gender LUTs, scalar
+    // age, US-format dates, HH:mm:ss times with nulls), the
+    // DATE+TIME→DATETIME merge, and the RE_GROUP race+eth combine —
+    // all through Standardizer.standardize over a deterministic
+    // events-derived frame. Single scan stage, no shuffle (the one
+    // bounded validation aggregate reads a 1000-row sample).
+    "q_standardize_e2e" -> ((s, dir) => {
+      def pick(raws: Seq[String], key: Column): Column =
+        element_at(array(raws.map(v => lit(v).cast("string")): _*),
+          (pmod(key, lit(raws.size)) + 1).cast("int"))
+      val raw = T(s, dir, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "MM/dd/yyyy").as("incident date"),
+        when(pmod(col("user_id"), lit(10)) === 0, lit(null).cast("string"))
+          .otherwise(date_format(col("ts"), "HH:mm:ss")).as("occurred time"),
+        pick(raceRaws, col("event_id")).as("subject race"),
+        pick(ethRaws, col("event_id")).as("subject ethnicity"),
+        pick(genderRaws, col("event_id")).as("officer gender"),
+        pick(ageScalarRaws, col("event_id")).as("subject age"),
+        col("event_type").as("department"))
+      graft.ops.Standardizer.standardize(raw).df
+        .select(col("event_id"),
+          col("DATE").as("date"), col("TIME").as("time"),
+          col("DATETIME").as("datetime"),
+          col("RACE_SUBJECT").as("race_subject"),
+          col("ETHNICITY_SUBJECT").as("ethnicity_subject"),
+          col("RE_GROUP_SUBJECT").as("re_group_subject"),
+          col("GENDER_OFFICER").as("gender_officer"),
+          col("AGE_SUBJECT").as("age_subject"),
+          col("AGENCY").as("agency"))
+        .orderBy("event_id")
+    }),
 
     // Dedup
     "q_dedup_exact" -> ((s, dir) =>
@@ -1494,6 +1539,45 @@ object SparkEntry {
       """SELECT event_id AS incident_id, CAST(ts AS DATE) AS incident_date,
         |  event_type AS agency, value
         |FROM events ORDER BY incident_id""".stripMargin,
+    "q_standardize_e2e" -> {
+      val raceCase = Luts.raceStdSql.replace("raw", "racex")
+      val ethCase = Luts.ethStdSql.replace("raw", "ethx")
+      val genderCase = Luts.genderStdSql.replace("raw", "genx")
+      val ageCase =
+        """CASE WHEN trim(agex) IS NULL
+          |       OR NOT regexp_matches(trim(agex), '^[-+]?\d+(\.\d+)?$') THEN NULL
+          |     WHEN TRY_CAST(trim(agex) AS DOUBLE) < 0
+          |       OR TRY_CAST(trim(agex) AS DOUBLE) > 120 THEN NULL
+          |     WHEN round_even(TRY_CAST(trim(agex) AS DOUBLE), 0) = 0 THEN NULL
+          |     ELSE CAST(CAST(round_even(TRY_CAST(trim(agex) AS DOUBLE), 0) AS INT) AS VARCHAR)
+          |END""".stripMargin
+      s"""WITH rr AS (SELECT event_id,
+         |    strftime(ts, '%m/%d/%Y') AS rawd,
+         |    CASE WHEN user_id % 10 = 0 THEN NULL
+         |         ELSE strftime(ts, '%H:%M:%S') END AS rawt,
+         |    ${listSql(raceRaws)}[CAST(event_id % ${raceRaws.size} AS INT) + 1] AS racex,
+         |    ${listSql(ethRaws)}[CAST(event_id % ${ethRaws.size} AS INT) + 1] AS ethx,
+         |    ${listSql(genderRaws)}[CAST(event_id % ${genderRaws.size} AS INT) + 1] AS genx,
+         |    ${listSql(ageScalarRaws)}[CAST(event_id % ${ageScalarRaws.size} AS INT) + 1] AS agex,
+         |    event_type FROM events),
+         |std AS (SELECT event_id,
+         |    strftime(try_strptime(rawd, '%m/%d/%Y'), '%Y-%m-%d') AS sdate,
+         |    rawt AS stime,
+         |    $raceCase AS race_subject,
+         |    $ethCase AS ethnicity_subject,
+         |    $genderCase AS gender_officer,
+         |    $ageCase AS age_subject,
+         |    event_type AS agency
+         |  FROM rr)
+         |SELECT event_id, sdate AS "date", stime AS "time",
+         |  coalesce(try_strptime(sdate || ' ' || stime, '%Y-%m-%d %H:%M:%S'),
+         |           try_strptime(sdate, '%Y-%m-%d')) AS datetime,
+         |  race_subject, ethnicity_subject,
+         |  CASE WHEN ethnicity_subject = 'NON-HISPANIC/NON-LATINO'
+         |       THEN race_subject ELSE ethnicity_subject END AS re_group_subject,
+         |  gender_officer, age_subject, agency
+         |FROM std ORDER BY event_id""".stripMargin
+    },
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
