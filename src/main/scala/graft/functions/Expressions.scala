@@ -619,8 +619,14 @@ case class DsirModelAgg(fc: Expression, tgt: Expression,
   * (feature → log-ratio) model map in one pass — the no-explode,
   * no-join form of `explode(counts) ⋈ broadcast(lr) → groupBy(doc)`.
   * The model map is a literal (the trained model is bounded:
-  * vocabulary-sized, or bucket-bounded in the hashed form), so the
-  * lookup table is built ONCE per executor, not per row. Log-ratios
+  * vocabulary-sized, or bucket-bounded in the hashed form). The plan
+  * deserializes one expression instance PER TASK, so the parsed lookup
+  * table is hosted in a JVM-wide companion cache keyed by a 128-bit
+  * content fingerprint — the BigDecimal parse runs once per executor;
+  * each task pays only a cheap fingerprint pass. (Unbounded
+  * vocabularies should use dsirWeightsHashed regardless: the unhashed
+  * literal map itself grows task binaries with the vocabulary.)
+  * Log-ratios
   * travel as STRINGS and are parsed to exact BigDecimals — a decimal
   * literal map would ride Spark's default (38,18) encoding and invite
   * silent rescaling; strings make exactness unconditional. The
@@ -655,16 +661,31 @@ case class DsirScore(counts: Expression, lrMap: Expression)
     val md = lrMap.eval(InternalRow.empty).asInstanceOf[MapData]
     val ks = md.keyArray().toLongArray()
     val vs = md.valueArray()
-    val m = new java.util.HashMap[Long, java.lang.Long](ks.length * 2)
+    // 128-bit order-dependent content fingerprint (two independent
+    // multiplier streams over keys + value-string hashes) — the
+    // companion cache key. Collision odds ~2^-128-ish per model pair:
+    // the repo's standard fingerprint discipline.
+    var f1 = 0x9E3779B97F4A7C15L; var f2 = 0xC2B2AE3D27D4EB4FL
     var i = 0
     while (i < ks.length) {
-      m.put(ks(i),
-        new java.math.BigDecimal(vs.getUTF8String(i).toString)
-          .setScale(15, java.math.RoundingMode.UNNECESSARY)
-          .unscaledValue().longValueExact())
+      val vh = vs.getUTF8String(i).hashCode().toLong
+      f1 = f1 * 0x100000001B3L ^ ks(i); f1 = f1 * 0x100000001B3L ^ vh
+      f2 = (f2 ^ ks(i)) * 0xFF51AFD7ED558CCDL
+      f2 = (f2 ^ vh) * 0xFF51AFD7ED558CCDL
       i += 1
     }
-    m
+    DsirScore.lutCache.computeIfAbsent((f1, f2, ks.length), _ => {
+      val m = new java.util.HashMap[Long, java.lang.Long](ks.length * 2)
+      var j = 0
+      while (j < ks.length) {
+        m.put(ks(j),
+          new java.math.BigDecimal(vs.getUTF8String(j).toString)
+            .setScale(15, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue().longValueExact())
+        j += 1
+      }
+      m
+    })
   }
   override def nullSafeEval(c: Any, ignoredLr: Any): Any = {
     val md = c.asInstanceOf[MapData]
@@ -706,6 +727,15 @@ case class DsirScore(counts: Expression, lrMap: Expression)
   }
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DsirScore = copy(counts = newLeft, lrMap = newRight)
+}
+
+object DsirScore {
+  /** Parsed model LUTs, shared across the per-task expression
+    * instances (bounded: one entry per distinct model literal in the
+    * JVM — a handful in any real run). */
+  private[functions] val lutCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int),
+      java.util.HashMap[Long, java.lang.Long]]()
 }
 
 object BigramCountsImpl {

@@ -1,18 +1,17 @@
 package graft.sources
 
-/** Minimal Compound File Binary reader + ECMA-376 Standard Encryption
-  * decryptor, for the reference's default-password Excel path
+/** Minimal Compound File Binary reader + ECMA-376 encryption
+  * decryptors, for the reference's default-password Excel path
   * (excel.py:132-150: agencies publish workbooks implicitly encrypted
   * with Excel's 'VelvetSweatshop' default; the reference opens them via
-  * msoffcrypto). Both formats are public Microsoft specs: [MS-CFB] for
+  * msoffcrypto). All formats are public Microsoft specs: [MS-CFB] for
   * the container, [MS-OFFCRYPTO] §2.3.4 for Standard Encryption
-  * (SHA-1 spin key derivation + AES-ECB package encryption). Agile
-  * encryption (4.4, the Excel 2013+ XML descriptor) and RC4 CryptoAPI
-  * are detected and fail loud — the reference's msoffcrypto handles
-  * them, but every implicitly-encrypted file Excel writes with the
-  * default password under "no password" semantics uses Standard or
-  * Agile, and Standard is the one observed in the reference's
-  * allow-listed dataset.
+  * (SHA-1 spin key derivation + AES-ECB package encryption) and
+  * §2.3.4.10 for Agile Encryption (the XML descriptor Excel 2013+
+  * writes: per-algorithm hash spin, AES-CBC with per-segment IVs,
+  * password-wrapped intermediate key). RC4 CryptoAPI and extensible
+  * schemes are detected and fail loud — legacy-writer formats the
+  * reference's allow-listed dataset never exercises.
   *
   * Everything here is driver-side, single-file work (an xlsx open),
   * never on the executor hot path.
@@ -207,12 +206,180 @@ object OffCrypto {
   private[graft] def aesEcbEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] =
     aesEcb(key, javax.crypto.Cipher.ENCRYPT_MODE, data)
 
+  // ---- Agile Encryption ([MS-OFFCRYPTO] §2.3.4.10–15) --------------------
+
+  /** Fixed per-purpose block keys (§2.3.4.13): appended to the spun
+    * password hash to derive the three password-protected keys. */
+  private val BkVerifierHashInput =
+    Array(0xfe, 0xa7, 0xd2, 0x76, 0x3b, 0x4b, 0x9e, 0x79).map(_.toByte)
+  private val BkVerifierHashValue =
+    Array(0xd7, 0xaa, 0x0f, 0x6d, 0x30, 0x61, 0x34, 0x4e).map(_.toByte)
+  private val BkKeyValue =
+    Array(0x14, 0x6e, 0x0b, 0xe7, 0xab, 0xac, 0xd0, 0xd6).map(_.toByte)
+
+  private def digestFor(xmlName: String): java.security.MessageDigest = {
+    val jce = xmlName match {
+      case "SHA1" => "SHA-1"
+      case "SHA256" => "SHA-256"
+      case "SHA384" => "SHA-384"
+      case "SHA512" => "SHA-512"
+      case other => throw new IllegalArgumentException(
+        s"offcrypto: Agile hashAlgorithm '$other' not supported " +
+          "(SHA1/SHA256/SHA384/SHA512 only)")
+    }
+    java.security.MessageDigest.getInstance(jce)
+  }
+
+  /** §2.3.4.12: keys and IVs derived from a hash are truncated to the
+    * required length, or right-padded with 0x36 when the hash is
+    * shorter. */
+  private def padTruncate(h: Array[Byte], n: Int): Array[Byte] = {
+    val out = Array.fill[Byte](n)(0x36)
+    System.arraycopy(h, 0, out, 0, math.min(h.length, n))
+    out
+  }
+
+  private def aesCbcDecrypt(key: Array[Byte], iv: Array[Byte],
+                            data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** The spun Agile password hash (§2.3.4.11): H0 = H(salt ∥ UTF-16LE
+    * password), then spinCount rounds of H(LE32(i) ∥ h). Shared by the
+    * three block-key derivations. */
+  private[graft] def agilePasswordHash(md: java.security.MessageDigest,
+                                       salt: Array[Byte], password: String,
+                                       spinCount: Int): Array[Byte] = {
+    require(spinCount >= 0 && spinCount <= 10000000,
+      s"offcrypto: unreasonable spinCount $spinCount")
+    md.reset()
+    md.update(salt)
+    md.update(password.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    var h = md.digest()
+    val it = new Array[Byte](4)
+    var i = 0
+    while (i < spinCount) {
+      it(0) = (i & 0xff).toByte
+      it(1) = ((i >> 8) & 0xff).toByte
+      it(2) = ((i >> 16) & 0xff).toByte
+      it(3) = ((i >> 24) & 0xff).toByte
+      md.reset(); md.update(it); md.update(h)
+      h = md.digest()
+      i += 1
+    }
+    h
+  }
+
+  /** Decrypt an Agile (4.4) EncryptionInfo + EncryptedPackage.
+    * EncryptionInfo = 8-byte version/flags header + UTF-8 XML
+    * descriptor; the password key-encryptor holds the verifier and the
+    * encrypted intermediate key, keyData the package cipher params.
+    * AES-CBC only (the scheme Excel writes); other ciphers/chaining
+    * modes fail loud. */
+  private def decryptAgile(info: Array[Byte], pkg: Array[Byte],
+                           password: String): Array[Byte] = {
+    val xml = new String(info, 8, info.length - 8,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)))
+    def firstByLocalName(name: String): org.w3c.dom.Element = {
+      val all = doc.getElementsByTagNameNS("*", name)
+      require(all.getLength > 0, s"offcrypto: Agile descriptor has no <$name>")
+      all.item(0).asInstanceOf[org.w3c.dom.Element]
+    }
+    def attr(e: org.w3c.dom.Element, a: String): String = {
+      val v = e.getAttribute(a)
+      require(v.nonEmpty, s"offcrypto: Agile <${e.getLocalName}> missing $a")
+      v
+    }
+    val b64 = java.util.Base64.getDecoder
+    val kd = firstByLocalName("keyData")
+    require(attr(kd, "cipherAlgorithm") == "AES" &&
+      attr(kd, "cipherChaining") == "ChainingModeCBC",
+      s"offcrypto: Agile cipher ${kd.getAttribute("cipherAlgorithm")}/" +
+        s"${kd.getAttribute("cipherChaining")} not supported (AES-CBC only)")
+    val kdSalt = b64.decode(attr(kd, "saltValue"))
+    val kdBlock = attr(kd, "blockSize").toInt
+    val kdKeyBytes = attr(kd, "keyBits").toInt / 8
+    val kdMd = digestFor(attr(kd, "hashAlgorithm"))
+
+    // the password key-encryptor's <p:encryptedKey>
+    val ek = firstByLocalName("encryptedKey")
+    require(attr(ek, "cipherAlgorithm") == "AES" &&
+      attr(ek, "cipherChaining") == "ChainingModeCBC",
+      "offcrypto: Agile password-encryptor cipher not supported (AES-CBC only)")
+    val ekSalt = b64.decode(attr(ek, "saltValue"))
+    val ekBlock = attr(ek, "blockSize").toInt
+    val ekKeyBytes = attr(ek, "keyBits").toInt / 8
+    val ekMd = digestFor(attr(ek, "hashAlgorithm"))
+    val spin = attr(ek, "spinCount").toInt
+    val encVerInput = b64.decode(attr(ek, "encryptedVerifierHashInput"))
+    val encVerValue = b64.decode(attr(ek, "encryptedVerifierHashValue"))
+    val encKeyValue = b64.decode(attr(ek, "encryptedKeyValue"))
+
+    val pwHash = agilePasswordHash(ekMd, ekSalt, password, spin)
+    def blockKey(bk: Array[Byte]): Array[Byte] = {
+      ekMd.reset(); ekMd.update(pwHash); ekMd.update(bk)
+      padTruncate(ekMd.digest(), ekKeyBytes)
+    }
+    val iv0 = padTruncate(ekSalt, ekBlock)
+    val verInput = java.util.Arrays.copyOf(
+      aesCbcDecrypt(blockKey(BkVerifierHashInput), iv0, encVerInput), ekSalt.length)
+    ekMd.reset()
+    val expectHash = ekMd.digest(verInput)
+    val verValue = java.util.Arrays.copyOf(
+      aesCbcDecrypt(blockKey(BkVerifierHashValue), iv0, encVerValue), expectHash.length)
+    if (!java.util.Arrays.equals(expectHash, verValue))
+      throw new IllegalArgumentException(
+        s"offcrypto: Agile password verifier mismatch — the workbook is " +
+          s"not encrypted with the '$password' default (a real password was set)")
+    val packageKey = java.util.Arrays.copyOf(
+      aesCbcDecrypt(blockKey(BkKeyValue), iv0, encKeyValue), kdKeyBytes)
+
+    // EncryptedPackage: u64 plaintext size, then 4096-byte segments,
+    // each CBC-decrypted with IV = H(keyData salt ∥ LE32(segment)).
+    val size = u64(pkg, 0)
+    require(size >= 0 && size <= pkg.length.toLong * 2,
+      s"offcrypto: implausible Agile package size $size")
+    val out = new java.io.ByteArrayOutputStream()
+    val Segment = 4096
+    var off = 8
+    var seg = 0
+    while (off < pkg.length && out.size() < size) {
+      val remain = pkg.length - off
+      val segLen = math.min(Segment, remain - (remain % kdBlock))
+      require(segLen > 0, s"offcrypto: Agile package has ragged tail ($remain bytes)")
+      kdMd.reset()
+      kdMd.update(kdSalt)
+      kdMd.update(Array((seg & 0xff).toByte, ((seg >> 8) & 0xff).toByte,
+        ((seg >> 16) & 0xff).toByte, ((seg >> 24) & 0xff).toByte))
+      val iv = padTruncate(kdMd.digest(), kdBlock)
+      out.write(aesCbcDecrypt(packageKey, iv,
+        java.util.Arrays.copyOfRange(pkg, off, off + segLen)))
+      off += segLen
+      seg += 1
+    }
+    val plain = out.toByteArray
+    require(size <= plain.length,
+      s"offcrypto: declared Agile package size $size exceeds payload ${plain.length}")
+    java.util.Arrays.copyOf(plain, size.toInt)
+  }
+
   /** Decrypt a CFB-wrapped encrypted OOXML package → the zip bytes.
-    * Standard Encryption only; Agile / RC4 / extensible fail loud with
-    * the scheme named. Wrong password (a file encrypted with a REAL
-    * password, not the implicit default) also fails loud — silently
-    * returning garbage zip bytes would surface as an opaque zip error
-    * three layers up. */
+    * Standard (§2.3.4) and Agile (§2.3.4.10) Encryption; RC4 CryptoAPI
+    * and extensible schemes fail loud with the scheme named. Wrong
+    * password (a file encrypted with a REAL password, not the implicit
+    * default) also fails loud — silently returning garbage zip bytes
+    * would surface as an opaque zip error three layers up. */
   def decrypt(cfbBytes: Array[Byte], password: String = DefaultPassword): Array[Byte] = {
     val ss = Cfb.streams(cfbBytes)
     val info = ss.getOrElse("EncryptionInfo",
@@ -221,8 +388,7 @@ object OffCrypto {
       throw new IllegalArgumentException("offcrypto: no EncryptedPackage stream"))
     val (vMajor, vMinor) = (u16(info, 0), u16(info, 2))
     if (vMajor == 4 && vMinor == 4)
-      throw new IllegalArgumentException(
-        "offcrypto: Agile encryption (4.4) not supported — Standard only")
+      return decryptAgile(info, pkg, password)
     require((vMajor == 2 || vMajor == 3 || vMajor == 4) && vMinor == 2,
       s"offcrypto: unsupported EncryptionInfo version $vMajor.$vMinor")
     val headerSize = u32(info, 8)

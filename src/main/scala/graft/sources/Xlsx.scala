@@ -166,6 +166,18 @@ object Xlsx {
     // magic "PK") pays one tiny read.
     val magic = readPrefix(8L)
     if (magic.length < 8 || !Cfb.isCfb(magic)) return path
+    // Cache check BEFORE the whole-file read+parse: a cache hit makes
+    // reopening an encrypted workbook cost the 8-byte sniff only (not a
+    // full CFB materialization per header/sheet/row call). The liveness
+    // check guards long-lived sessions: a tmp cleaner that removes the
+    // deleteOnExit file would otherwise surface as an opaque ZipFile
+    // error on every later open until JVM restart — re-decrypt instead.
+    val cacheKey = (f.getAbsolutePath, f.length(), f.lastModified())
+    val cached = decryptedCache.get(cacheKey)
+    if (cached != null) {
+      if (new java.io.File(cached).isFile) return cached
+      decryptedCache.remove(cacheKey, cached)
+    }
     val whole = readPrefix(f.length())
     def utf16(s: String): Array[Byte] =
       s.flatMap(c => Seq(c.toByte, 0.toByte)).toArray
@@ -177,7 +189,7 @@ object Xlsx {
       catch { case _: Exception => None } // corrupt CFB → classify by scan below
     streams match {
       case Some(ss) if ss.contains("EncryptionInfo") && ss.contains("EncryptedPackage") =>
-        decryptedCache.computeIfAbsent((f.getAbsolutePath, f.length(), f.lastModified()), _ => {
+        decryptedCache.computeIfAbsent(cacheKey, _ => {
           val zipBytes =
             try OffCrypto.decrypt(whole)
             catch {
