@@ -141,6 +141,16 @@ object Plans {
       "strings); the model is <= bucket-count rows REGARDLESS of corpus " +
       "vocabulary, so the driver-resident model application is bounded by " +
       "construction at any scale.", true),
+    ("q_postings", "Head-anti two-phase inverted index (r8): phase 1 computes " +
+      "df ALONE — its exchange carries map-side partial counts, never the gram " +
+      "stream — and keeps the hot HEAD (df·denom > N), bounded by denom × avg " +
+      "grams/doc at ANY corpus size, broadcast by HINT (survives " +
+      "auto-broadcast off). Phase 2 re-explodes from the SHARED repartition " +
+      "exchange (ReuseExchange: scan + lower run once) and drops head grams " +
+      "via the broadcast anti-join BEFORE the one collect_list exchange. Gram " +
+      "build + per-doc distinct + the \\S+ \\S+ filter fuse into the " +
+      "codegen'd clean_word_bigrams kernel — each bigram is a contiguous " +
+      "byte slice of the text.", true),
     ("q_ann_pq", "Product quantization: the codebook is a bounded 1-row " +
       "broadcast (16 vectors by construction — NOT corpus-sized); encoding " +
       "is a pure scan-stage projection; ADC scoring broadcasts only the " +

@@ -71,7 +71,12 @@ object Rank {
     // a 14.9× sf1 proxy gap; recomputing the codegen'd explode is
     // cheaper than materializing it (measured round 7: checkpoint
     // read ≈ 2× the kernel re-run).
-    val head = gramStream.groupBy("term").agg(count(lit(1)).as("df"))
+    // count(doc_id) ≡ count(1) (the id is never null) but REFERENCES
+    // doc_id, so column pruning cannot rewrite this branch's repartition
+    // subtree to a doc_id-free projection — both phases keep the
+    // IDENTICAL exchange and ReuseExchange runs the scan+kernel once
+    // (the pruning-defeats-reuse trap).
+    val head = gramStream.groupBy("term").agg(count(col("doc_id")).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") * denom > col("__n"))
       .select("term")

@@ -154,6 +154,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("postings: single head-drop broadcast anti-join, fused gram kernel") {
+    withoutAutoBroadcast {
+      val df = graft.text.Rank.postings(
+        Tables(spark, sfDir, "documents"), "doc_id", "text")
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      // The ONLY join is the head-drop anti-join: the old form
+      // shuffle-joined the full gram stream against the
+      // VOCABULARY-sized tail df table (two gram exchanges). The head
+      // is bounded (df·denom > N ⇒ |head| < denom × avg grams/doc), so
+      // its broadcast is legitimate at any corpus size — and the
+      // BroadcastExchange subtree must contain the bounding aggregate,
+      // never a raw corpus branch.
+      // (the 1-row corpus-count constant rides a BroadcastNestedLoopJoin
+      // — the repo's standard literal-broadcast shape, not a data join)
+      val joins = plan.collect { case j: BaseJoinExec => j }
+        .filterNot(_.getClass.getSimpleName.contains("NestedLoop"))
+      assert(joins.size == 1, s"exactly the head anti-join:\n$plan")
+      val bj = joins.head match {
+        case b: BroadcastHashJoinExec => b
+        case other => fail(s"head drop must be a broadcast join, got $other")
+      }
+      assert(bj.joinType.toString == "LeftAnti", s"anti-join expected:\n$plan")
+      val buildSide = bj.children(
+        if (bj.buildSide.toString.contains("Right")) 1 else 0)
+      assert(buildSide.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"broadcast side must be the AGGREGATED (bounded) head:\n$plan")
+      assert(!plan.toString.contains("CartesianProduct"))
+      // gram generation + distinct + \S-filter fused in the codegen
+      // kernel (the HOF+rlike form ran interpreted)
+      assert(plan.toString.contains("clean_word_bigrams"),
+        s"fused gram kernel missing:\n$plan")
+      assert(!plan.toString.contains("array_distinct"),
+        s"interpreted HOF distinct crept back:\n$plan")
+      // The two phases must carry the IDENTICAL repartition subtree so
+      // ReuseExchange runs the scan + gram kernel map side once —
+      // column pruning rewriting one branch doc_id-free would silently
+      // double the scan (the pruning-defeats-reuse trap).
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val rr = plan.collect {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("RoundRobin") => e
+      }
+      assert(rr.size == 2 && rr.head.sameResult(rr(1)),
+        s"phase repartitions must be reuse-identical:\n$plan")
+    }
+  }
+
   test("simhash/embed pairs: no corpus-side broadcast") {
     withoutAutoBroadcast {
       val ps = planOf(graft.dedup.Dedup.simhashPairs(
