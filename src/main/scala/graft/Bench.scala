@@ -141,8 +141,12 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { q =>
+      // core-conf overrides (SparkConf-level, unchangeable in a running
+      // context) apply here because each child is a fresh JVM
+      val coreConfs = SparkEntry.queryCoreConfs.getOrElse(q, Map.empty)
+        .map { case (k, v) => s"-D$k=$v" }.toSeq
       val pb = new ProcessBuilder(
-        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        (Seq(javaBin) ++ jvmArgs ++ coreConfs ++ Seq("-cp", cp, "graft.Bench")).asJava)
       pb.environment().put("SPARK_GRAFT_ONLY", q)
       pb.environment().put("SPARK_GRAFT_FORK", "0")
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", "/dev/null")

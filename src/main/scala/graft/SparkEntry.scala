@@ -171,6 +171,20 @@ object SparkEntry {
   val queryConfs: Map[String, Map[String, String]] = Map(
     "q_stream_joined" -> Map("spark.sql.codegen.hugeMethodLimit" -> "65535"))
 
+  /** Per-query CORE (SparkConf) overrides — confs the running context
+    * cannot change (`spark.conf.set` on them is a no-op after SparkEnv
+    * exists), so they only apply where a FRESH JVM runs the query:
+    * Bench fork mode passes them as -D args; a cluster deployment sets
+    * them on the job. In-suite runs keep the global default.
+    *
+    * q_cooccur: the 6.8 GB pair-count shuffle is single-NVMe-bound at
+    * sf10 (SCALING.md); zstd's denser shuffle blocks won the
+    * interleaved A/B by 12-29% on the clean rounds (100.4 vs 113.8 s,
+    * 79.0 vs 110.8 s). lz4 stays the global default — on CPU-bound
+    * sub-second shuffles zstd's compression cost buys nothing. */
+  val queryCoreConfs: Map[String, Map[String, String]] = Map(
+    "q_cooccur" -> Map("spark.io.compression.codec" -> "zstd"))
+
   /** Run `body` with `queryConfs(name)` applied to the session conf,
     * restoring prior values (or unsetting) afterwards. */
   def withQueryConfs[A](spark: SparkSession, name: String)(body: => A): A = {
