@@ -117,26 +117,40 @@ object Curation {
     * with a benchmark (eval-set) document — the standard pre-training
     * hygiene sweep. Returns (id, n_hits = #distinct shared n-grams).
     *
-    * Scale shape: both sides explode to (gram) rows and meet in an
-    * equi-join keyed on the gram — a hash shuffle, never a cross join.
-    * The benchmark side is small by contract but is NOT explicitly
-    * broadcast: AQE picks broadcast when it truly fits (corpus-derived
-    * build sides killed us in round 2). countDistinct is two-phase
-    * (partial per partition). At 100 TB the gram strings would be
-    * xxhash64'd before the shuffle; kept as strings here so the DuckDB
-    * oracle can join on the same key. */
+    * Scale shape: both sides explode to (gram-HASH) rows — the
+    * codegen'd word_window_hashes kernel digests each n-word window as
+    * a contiguous byte slice of the original text (join delimiter ==
+    * split delimiter), so no gram string is ever materialized and the
+    * round-robin exchange carries raw text, not split arrays (the
+    * prior transform/slice/array_join form ran as interpreted HOFs and
+    * shuffled 2.5× the bytes). The sides meet in an equi-join on the
+    * 8-byte hash — never a cross join; the benchmark side is small by
+    * contract but NOT explicitly broadcast (AQE promotes it when it
+    * truly fits — corpus-derived build sides killed us in round 2).
+    * countDistinct is two-phase (partial per partition). Hash-identity
+    * discipline as elsewhere: n_hits tolerates ~pairs²/2^65 gram-hash
+    * collisions; the bit-exact DuckDB oracle would catch one. A
+    * sub-n-word document contributes its whole text as the one
+    * truncated gram (the oracle's clamped slice), hashed by xxhash64 —
+    * truncated grams have < n words so they can never equal a full
+    * window under string semantics, and cross-algorithm hash equality
+    * is as likely as any other collision. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
-    def grams(df: DataFrame, cols: Column*): DataFrame =
-      df.select((cols :+ split(col(textCol), " ").as("w")): _*)
+    def grams(df: DataFrame, width: Int, cols: Column*): DataFrame = {
+      val h = graft.functions.GraftFunctions.wordWindowHashes(col(textCol), n)
+      df.select((cols :+ col(textCol)): _*)
         // round-robin exchange: spreads the per-row gram work off the
-        // single parquet split AND acts as the projection barrier that
-        // keeps `w` an attribute inside the n-gram lambda
-        .repartition(parts)
-        .select((cols :+ explode(wordNgrams(col("w"), n)).as("gram")): _*)
-    val benchGrams = grams(benchmark).distinct()
-    grams(corpus, col(idCol))
+        // single parquet split; the kernel runs above it on raw text
+        .repartition(width)
+        .select((cols :+ explode(
+          when(size(h) === 0, array(xxhash64(col(textCol)))).otherwise(h)).as("gram")): _*)
+    }
+    // benchmark width: small-by-contract side — full corpus width just
+    // buys 32 tasks of scheduling overhead on a few hundred docs
+    val benchGrams = grams(benchmark, math.max(parts / 4, 1)).distinct()
+    grams(corpus, parts, col(idCol))
       .join(benchGrams, "gram")
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_hits"))

@@ -140,19 +140,35 @@ object Rank {
     * ties break identically everywhere (then term asc). Returns
     * (doc_id, term, score, rnk <= k).
     *
-    * Scale shape: the corpus-sized work is the two keyed aggregates
-    * (tf, df) and their equi-join; the per-doc rank window only sees
-    * one document's distinct terms — bounded by the document length,
-    * not the corpus. N arrives as a 1-row broadcast. */
+    * Scale shape: ONE corpus-sized exchange — the raw text,
+    * hash-partitioned on the doc id. Both the tf and the df branch
+    * read that same exchange (identical column sets, so ReuseExchange
+    * keeps one copy; the naive two-branch form re-ran the
+    * explode+partial-agg scan twice — its df branch pruned the count
+    * buffer, de-canonicalizing the subtree). Partitioning on the id
+    * alone satisfies every doc-keyed clustered distribution
+    * downstream, so the (doc_id, term) tf aggregate, the per-doc
+    * dedup feeding df, AND the top-k heap all run exchange-free; the
+    * only other shuffles carry the vocabulary-bounded df partials and
+    * the k·N result rows. df joins back as an explicit broadcast
+    * (vocabulary-bounded by construction; at 100 TB a hot-head split
+    * as in [[postings]] would bound it further). */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
     require(k >= 1, s"keywords: k must be >= 1, got $k")
-    val tf = termFreqs(docs, idCol, textCol)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .repartition(parts, col("doc_id"))
+    def terms(df: DataFrame) = df.select(col("doc_id"),
+        explode(split(lower(col("__t")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms(base).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms(base).select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val consts = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("term"),
         graft.functions.Det.round4(col("tf") * log((col("n_docs") + 1) / (col("df") + 1))).as("score"))

@@ -207,6 +207,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("keywords: one shared doc-keyed corpus exchange, broadcast df, heap top-k") {
+    withoutAutoBroadcast {
+      val df = graft.text.Rank.keywords(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", k = 3)
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+      // inputPlan is pre-EnsureRequirements (explicit repartitions only);
+      // apply it so requirement-driven exchanges are visible too —
+      // the assertion below is precisely that only ONE such exchange
+      // (the vocabulary-bounded df partial) gets inserted
+      val plan = org.apache.spark.sql.execution.exchange.EnsureRequirements()(
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        })
+      // ONE corpus-sized exchange: raw text hash-partitioned on the doc
+      // id, carried identically by the tf and df branches so
+      // ReuseExchange runs the scan map side once (the old form's df
+      // branch pruned the count buffer → de-canonicalized subtree →
+      // double explode scan). The only other shuffle finishes the
+      // vocabulary-bounded df aggregate.
+      val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      val (docKeyed, rest) = shuffles.partition(
+        _.outputPartitioning.toString.contains("doc_id"))
+      assert(docKeyed.size == 2 && docKeyed.head.sameResult(docKeyed(1)),
+        s"branch repartitions must be reuse-identical:\n$plan")
+      val (single, keyed) = rest.partition(
+        _.outputPartitioning.toString.contains("SinglePartition"))
+      assert(keyed.size == 1 && keyed.head.outputPartitioning.toString.contains("term"),
+        s"only the df partial exchange may remain (plus 1-row constants):\n$plan")
+      assert(single.size <= 1, s"only the n_docs constant may single-partition:\n$plan")
+      // df joins back as an explicit broadcast of the AGGREGATED
+      // (vocabulary-bounded) side — never a raw corpus branch. (The
+      // 1-row n_docs constant rides a BroadcastNestedLoopJoin.)
+      val joins = plan.collect { case j: BaseJoinExec => j }
+        .filterNot(_.getClass.getSimpleName.contains("NestedLoop"))
+      assert(joins.size == 1, s"exactly the df join:\n$plan")
+      val bj = joins.head match {
+        case b: BroadcastHashJoinExec => b
+        case other => fail(s"df join must be broadcast, got $other")
+      }
+      val buildSide = bj.children(
+        if (bj.buildSide.toString.contains("Right")) 1 else 0)
+      assert(buildSide.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"broadcast side must be the aggregated df:\n$plan")
+      // the rank window is rewritten to the bounded-heap aggregate and
+      // runs on the doc partitioning — no exchange between join and heap
+      assert(plan.toString.contains("topk_rows"),
+        s"window top-k must rewrite to the bounded heap:\n$plan")
+    }
+  }
+
   test("simhash/embed pairs: no corpus-side broadcast") {
     withoutAutoBroadcast {
       val ps = planOf(graft.dedup.Dedup.simhashPairs(
