@@ -49,9 +49,11 @@ object Plans {
       "cell join over the embedding table; cosine codegen kernel in the join " +
       "projection.", true),
     ("q_decontaminate", "Corpus-scale shape (auto-broadcast disabled): both sides " +
-      "explode word n-grams behind a round-robin exchange (spreads the per-row " +
-      "gram work AND pins the split() behind a projection barrier), then meet in " +
-      "a hash-shuffled equi-join keyed on the gram; two-phase countDistinct.", true),
+      "explode 8-byte gram HASHES — the word_window_hashes kernel digests each " +
+      "n-word window as a contiguous byte slice above a raw-text round-robin " +
+      "exchange (no gram string, no split-array shuffle; the benchmark side gets " +
+      "a narrower exchange, small by contract) — then meet in a hash-shuffled " +
+      "equi-join keyed on the hash; two-phase countDistinct.", true),
     ("q_dedup_incremental", "Corpus-scale shape (auto-broadcast disabled): the " +
       "corpus collapses to DISTINCT fingerprints via partial aggregation, then a " +
       "left-anti join shuffled on the fingerprint - no broadcast of the " +
@@ -92,10 +94,12 @@ object Plans {
       "no exchange reuse — re-scanning pruned parquet beats materializing the " +
       "full-text shuffle); all three model tables are alphabet-bounded true " +
       "dims; decimal-exact per-doc accumulation.", false),
-    ("q_keywords", "tf and df keyed aggregates meet in a term equi-join; the " +
-      "1-row corpus constant crosses as a literal broadcast; the per-doc top-k " +
-      "compiles through TopKRewrite to a topk_rows heap keyed on doc_id — " +
-      "bounded by document length, never corpus-wide.", false),
+    ("q_keywords", "ONE corpus exchange: raw text hash-partitioned on the doc " +
+      "id, reused by the tf and df branches (identical column sets); tf, the " +
+      "per-doc dedup, and the top-k heap (TopKRewrite → topk_rows) all run " +
+      "exchange-free on that partitioning; the vocabulary-bounded df joins back " +
+      "as an explicit broadcast; the 1-row corpus constant crosses as a literal " +
+      "broadcast.", false),
     ("q_dedup_minhash_e2e", "Corpus-scale shape (auto-broadcast disabled): the " +
       "full dedup pipeline — carrySigs banded candidate join (r8: Mat'd " +
       "signature table; sig + band-hash array ride the bucket rows, so " +
