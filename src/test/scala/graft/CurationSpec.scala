@@ -100,6 +100,28 @@ class CurationSpec extends SparkSpec {
     assert(hits == Map(3L -> 1L))
   }
 
+  test("contamination: truncated grams, repeats, and delimiter fidelity (hashed path)") {
+    // the kernel path hashes byte slices — these cases pin its parity
+    // with the oracle's string semantics:
+    val corpus = Seq(
+      (1L, "a b"),                  // < n words: whole text = the one truncated gram
+      (2L, "a  b c"),               // double space = empty middle word; gram "a  b" + " b c"... byte-faithful
+      (3L, "x y z x y z x y z"),    // repeated gram: must count ONCE (countDistinct)
+      (4L, ""),                     // empty text: one "" truncated gram
+      (5L, "totally clean words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (97L, "a b"),                 // matches doc 1's truncated gram exactly
+      (98L, "x y z"),               // matches doc 3 (once)
+      (99L, "")                     // matches doc 4
+    ).toDF("doc_id", "text")
+    val hits = Curation.contamination(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 2: its 3-grams are "a  b" and " b c" (empty word kept) —
+    // neither equals bench's "a b"/"x y z" under byte-faithful split
+    assert(hits == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("contamination plan: equi-join on gram, no cartesian, no corpus broadcast") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val plan = Curation.contamination(
