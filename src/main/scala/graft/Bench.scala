@@ -140,10 +140,17 @@ object Bench {
     val qPair = "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // scale core-confs (e.g. the zstd cooccur shuffle codec) win only
+    // at the disk-bound decade and LOSE at small volumes — opt-in via
+    // SPARK_GRAFT_SCALE_CONFS=1 (measured both ways; SparkEntry scaladoc)
+    val applyScaleConfs =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_CONFS", "0") == "1"
     names.foreach { q =>
       // core-conf overrides (SparkConf-level, unchangeable in a running
       // context) apply here because each child is a fresh JVM
-      val coreConfs = SparkEntry.queryCoreConfs.getOrElse(q, Map.empty)
+      val coreConfs = (if (applyScaleConfs)
+          SparkEntry.queryCoreConfs.getOrElse(q, Map.empty)
+        else Map.empty[String, String])
         .map { case (k, v) => s"-D$k=$v" }.toSeq
       val pb = new ProcessBuilder(
         (Seq(javaBin) ++ jvmArgs ++ coreConfs ++ Seq("-cp", cp, "graft.Bench")).asJava)
