@@ -551,23 +551,20 @@ object SparkEntry {
       val perm = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", array_sort(split(col("nt"), " "))).as("nt"))
       val all = base.unionByName(perm)
-      val pairs = Dedup.simhashPairs(all, "doc_id", "nt", maxHamming = 6)
       // Word-multiset agreement = equality of the sorted-word STRING,
-      // carried as ONE xxhash64 (the line-dedup fingerprint trick): the
-      // verify joins move 8 bytes per side instead of the full word
-      // arrays, and the equality check is a long compare instead of an
-      // array walk (was 9.1× the sf1 proxy carrying + comparing arrays
-      // twice). Collision risk ~1e-13 per corpus — the repo's standard
-      // fingerprint discipline, and the oracle recomputes the multiset
-      // equality exactly. repartition = the shared exchange both joins
-      // reuse (they shuffle on different keys, so without it each side
-      // re-runs the normText + split + sort scan).
-      val w = all.select(col("doc_id"),
-          xxhash64(concat_ws(" ", array_sort(split(col("nt"), " ")))).as("wh"))
-        .repartition(s.sparkContext.defaultParallelism)
-      pairs.join(w.as("wa"), col("id_a") === col("wa.doc_id"))
-        .join(w.as("wb"), col("id_b") === col("wb.doc_id"))
-        .filter(col("wa.wh") === col("wb.wh"))
+      // carried as ONE xxhash64 (the line-dedup fingerprint trick) ON
+      // the band rows via simhashPairs(carry): the fingerprint rides
+      // the corpus-linear band exchange (8 bytes × bands per doc) and
+      // the multiset check is a long compare INSIDE the join stage —
+      // the former per-pair re-join of the corpus paid two
+      // candidate-volume exchanges (~1.8 GB at sf10 for ~30M raw
+      // candidates; 15 s of 19). Collision risk ~1e-13 per corpus —
+      // the repo's standard fingerprint discipline, and the oracle
+      // recomputes the multiset equality exactly.
+      val pairs = Dedup.simhashPairs(all, "doc_id", "nt", maxHamming = 6,
+        carry = Seq("wh" ->
+          xxhash64(concat_ws(" ", array_sort(split(col("nt"), " "))))))
+      pairs.filter(col("wh_a") === col("wh_b"))
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),

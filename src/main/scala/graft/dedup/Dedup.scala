@@ -449,23 +449,34 @@ object Dedup {
     * pairs per band. The Manku et al. (WWW'07) table-of-permutations
     * construction is the scale answer beyond h ≈ 4. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 6, bands: Int = 4,
+                   carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"simhashPairs: bands ($bands) must divide the 64-bit hash width")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val sims = docs.repartition(parts).select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim"))
+    // `carry`: per-doc columns riding the band rows into the pair
+    // output as <name>_a/<name>_b — the carrySigs architecture
+    // (minhashPairs): a consumer that would otherwise re-join the
+    // corpus per pair to fetch per-doc data pays candidate-volume
+    // exchanges (Σ cluster², ~1 GB at sf10 for the verify twin);
+    // carrying costs bands × width bytes per DOC (corpus-linear) and
+    // lets the consumer filter inside the join stage.
+    val sims = docs.repartition(parts).select(
+      col(idCol).as("id") +:
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
     val bandStructs = (0 until bands).map(b => struct(lit(b).as("band_id"),
       shiftright(col("sim"), b * width).bitwiseAND(lit(mask)).as("band_val")))
     // Hash-partition on the band key: the self-join reuses one exchange
     // (simhash computed once) and shuffles only on (band_id, band_val).
     // No broadcast hint — the banded table is corpus-sized (4 rows per
     // doc); see minhashPairs for the 100 TB rationale.
-    val banded = sims.select(col("id"), col("sim"),
-        inline(array(bandStructs: _*)))
+    val banded = sims.select(
+        col("id") +: col("sim") +: carry.map(c => col(c._1)) :+
+          inline(array(bandStructs: _*)): _*)
       .repartition(col("band_id"), col("band_val"))
     // Emit-once join instead of join→distinct (the minhashPairs move,
     // here for free: both full hashes already ride the join, so "did an
@@ -483,8 +494,10 @@ object Dedup {
         col("l.band_val") === col("r.band_val") &&
         col("l.id") < col("r.id"))
       .filter(!earlierAgree)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .select(col("l.id").as("id_a") +: col("r.id").as("id_b") +:
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming") +:
+        carry.flatMap(c => Seq(col(s"l.${c._1}").as(s"${c._1}_a"),
+          col(s"r.${c._1}").as(s"${c._1}_b"))): _*)
       // Hamming filter before anything shuffles: downstream consumers
       // only ever see true near-dup pairs, never raw band collisions.
       .filter(col("hamming") <= maxHamming)
