@@ -50,9 +50,15 @@ object Rank {
     // (array_distinct∘transform∘slice) + per-gram rlike form ran
     // interpreted with three allocations per gram
     // ([[graft.functions.CleanBigramImpl]]).
+    // hash-partition on the id, NOT round-robin: runtime stage reuse
+    // deduplicates the deterministic hash exchange (one map side, two
+    // readers — the keywords shape), where the round-robin form
+    // materialized BOTH phases' exchanges at runtime even though the
+    // pre-AQE subtrees canonicalize equal (measured: two ~9.6 MB
+    // writes at sf1, ~96 MB at sf10)
     def gramStream = docs
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
-      .repartition(parts)
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.cleanWordBigrams(col("t"))).as("term"))
     val n = docs.agg(count(lit(1)).as("__n"))

@@ -194,16 +194,22 @@ class PlanSpec extends SparkSpec {
       assert(!plan.toString.contains("array_distinct"),
         s"interpreted HOF distinct crept back:\n$plan")
       // The two phases must carry the IDENTICAL repartition subtree so
-      // ReuseExchange runs the scan + gram kernel map side once —
-      // column pruning rewriting one branch doc_id-free would silently
-      // double the scan (the pruning-defeats-reuse trap).
+      // runtime stage reuse runs the scan map side once — column
+      // pruning rewriting one branch doc_id-free would silently double
+      // the scan (the pruning-defeats-reuse trap). The exchange must
+      // be the DETERMINISTIC doc_id hash, not round-robin: the
+      // round-robin form materialized both phases' exchanges at
+      // runtime even with canonically-equal subtrees (measured, two
+      // ~9.6 MB writes at sf1).
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
       val rr = plan.collect {
         case e: ShuffleExchangeLike
-          if e.outputPartitioning.toString.contains("RoundRobin") => e
+          if e.outputPartitioning.toString.contains("doc_id") => e
       }
       assert(rr.size == 2 && rr.head.sameResult(rr(1)),
-        s"phase repartitions must be reuse-identical:\n$plan")
+        s"phase repartitions must be reuse-identical doc_id hashes:\n$plan")
+      assert(!plan.toString.contains("RoundRobin"),
+        s"postings must not round-robin (defeats runtime stage reuse):\n$plan")
     }
   }
 
