@@ -149,8 +149,10 @@ object Plans {
       "df ALONE — its exchange carries map-side partial counts, never the gram " +
       "stream — and keeps the hot HEAD (df·denom > N), bounded by denom × avg " +
       "grams/doc at ANY corpus size, broadcast by HINT (survives " +
-      "auto-broadcast off). Phase 2 re-explodes from the SHARED repartition " +
-      "exchange (ReuseExchange: scan + lower run once) and drops head grams " +
+      "auto-broadcast off). Phase 2 re-explodes from the SHARED doc_id-hash " +
+      "repartition exchange (deterministic key so AQE stage reuse " +
+      "deduplicates the map side at RUNTIME — round-robin was not reused: " +
+      "one write, two readers, verified in the stage table) and drops head grams " +
       "via the broadcast anti-join BEFORE the one collect_list exchange. Gram " +
       "build + per-doc distinct + the \\S+ \\S+ filter fuse into the " +
       "codegen'd clean_word_bigrams kernel — each bigram is a contiguous " +
