@@ -662,16 +662,24 @@ case class DsirScore(counts: Expression, lrMap: Expression)
     val ks = md.keyArray().toLongArray()
     val vs = md.valueArray()
     // 128-bit order-dependent content fingerprint (two independent
-    // multiplier streams over keys + value-string hashes) — the
-    // companion cache key. Collision odds ~2^-128-ish per model pair:
-    // the repo's standard fingerprint discipline.
+    // multiplier streams over keys + the value strings' BYTES) — the
+    // companion cache key. The value bytes feed both streams byte-wise
+    // (a single 32-bit hashCode fed into both streams would cap
+    // value discrimination at 2^-32 — a colliding pair would silently
+    // reuse the wrong parsed model). Collision odds ~2^-128-ish per
+    // model pair: the repo's standard fingerprint discipline.
     var f1 = 0x9E3779B97F4A7C15L; var f2 = 0xC2B2AE3D27D4EB4FL
     var i = 0
     while (i < ks.length) {
-      val vh = vs.getUTF8String(i).hashCode().toLong
-      f1 = f1 * 0x100000001B3L ^ ks(i); f1 = f1 * 0x100000001B3L ^ vh
+      f1 = f1 * 0x100000001B3L ^ ks(i)
       f2 = (f2 ^ ks(i)) * 0xFF51AFD7ED558CCDL
-      f2 = (f2 ^ vh) * 0xFF51AFD7ED558CCDL
+      val vb = vs.getUTF8String(i).getBytes
+      var b = 0
+      while (b < vb.length) {
+        f1 = (f1 ^ (vb(b) & 0xffL)) * 0x100000001B3L
+        f2 = (f2 + (vb(b) & 0xffL)) * 0xC2B2AE3D27D4EB4FL
+        b += 1
+      }
       i += 1
     }
     DsirScore.lutCache.computeIfAbsent((f1, f2, ks.length), _ => {

@@ -312,8 +312,28 @@ object OffCrypto {
     val kdKeyBytes = attr(kd, "keyBits").toInt / 8
     val kdMd = digestFor(attr(kd, "hashAlgorithm"))
 
-    // the password key-encryptor's <p:encryptedKey>
-    val ek = firstByLocalName("encryptedKey")
+    // The PASSWORD key-encryptor's <p:encryptedKey> — selected by the
+    // password namespace, not local name alone: a certificate
+    // keyEncryptor carries an <encryptedKey> with the same local name
+    // in its own namespace, and [MS-OFFCRYPTO] does not fix encryptor
+    // order, so a cert-first descriptor is legal for a file the
+    // default password still opens (the reference's msoffcrypto
+    // filters by the .../keyEncryptor/password uri likewise).
+    val ek = {
+      val all = doc.getElementsByTagNameNS("*", "encryptedKey")
+      val pwNs = "http://schemas.microsoft.com/office/2006/keyEncryptor/password"
+      val pw = (0 until all.getLength).map(all.item(_).asInstanceOf[org.w3c.dom.Element])
+        .find(e => pwNs == e.getNamespaceURI ||
+          // some writers hang the password encryptor off the parent
+          // <keyEncryptor uri="..."> instead of a prefixed namespace
+          Option(e.getParentNode).collect {
+            case p: org.w3c.dom.Element => p.getAttribute("uri")
+          }.contains(pwNs))
+      require(pw.isDefined,
+        "offcrypto: Agile descriptor has no password keyEncryptor " +
+          "(certificate/extensible encryptors are not supported)")
+      pw.get
+    }
     require(attr(ek, "cipherAlgorithm") == "AES" &&
       attr(ek, "cipherChaining") == "ChainingModeCBC",
       "offcrypto: Agile password-encryptor cipher not supported (AES-CBC only)")

@@ -156,9 +156,13 @@ object Rank {
     * downstream, so the (doc_id, term) tf aggregate, the per-doc
     * dedup feeding df, AND the top-k heap all run exchange-free; the
     * only other shuffles carry the vocabulary-bounded df partials and
-    * the k·N result rows. df joins back as an explicit broadcast
-    * (vocabulary-bounded by construction; at 100 TB a hot-head split
-    * as in [[postings]] would bound it further). */
+    * the k·N result rows. df joins back WITHOUT a broadcast hint: df
+    * is corpus-DERIVED (web-scale corpora grow distinct terms
+    * near-linearly for a long regime — a forced broadcast is the
+    * round-2 scale-killer, and an 8 GB+ vocabulary would abort the
+    * job where a shuffle join completes). AQE promotes the join to
+    * broadcast at runtime when df truly fits — measured here: the
+    * same single-map-side plan, no tf term-exchange materializes. */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
     require(k >= 1, s"keywords: k must be >= 1, got $k")
@@ -174,7 +178,7 @@ object Rank {
     val consts = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("term"),
         graft.functions.Det.round4(col("tf") * log((col("n_docs") + 1) / (col("df") + 1))).as("score"))

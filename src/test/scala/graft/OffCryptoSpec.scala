@@ -271,7 +271,8 @@ class OffCryptoSpec extends AnyFunSuite {
   }
 
   private def encryptAgile(zip: Array[Byte], password: String,
-                           spin: Int = 100000): (Array[Byte], Array[Byte]) = {
+                           spin: Int = 100000,
+                           certFirst: Boolean = false): (Array[Byte], Array[Byte]) = {
     val rnd = new java.util.Random(23)
     def rand(n: Int) = { val a = new Array[Byte](n); rnd.nextBytes(a); a }
     val kdSalt = rand(16); val ekSalt = rand(16)
@@ -304,6 +305,15 @@ class OffCryptoSpec extends AnyFunSuite {
       s""" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512"""" +
       s""" saltValue="${b64(kdSalt)}"/><dataIntegrity encryptedHmacKey=""""" +
       s""" encryptedHmacValue=""/><keyEncryptors>""" +
+      (if (certFirst)
+        // a certificate keyEncryptor listed BEFORE the password one —
+        // legal per [MS-OFFCRYPTO] (order unspecified); its
+        // <encryptedKey> shares the local name but lives in the
+        // certificate namespace and has no spinCount
+        """<keyEncryptor uri="http://schemas.microsoft.com/office/2006/keyEncryptor/certificate">""" +
+        """<c:encryptedKey xmlns:c="http://schemas.microsoft.com/office/2006/keyEncryptor/certificate"""" +
+        """ encryptedKeyValue="AAAA" X509Certificate="AAAA"/></keyEncryptor>"""
+      else "") +
       """<keyEncryptor uri="http://schemas.microsoft.com/office/2006/keyEncryptor/password">""" +
       s"""<p:encryptedKey spinCount="$spin" saltSize="16" blockSize="16" keyBits="256"""" +
       s""" hashSize="64" cipherAlgorithm="AES" cipherChaining="ChainingModeCBC"""" +
@@ -323,6 +333,24 @@ class OffCryptoSpec extends AnyFunSuite {
     val (info, pkg) = encryptAgile(zip, password)
     val cfb = writeCfb(Seq("EncryptionInfo" -> info, "EncryptedPackage" -> pkg))
     java.nio.file.Files.write(java.nio.file.Paths.get(encPath), cfb)
+  }
+
+  test("Agile: certificate keyEncryptor listed first is skipped, password one used") {
+    val dir = tmpDir()
+    val plain = s"$dir/plain.xlsx"
+    Xlsx.write(plain, Seq(("Sheet1",
+      Seq(Seq("a", "b"), Seq("1", "2")))))
+    val zip = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plain))
+    val (info, pkg) = encryptAgile(zip, "VelvetSweatshop", certFirst = true)
+    val enc = s"$dir/certfirst.xlsx"
+    java.nio.file.Files.write(java.nio.file.Paths.get(enc),
+      writeCfb(Seq("EncryptionInfo" -> info, "EncryptedPackage" -> pkg)))
+    // selection by local name alone would pick the certificate
+    // <encryptedKey> (no spinCount) and fail; namespace-filtered
+    // selection opens the workbook
+    val (h, r) = Xlsx.headerAndRows(enc, "Sheet1")
+    assert(h.toSeq == Seq("a", "b"))
+    assert(r.map(_.toSeq) == Seq(Seq("1", "2")))
   }
 
   test("Agile-encrypted workbook (Excel 2013+ default) opens transparently") {
