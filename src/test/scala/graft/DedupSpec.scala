@@ -237,6 +237,31 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs, "doc_id", "text", bands = 5))
   }
 
+  test("simhashPairs(carry): carried columns equal the per-pair re-join derivation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "quick the brown fox jumps over the lazy dog"),
+      (4L, "an entirely different document about physical plans")
+    ).toDF("doc_id", "text")
+    val fp = xxhash64(concat_ws(" ", array_sort(split(col("text"), " "))))
+    val carried = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64,
+        carry = Seq("wh" -> fp))
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    // derive the same values the slow way: pairs without carry,
+    // re-joined against the per-doc fingerprints
+    val w = docs.select(col("doc_id"), fp.as("wh"))
+      .as[(Long, Long)].collect().toMap
+    val plain = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, w(t._1), w(t._2)))).toMap
+    assert(carried == plain, s"carried=$carried plain=$plain")
+    assert(carried.nonEmpty)
+    // docs 1/3 are word permutations: their carried fingerprints agree
+    assert(carried.get((1L, 3L)).forall(v => v._2 == v._3))
+  }
+
   test("componentsStars: depth-10k path converges within O(log n) rounds") {
     // r4 verdict item 7: the property the stars variant buys — a path
     // graph of depth 10^4 (diameter 10^4) must converge in O(log n)
