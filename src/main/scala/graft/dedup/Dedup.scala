@@ -453,6 +453,25 @@ object Dedup {
                    carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"simhashPairs: bands ($bands) must divide the 64-bit hash width")
+    // Carry names must stay clear of the operator's working columns and
+    // the _a/_b output suffixes — a collision either trips an
+    // ambiguous-reference analysis error deep in the plan or silently
+    // shadows the internal column (same contract as tokenize's idCol
+    // guard).
+    locally {
+      val internal = Set("id", "sim", "band_id", "band_val", "hamming")
+      val outputs = Set("id_a", "id_b", "hamming")
+      carry.foreach { case (n, _) =>
+        require(!internal.contains(n),
+          s"simhashPairs: carry column '$n' collides with an internal working column " +
+            s"(reserved: ${internal.toSeq.sorted.mkString(", ")})")
+        require(!outputs.contains(n + "_a") && !outputs.contains(n + "_b"),
+          s"simhashPairs: carry column '$n' produces output '${n}_a'/'${n}_b' " +
+            "colliding with the operator's pair columns")
+      }
+      val dup = carry.groupBy(_._1).collect { case (n, cs) if cs.size > 1 => n }
+      require(dup.isEmpty, s"simhashPairs: duplicate carry names: ${dup.mkString(", ")}")
+    }
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L

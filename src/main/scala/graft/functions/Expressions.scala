@@ -243,7 +243,12 @@ object CleanBigramImpl {
     * concat exists. The `\S+` check matches Java's ASCII `\s` class
     * exactly: a token is clean iff non-empty with no 0x09–0x0D byte
     * (0x20 cannot occur inside a token); non-ASCII whitespace
-    * (U+00A0…) is `\S` in both engines. Per-token cleanliness is
+    * (U+00A0…) is `\S` in both engines. Known engine divergence: the
+    * DuckDB oracle's RE2 `\s` is [\t\n\f\r ] — it EXCLUDES vertical
+    * tab 0x0B, so a token containing 0x0B is kept by the oracle and
+    * dropped here (Java semantics). Benign on the test corpora (no
+    * 0x0B bytes); if it ever bites, normalize 0x0B out in both
+    * engines rather than widening this kernel. Per-token cleanliness is
     * computed once, not once per gram. Distinctness keeps first
     * occurrence (consumers aggregate, so order never reaches a
     * result). <2 tokens → empty array (the truncated single-word gram

@@ -362,8 +362,15 @@ object OffCrypto {
       throw new IllegalArgumentException(
         s"offcrypto: Agile password verifier mismatch — the workbook is " +
           s"not encrypted with the '$password' default (a real password was set)")
-    val packageKey = java.util.Arrays.copyOf(
-      aesCbcDecrypt(blockKey(BkKeyValue), iv0, encKeyValue), kdKeyBytes)
+    val decryptedKeyValue = aesCbcDecrypt(blockKey(BkKeyValue), iv0, encKeyValue)
+    // copyOf silently ZERO-PADS a short source; if the password
+    // encryptor's keyBits are smaller than keyData's, the "key" would
+    // be garbage and surface as an opaque zip failure three layers up.
+    require(decryptedKeyValue.length >= kdKeyBytes,
+      s"offcrypto: Agile keyEncryptor keyBits (${ekKeyBytes * 8}) decrypts to " +
+        s"${decryptedKeyValue.length} bytes, fewer than the ${kdKeyBytes * 8}-bit " +
+        "keyData cipher requires — cannot derive the package key")
+    val packageKey = java.util.Arrays.copyOf(decryptedKeyValue, kdKeyBytes)
 
     // EncryptedPackage: u64 plaintext size, then 4096-byte segments,
     // each CBC-decrypted with IV = H(keyData salt ∥ LE32(segment)).

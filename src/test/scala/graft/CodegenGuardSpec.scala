@@ -33,6 +33,24 @@ class CodegenGuardSpec extends AnyFunSuite {
     assert(CodegenGuard.failures == before)
   }
 
+  test("guard string is pinned against the bundled Spark's real Janino path") {
+    // The synthetic tests above would keep passing if a Spark upgrade
+    // reworded the log line; this one drives broken Java through the
+    // REAL CodeGenerator.compile so the event carries whatever message
+    // the bundled dependency actually emits ("Failed to compile: …" in
+    // 4.1.2, from QueryExecutionErrors.failedToCompileMsg).
+    CodegenGuard.install()
+    val before = CodegenGuard.failures
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeAndComment, CodeGenerator}
+    val bad = new CodeAndComment(
+      "public Object generate(Object[] references) { this does not parse }",
+      scala.collection.Map.empty[String, String])
+    intercept[Throwable] { CodeGenerator.compile(bad) }
+    assert(CodegenGuard.failures == before + 1,
+      "the real Janino compile failure did not reach the guard — the " +
+        "bundled Spark's log message no longer matches 'Failed to compile'")
+  }
+
   test("identify-validated aggregate compiles: the Expand repro stays fixed") {
     // The original failure: identifyColumnsValidated's count_distinct
     // Expand duplicated the parseDateFlexible chain per projection,

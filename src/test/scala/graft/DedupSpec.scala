@@ -262,6 +262,18 @@ class DedupSpec extends SparkSpec {
     assert(carried.get((1L, 3L)).forall(v => v._2 == v._3))
   }
 
+  test("simhashPairs(carry): colliding carry names are rejected up front") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    // internal working column, output pair column suffix, duplicate
+    for (bad <- Seq(Seq("sim" -> lit(1)), Seq("band_val" -> lit(1)),
+                    Seq("id" -> lit(1)),
+                    Seq("x" -> lit(1), "x" -> lit(2)))) {
+      val e = intercept[IllegalArgumentException](
+        Dedup.simhashPairs(docs, "doc_id", "text", carry = bad))
+      assert(e.getMessage.contains("carry"), e.getMessage)
+    }
+  }
+
   test("componentsStars: depth-10k path converges within O(log n) rounds") {
     // r4 verdict item 7: the property the stars variant buys — a path
     // graph of depth 10^4 (diameter 10^4) must converge in O(log n)
