@@ -1303,6 +1303,103 @@ case class KmvSketch(child: Expression, k: Int,
   }
 }
 
+/** capped_collect_longs(expr, cap) → array<bigint> of the collected
+  * values (unsorted), or NULL if the group exceeded `cap` values.
+  *
+  * The single-aggregate postings shape: pairing this with a plain
+  * `count(1)` lets one keyed aggregate produce BOTH the exact df and
+  * the posting list while keeping every aggregation buffer bounded by
+  * `cap` — a hot-head term (df > cap) stops appending at cap+… nothing:
+  * its list is abandoned (NULL) rather than materialized, so no group
+  * ever builds a corpus-sized buffer the consumer will discard anyway.
+  * Consumers MUST filter on the paired exact count (kept iff df ≤ cap);
+  * the NULL emission makes a forgotten filter loud instead of silently
+  * truncated. Completeness under partial aggregation: if the final df
+  * ≤ cap then every partial saw ≤ df ≤ cap values, so no partial ever
+  * overflowed and the merged concatenation is the complete list. */
+case class CappedCollectLongs(child: Expression, cap: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[CappedCollectLongs.Buf]
+  with ImplicitCastInputTypes {
+
+  require(cap >= 1, s"capped_collect_longs: cap must be >= 1, got $cap")
+  // one JVM array is the hard ceiling for a single list — beyond this
+  // the row-per-term posting-list SEMANTICS are unmaterializable (the
+  // sharded-blocks form in the postings scaladoc is the scale answer)
+  private val capInt: Int = math.min(cap, (Int.MaxValue - 8).toLong).toInt
+
+  override def inputTypes = Seq(LongType)
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CappedCollectLongs = copy(child = newChildren.head)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "capped_collect_longs"
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectLongs =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): CappedCollectLongs.Buf =
+    new CappedCollectLongs.Buf(new Array[Long](8), 0, false)
+
+  private def add(buf: CappedCollectLongs.Buf, v: Long): Unit =
+    if (buf.overflowed || buf.size >= capInt) buf.overflowed = true
+    else {
+      if (buf.size == buf.arr.length)
+        buf.arr = java.util.Arrays.copyOf(buf.arr,
+          math.min(capInt.toLong, buf.arr.length * 2L).toInt)
+      buf.arr(buf.size) = v
+      buf.size += 1
+    }
+
+  override def update(buf: CappedCollectLongs.Buf, input: InternalRow): CappedCollectLongs.Buf = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: CappedCollectLongs.Buf, b2: CappedCollectLongs.Buf): CappedCollectLongs.Buf = {
+    if (b2.overflowed) b1.overflowed = true
+    else {
+      var i = 0
+      while (i < b2.size && !b1.overflowed) { add(b1, b2.arr(i)); i += 1 }
+    }
+    b1
+  }
+
+  override def eval(buf: CappedCollectLongs.Buf): Any =
+    if (buf.overflowed) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf.arr, buf.size))
+
+  override def serialize(buf: CappedCollectLongs.Buf): Array[Byte] = {
+    // an overflowed buffer ships ONLY its flag — the list is dead
+    val n = if (buf.overflowed) 0 else buf.size
+    val bb = java.nio.ByteBuffer.allocate(5 + 8 * n)
+    bb.put(if (buf.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedCollectLongs.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val overflowed = bb.get() == 1.toByte
+    val n = bb.getInt
+    val arr = new Array[Long](math.max(n, 8))
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong; i += 1 }
+    new CappedCollectLongs.Buf(arr, n, overflowed)
+  }
+}
+
+object CappedCollectLongs {
+  /** Growable long buffer; `overflowed` latches once size would pass cap. */
+  final class Buf(var arr: Array[Long], var size: Int, var overflowed: Boolean)
+}
+
 /** Bloom filter kernel for runtime-filter (semi-join reduction) plans.
   * Bit placement uses Kirsch–Mitzenmacher double hashing: probe i sets
   * bit (h + i·mix(h)) & (m-1), so one 64-bit input hash drives all k
@@ -1512,6 +1609,17 @@ object GraftFunctions {
     ("winnow_fp", classOf[WinnowFp], (es: Seq[Expression]) => {
       nargs("winnow_fp", 3, es)
       WinnowFp(es.head, intLit("winnow_fp", es, 1), intLit("winnow_fp", es, 2)) }),
+    ("capped_collect_longs", classOf[CappedCollectLongs], (es: Seq[Expression]) => {
+      nargs("capped_collect_longs", 2, es)
+      val e = es(1)
+      require(e.foldable,
+        s"capped_collect_longs: cap must be a literal, got ${e.sql}")
+      val cap = e.eval() match {
+        case x: Number => x.longValue()
+        case other => throw new IllegalArgumentException(
+          s"capped_collect_longs: cap must be numeric, got $other")
+      }
+      CappedCollectLongs(es.head, cap) }),
     ("kmv_sketch", classOf[KmvSketch], (es: Seq[Expression]) => {
       nargs("kmv_sketch", 2, es)
       KmvSketch(es.head, intLit("kmv_sketch", es, 1)) }),
@@ -1572,6 +1680,8 @@ object GraftFunctions {
   def winnowFp(c: Column, k: Int, w: Int): Column =
     call_function("winnow_fp", c,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  def cappedCollectLongs(c: Column, cap: Long): Column =
+    call_function("capped_collect_longs", c, org.apache.spark.sql.functions.lit(cap))
   def kmvSketch(c: Column, k: Int): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
   def bloomAgg(c: Column, numBits: Int, numHashes: Int): Column =

@@ -41,56 +41,39 @@ object Rank {
   def postings(docs: DataFrame, idCol: String, textCol: String,
                denom: Int = 25): DataFrame = {
     require(denom >= 1, s"postings: denom must be >= 1, got $denom")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    // repartition spreads the gram work off the few parquet splits AND
-    // is the exchange BOTH phases reuse (same columns consumed →
-    // ReuseExchange; the scan+lower runs once). Gram generation +
-    // per-doc distinct + the ^\S+ \S+$ cleanliness filter are fused in
-    // the codegen'd clean_word_bigrams kernel — the HOF
-    // (array_distinct∘transform∘slice) + per-gram rlike form ran
-    // interpreted with three allocations per gram
-    // ([[graft.functions.CleanBigramImpl]]).
-    // hash-partition on the id, NOT round-robin: runtime stage reuse
-    // deduplicates the deterministic hash exchange (one map side, two
-    // readers — the keywords shape), where the round-robin form
-    // materialized BOTH phases' exchanges at runtime even though the
-    // pre-AQE subtrees canonicalize equal (measured: two ~9.6 MB
-    // writes at sf1, ~96 MB at sf10)
-    def gramStream = docs
+    // SINGLE-AGGREGATE form (round 9; supersedes the two-phase
+    // head-anti form). The driver counts the corpus once — the head
+    // cutoff becomes a PLAN parameter — and one keyed aggregate
+    // produces df and the posting list together: count(1) is the exact
+    // df; capped_collect_longs stops appending past cap = ⌊N/denom⌋,
+    // so a hot-head term abandons its list (NULL) instead of building
+    // a corpus-sized buffer, and the post-aggregate df filter keeps a
+    // term iff its list is complete (df ≤ cap ⇔ never overflowed,
+    // including across partials — see the kernel scaladoc). vs the
+    // two-phase form this deletes the df-partials exchange, the
+    // broadcast anti-join probe per gram row, AND the second reader of
+    // the gram exchange (kernel+explode ran twice under ReuseExchange;
+    // measured A/B below). Gram generation + per-doc distinct + the
+    // ^\S+ \S+$ cleanliness filter stay fused in the codegen
+    // clean_word_bigrams kernel; the repartition spreads gram work off
+    // the few parquet splits and hash-partitions on the id
+    // (deterministic, not round-robin — the AQE stage-cache trap).
+    val n = docs.count()
+    val cap = math.max(n / denom, 1L)
+    docs
       .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
       .repartition(parts, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.cleanWordBigrams(col("t"))).as("term"))
-    val n = docs.agg(count(lit(1)).as("__n"))
-    // TWO-PHASE, head-anti form. Phase 1 computes df ALONE (map-side
-    // partial counts — the exchange carries ≤ |vocab|×partitions rows,
-    // never the gram stream) and keeps only the HOT HEAD: terms with
-    // df·denom > N. The head is corpus-bounded — Σdf ≤ total grams, each
-    // head term exceeds N/denom, so |head| < denom × avg grams/doc —
-    // and is broadcast. Phase 2 re-explodes and builds df + posting
-    // list in ONE aggregate, with the head dropped by a broadcast
-    // anti-join BEFORE the shuffle. Net: the gram stream crosses ONE
-    // exchange (partial collect_list), and no hot term ever
-    // materializes a corpus-sized aggregation buffer. The previous
-    // form instead shuffle-joined the full gram stream against the
-    // (vocabulary-sized) tail df table — two gram-stream exchanges and
-    // a 14.9× sf1 proxy gap; recomputing the codegen'd explode is
-    // cheaper than materializing it (measured round 7: checkpoint
-    // read ≈ 2× the kernel re-run).
-    // count(doc_id) ≡ count(1) (the id is never null) but REFERENCES
-    // doc_id, so column pruning cannot rewrite this branch's repartition
-    // subtree to a doc_id-free projection — both phases keep the
-    // IDENTICAL exchange and ReuseExchange runs the scan+kernel once
-    // (the pruning-defeats-reuse trap).
-    val head = gramStream.groupBy("term").agg(count(col("doc_id")).as("df"))
-      .crossJoin(broadcast(n))
-      .filter(col("df") * denom > col("__n"))
-      .select("term")
-    gramStream.join(broadcast(head), Seq("term"), "left_anti")
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
-        array_join(sort_array(collect_list("doc_id")), ",").as("docs"))
-      .select("term", "df", "docs")
+        graft.functions.GraftFunctions
+          .cappedCollectLongs(col("doc_id"), cap).as("docs_arr"))
+      .filter(col("df") * denom <= lit(n))
+      .select(col("term"), col("df"),
+        array_join(sort_array(col("docs_arr")), ",").as("docs"))
   }
 
   /** Tokenizer-style vocabulary table: terms appearing in at least

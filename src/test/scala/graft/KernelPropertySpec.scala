@@ -342,6 +342,46 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CappedCollectLongs: complete iff the group fits the cap, across any partial split") {
+    import graft.functions.CappedCollectLongs
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val cap = 5L
+    val agg = CappedCollectLongs(BoundReference(0, LongType, nullable = true), cap)
+    def run(partitions: Seq[Seq[Long]]): Any = {
+      // partial buffers, serialize/deserialize round-trip, then merge —
+      // the real ObjectHashAggregate path shape
+      val partials = partitions.map { vs =>
+        val b = agg.createAggregationBuffer()
+        vs.foreach(v => agg.update(b, InternalRow(v)))
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = partials.reduceLeft(agg.merge)
+      agg.eval(merged)
+    }
+    // fits: any split of 5 values yields the complete (unordered) list
+    val vals = Seq(10L, 20L, 30L, 40L, 50L)
+    for (splitAt <- 0 to vals.length) {
+      val got = run(Seq(vals.take(splitAt), vals.drop(splitAt)))
+      assert(got != null)
+      val arr = got.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert((0 until arr.numElements()).map(arr.getLong).sorted == vals,
+        s"splitAt=$splitAt")
+    }
+    // exceeds: NULL regardless of which side overflowed
+    assert(run(Seq(Seq.fill(6)(1L), Seq.empty)) == null)
+    assert(run(Seq(Seq.fill(3)(1L), Seq.fill(3)(2L))) == null)
+    // an overflowed partial poisons the merge even into an empty buffer
+    assert(run(Seq(Seq.empty, Seq.fill(7)(9L))) == null)
+    // nulls don't count toward the cap
+    val b = agg.createAggregationBuffer()
+    (1 to 10).foreach(_ => agg.update(b, InternalRow(null)))
+    agg.update(b, InternalRow(42L))
+    val r = agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(r.numElements() == 1 && r.getLong(0) == 42L)
+  }
+
   test("CleanBigramImpl equals split+adjacent-join+distinct+regex on adversarial whitespace") {
     import graft.functions.CleanBigramImpl
     def naive(t: String): Seq[String] = {

@@ -154,38 +154,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("postings: single head-drop broadcast anti-join, fused gram kernel") {
+  test("postings: single-aggregate form — no joins, one gram exchange, capped lists") {
     withoutAutoBroadcast {
       val df = graft.text.Rank.postings(
         Tables(spark, sfDir, "documents"), "doc_id", "text")
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      // The ONLY join is the head-drop anti-join: the old form
-      // shuffle-joined the full gram stream against the
-      // VOCABULARY-sized tail df table (two gram exchanges). The head
-      // is bounded (df·denom > N ⇒ |head| < denom × avg grams/doc), so
-      // its broadcast is legitimate at any corpus size — and the
-      // BroadcastExchange subtree must contain the bounding aggregate,
-      // never a raw corpus branch.
-      // (the 1-row corpus-count constant rides a BroadcastNestedLoopJoin
-      // — the repo's standard literal-broadcast shape, not a data join)
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      // inputPlan is pre-EnsureRequirements (explicit repartitions
+      // only); apply it to see the requirement-driven agg exchange too
+      val plan = org.apache.spark.sql.execution.exchange.EnsureRequirements()(
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        })
+      // Round-9 shape: the head cutoff is a PLAN parameter (driver
+      // count), so there is NO join of any kind — no head anti-join,
+      // no df shuffle-join, no 1-row constant broadcast. One keyed
+      // aggregate produces df and the capped posting list together.
       val joins = plan.collect { case j: BaseJoinExec => j }
-        .filterNot(_.getClass.getSimpleName.contains("NestedLoop"))
-      assert(joins.size == 1, s"exactly the head anti-join:\n$plan")
-      val bj = joins.head match {
-        case b: BroadcastHashJoinExec => b
-        case other => fail(s"head drop must be a broadcast join, got $other")
-      }
-      assert(bj.joinType.toString == "LeftAnti", s"anti-join expected:\n$plan")
-      val buildSide = bj.children(
-        if (bj.buildSide.toString.contains("Right")) 1 else 0)
-      assert(buildSide.collect { case a: BaseAggregateExec => a }.nonEmpty,
-        s"broadcast side must be the AGGREGATED (bounded) head:\n$plan")
+      assert(joins.isEmpty, s"single-aggregate postings has no joins:\n$plan")
       assert(!plan.toString.contains("CartesianProduct"))
       // gram generation + distinct + \S-filter fused in the codegen
       // kernel (the HOF+rlike form ran interpreted)
@@ -193,21 +180,21 @@ class PlanSpec extends SparkSpec {
         s"fused gram kernel missing:\n$plan")
       assert(!plan.toString.contains("array_distinct"),
         s"interpreted HOF distinct crept back:\n$plan")
-      // The two phases must carry the IDENTICAL repartition subtree so
-      // runtime stage reuse runs the scan map side once — column
-      // pruning rewriting one branch doc_id-free would silently double
-      // the scan (the pruning-defeats-reuse trap). The exchange must
-      // be the DETERMINISTIC doc_id hash, not round-robin: the
-      // round-robin form materialized both phases' exchanges at
-      // runtime even with canonically-equal subtrees (measured, two
-      // ~9.6 MB writes at sf1).
+      // Hot-head lists must be abandoned inside the aggregate, never
+      // materialized: the capped kernel rides the ONE term aggregate.
+      assert(plan.toString.contains("capped_collect_longs"),
+        s"capped posting-list kernel missing:\n$plan")
+      assert(!plan.toString.contains("collect_list"),
+        s"unbounded collect_list crept back:\n$plan")
+      // Exactly two shuffles: the deterministic doc_id hash repartition
+      // (spreads gram work off the parquet splits; not round-robin —
+      // the AQE stage-cache trap) and the term aggregate exchange.
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      val rr = plan.collect {
-        case e: ShuffleExchangeLike
-          if e.outputPartitioning.toString.contains("doc_id") => e
-      }
-      assert(rr.size == 2 && rr.head.sameResult(rr(1)),
-        s"phase repartitions must be reuse-identical doc_id hashes:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size == 2,
+        s"expected doc_id repartition + term agg exchange only:\n$plan")
+      assert(shuffles.exists(_.outputPartitioning.toString.contains("doc_id")),
+        s"doc_id hash repartition missing:\n$plan")
       assert(!plan.toString.contains("RoundRobin"),
         s"postings must not round-robin (defeats runtime stage reuse):\n$plan")
     }
