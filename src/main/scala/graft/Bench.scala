@@ -69,7 +69,7 @@ object Bench {
     }
     if (reps == 1 && sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
       selected.foreach { case (name, fn) =>
-        try SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
+        try SparkEntry.withQueryConfs(spark, name) { SparkEntry.materialize(fn(spark, sfDir)) }
         catch { case _: Throwable => () }
       }
     val outcomes = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -79,7 +79,7 @@ object Bench {
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
-          SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
+          SparkEntry.withQueryConfs(spark, name) { SparkEntry.materialize(fn(spark, sfDir)) }
           times += (System.nanoTime() - t0) / 1e9
         }
         catch { case e: Throwable => err = Some(e.toString.take(200)) }
@@ -102,7 +102,7 @@ object Bench {
     val errs = outcomes.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min","drive":"materialize"}"""
     println(line)
     // The driver stores only the TAIL of the bench stdout; with 114
     // queries the single JSON line outgrows that window and the stored
@@ -183,7 +183,7 @@ object Bench {
     val errs = errors.map { case (k, e) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min","mode":"fork"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"stat":"min","mode":"fork","drive":"materialize"}"""
     println(line)
     try Files.write(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FORK.json")), (line + "\n").getBytes("UTF-8"))

@@ -55,11 +55,17 @@ object Profile {
     })
 
     val fn = SparkEntry.queries(name)
+    var last: org.apache.spark.sql.DataFrame = null
     var r = 0
     while (r < reps) {
       stages.clear()
       val t0 = System.nanoTime()
-      val n = SparkEntry.withQueryConfs(spark, name) { fn(spark, sfDir).count() }
+      // materialize, not count(): count() re-optimizes and prunes the
+      // expensive output expressions (see SparkEntry.materialize) —
+      // this tool exists to attribute REAL cost
+      val n = SparkEntry.withQueryConfs(spark, name) {
+        last = fn(spark, sfDir); SparkEntry.materialize(last)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== rep $r: $dt%.3f s, $n rows")
       // Same post-query hygiene as Bench/Verify: eager+pinned Mat
@@ -75,8 +81,13 @@ object Profile {
       }
       r += 1
     }
-    if (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1")
-      println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+    if (sys.env.getOrElse("SPARK_GRAFT_EXPLAIN", "1") == "1") {
+      // `last` was driven through its own QueryExecution (materialize),
+      // so its AdaptiveSparkPlan prints the FINAL runtime plan — AQE's
+      // actual join strategies and stage reuse, not the static guess a
+      // fresh fn() would show
+      println(last.queryExecution.explainString(FormattedMode))
+    }
     spark.stop()
   }
 }

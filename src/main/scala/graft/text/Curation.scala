@@ -169,32 +169,62 @@ object Curation {
     * dropping it silently would lose rows across a re-join on the id),
     * and empty lines count like any other line.
     *
-    * Scale shape: explode to (line) rows → one partial-aggregated count
-    * shuffle keyed on the line, an equi-join back on the same key (AQE
-    * picks the strategy — the count side is corpus-derived, so never an
-    * explicit broadcast), and one per-doc re-aggregation. At 100 TB the
-    * join key would be xxhash64(line) rather than the string; kept as
-    * the string here so the DuckDB oracle joins on the same key. */
+    * Scale shape (round 10 — the decontaminate recipe applied to the
+    * line exchange): the raw text rides ONE deterministic id-hash
+    * exchange with two readers (the line branch and the final
+    * join-back — ReuseExchange keeps one copy); only 8-byte
+    * xxhash64(line) keys + int positions ever leave the explode, so no
+    * line STRING is shuffled anywhere. The count aggregate and the
+    * line⋈count equi-join run on the hash; the count side filters to
+    * BOILERPLATE hashes (cnt ≥ minCount) before the join, so the join
+    * output and the per-doc dropped-positions aggregate carry only the
+    * hits, not the corpus. kept_text is re-derived from the original
+    * text by position (trim each line, skip the dropped positions) —
+    * the prior form shuffled every line string three times (count key,
+    * join key, per-doc collect) and sorted full (pos, line) structs.
+    * Hash-identity discipline as in [[contamination]]: a 2^-64
+    * line-hash collision conflates two distinct lines' counts; the
+    * bit-exact DuckDB oracle (which joins on the line string) would
+    * catch one. The count side is corpus-derived, so never an explicit
+    * broadcast — AQE promotes the filtered hit table when it fits. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minCount: Long): DataFrame = {
     require(minCount >= 2, s"lineDedup: minCount must be >= 2, got $minCount")
-    val lines = df
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val docs = df
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .repartition(parts, col(idCol))
+    val lines = docs
       .select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "raw")))
-      .select(col(idCol), col("pos"), trim(col("raw")).as("line"))
-    val counts = lines.groupBy("line").agg(count(lit(1)).as("__cnt"))
-    val kept = array_sort(collect_list(
-      when(col("__cnt") < minCount, struct(col("pos"), col("line")))))
-    lines.join(counts, "line")
+        posexplode(split(col("__t"), "\n")).as(Seq("pos", "raw")))
+      .select(col(idCol), col("pos"), xxhash64(trim(col("raw"))).as("lh"))
+    // count(idCol), not count(1): referencing the id keeps this branch's
+    // below-exchange projection identical to the other two readers of
+    // the raw-text exchange (the pruning-defeats-reuse trap — a pruned
+    // doc_id-free subtree would re-run the scan). Deliberate corner: a
+    // null-id doc's lines don't VOTE for boilerplate (count skips null
+    // ids) though they are still scrubbed; the id contract is non-null.
+    val boiler = lines.groupBy("lh").agg(count(col(idCol)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select("lh")
+    val dropped = lines.join(boiler, "lh")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("__cnt") >= minCount, 1L).otherwise(0L)).as("n_dropped"),
-        kept.as("__kept"))
-      .select(col(idCol), col("n_lines"), col("n_dropped"),
-        when(size(col("__kept")) === 0, lit(null).cast("string"))
-          .otherwise(array_join(transform(col("__kept"), s => s.getField("line")), "\n"))
-          .as("kept_text"))
+      .agg(count(lit(1)).as("__nd"), collect_list(col("pos")).as("__dp"))
+      .withColumnRenamed(idCol, "__rid")
+    val allTrimmed = transform(split(col("__t"), "\n"), x => trim(x))
+    val keptArr = filter(allTrimmed,
+      (_, i) => !array_contains(coalesce(col("__dp"), array().cast("array<int>")), i))
+    // null-safe join key: <=> both handles a null-id doc (it matches its
+    // own dropped group, like the old groupBy form did) AND stops the
+    // planner inferring isnotnull(id) onto the dropped side's scan —
+    // that inferred filter de-canonicalizes the exchange subtree and
+    // forfeits the three-way ReuseExchange.
+    docs.join(dropped, col(idCol) <=> col("__rid"), "left")
+      .select(col(idCol),
+        size(split(col("__t"), "\n")).cast("long").as("n_lines"),
+        coalesce(col("__nd"), lit(0L)).as("n_dropped"),
+        when(size(keptArr) === 0, lit(null).cast("string"))
+          .otherwise(array_join(keptArr, "\n")).as("kept_text"))
   }
 
   // ---- Gopher quality rules ---------------------------------------------
