@@ -9,9 +9,9 @@ package graft.sources
   * (SHA-1 spin key derivation + AES-ECB package encryption) and
   * §2.3.4.10 for Agile Encryption (the XML descriptor Excel 2013+
   * writes: per-algorithm hash spin, AES-CBC with per-segment IVs,
-  * password-wrapped intermediate key). RC4 CryptoAPI and extensible
-  * schemes are detected and fail loud — legacy-writer formats the
-  * reference's allow-listed dataset never exercises.
+  * password-wrapped intermediate key), and §2.3.5 for RC4 CryptoAPI
+  * (the ≤2003-era scheme: SHA-1 block-keyed RC4 over 512-byte
+  * blocks). Extensible/unknown schemes are detected and fail loud.
   *
   * Everything here is driver-side, single-file work (an xlsx open),
   * never on the executor hot path.
@@ -401,9 +401,104 @@ object OffCrypto {
     java.util.Arrays.copyOf(plain, size.toInt)
   }
 
+  /** RC4 keystream XOR (the public ARCFOUR algorithm). Hand-rolled so
+    * the decryptor carries no JCE-provider dependency (ARCFOUR is on
+    * deprecation lists); the spec round-trips this implementation
+    * against the JDK's independent one. Symmetric: the same call
+    * encrypts and decrypts. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** [MS-OFFCRYPTO] §2.3.5.2 RC4 CryptoAPI key derivation:
+    * H0 = SHA-1(salt ∥ UTF-16LE(password)), per-block key =
+    * SHA-1(H0 ∥ LE32(block)) truncated to keyBits/8 — EXCEPT 40-bit
+    * keys, which the spec zero-pads to 16 bytes (§2.3.5.2 step 4). */
+  private[graft] def deriveRc4CryptoApiKey(salt: Array[Byte], password: String,
+      keyBits: Int, block: Int): Array[Byte] = {
+    val h0 = sha1(salt,
+      password.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    val hBlock = sha1(h0, Array((block & 0xff).toByte,
+      ((block >> 8) & 0xff).toByte, ((block >> 16) & 0xff).toByte,
+      ((block >> 24) & 0xff).toByte))
+    if (keyBits == 40)
+      java.util.Arrays.copyOf(java.util.Arrays.copyOf(hBlock, 5), 16)
+    else java.util.Arrays.copyOf(hBlock, keyBits / 8)
+  }
+
+  /** [MS-OFFCRYPTO] §2.3.5 RC4 CryptoAPI decryption — the scheme
+    * Office ≤2003-era writers emit. Header/verifier layout is the
+    * §2.3.5.1 CryptoAPI EncryptionHeader (AlgID 0x6801); the verifier
+    * is checked with ONE block-0 RC4 stream spanning
+    * encryptedVerifier ∥ encryptedVerifierHash (stream cipher — no
+    * padding, the hash field is SHA-1's exact 20 bytes, unlike the
+    * AES path's padded 32); the payload decrypts in 512-byte blocks,
+    * the RC4 stream re-keyed per block index (§2.3.5's block layout
+    * for binary-document streams, applied to the EncryptedPackage's
+    * u64-size-prefixed payload). The BIFF record layer of real .xls
+    * files stays out of scope — the reference itself rejects .xls
+    * (excel.py:280); this closes the CRYPTO layer of msoffcrypto
+    * parity (excel.py:132-150). */
+  private def decryptRc4CryptoApi(info: Array[Byte], pkg: Array[Byte],
+      password: String, v: Int, keyBits0: Int): Array[Byte] = {
+    // §2.3.5.1: KeySize 0 means 40-bit
+    val keyBits = if (keyBits0 == 0) 40 else keyBits0
+    require(keyBits >= 40 && keyBits <= 128 && keyBits % 8 == 0,
+      s"offcrypto: RC4 CryptoAPI key size $keyBits bits outside [40,128]")
+    val saltSize = u32(info, v)
+    require(saltSize == 16, s"offcrypto: salt size $saltSize (expected 16)")
+    val salt = java.util.Arrays.copyOfRange(info, v + 4, v + 20)
+    val encVerifier = java.util.Arrays.copyOfRange(info, v + 20, v + 36)
+    val verifierHashSize = u32(info, v + 36)
+    require(verifierHashSize == 20,
+      s"offcrypto: verifier hash size $verifierHashSize (expected SHA-1's 20)")
+    val encVerifierHash = java.util.Arrays.copyOfRange(info, v + 40, v + 60)
+    val st = rc4(deriveRc4CryptoApiKey(salt, password, keyBits, 0),
+      encVerifier ++ encVerifierHash)
+    val verifier = java.util.Arrays.copyOf(st, 16)
+    val verifierHash = java.util.Arrays.copyOfRange(st, 16, 36)
+    if (!java.util.Arrays.equals(sha1(verifier), verifierHash))
+      throw new IllegalArgumentException(
+        s"offcrypto: RC4 CryptoAPI password verifier mismatch — the " +
+          s"workbook is not encrypted with the '$password' default " +
+          "(a real password was set)")
+    val size = u64(pkg, 0)
+    require(size >= 0 && size <= pkg.length.toLong - 8,
+      s"offcrypto: implausible RC4 package size $size for ${pkg.length} bytes")
+    val out = new Array[Byte](pkg.length - 8)
+    var off = 8
+    var block = 0
+    while (off < pkg.length) {
+      val len = math.min(512, pkg.length - off)
+      val dec = rc4(deriveRc4CryptoApiKey(salt, password, keyBits, block),
+        java.util.Arrays.copyOfRange(pkg, off, off + len))
+      System.arraycopy(dec, 0, out, off - 8, len)
+      off += len
+      block += 1
+    }
+    java.util.Arrays.copyOf(out, size.toInt)
+  }
+
   /** Decrypt a CFB-wrapped encrypted OOXML package → the zip bytes.
-    * Standard (§2.3.4) and Agile (§2.3.4.10) Encryption; RC4 CryptoAPI
-    * and extensible schemes fail loud with the scheme named. Wrong
+    * Standard (§2.3.4), Agile (§2.3.4.10), and RC4 CryptoAPI (§2.3.5)
+    * Encryption; extensible schemes fail loud with the scheme named. Wrong
     * password (a file encrypted with a REAL password, not the implicit
     * default) also fails loud — silently returning garbage zip bytes
     * would surface as an opaque zip error three layers up. */
@@ -423,11 +518,13 @@ object OffCrypto {
     val algId = u32(info, hdr + 8)
     val keyBits = u32(info, hdr + 16)
     val keyBytes = keyBits / 8
+    if (algId == 0x6801) // RC4 ([MS-OFFCRYPTO] §2.3.5 CryptoAPI)
+      return decryptRc4CryptoApi(info, pkg, password, hdr + headerSize, keyBits)
     val aesIds = Set(0x660E, 0x660F, 0x6610) // AES-128/192/256
     if (!aesIds.contains(algId))
       throw new IllegalArgumentException(
-        f"offcrypto: AlgID 0x$algId%04X not supported (RC4 CryptoAPI " +
-          "Standard variants are out of scope — Standard AES only)")
+        f"offcrypto: AlgID 0x$algId%04X not supported (Standard AES " +
+          "0x660E-0x6610 and RC4 CryptoAPI 0x6801 only)")
     // EncryptionVerifier follows the variable-length header
     val v = hdr + headerSize
     val saltSize = u32(info, v)

@@ -405,6 +405,115 @@ class OffCryptoSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Agile"))
   }
 
+  // ---- test-side RC4 CryptoAPI encryptor ([MS-OFFCRYPTO] §2.3.5) --------
+  // The RC4 primitive here is the JDK's ARCFOUR — an implementation
+  // independent from the main side's hand-rolled keystream.
+
+  private def jdkRc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "ARCFOUR"))
+    c.doFinal(data)
+  }
+
+  /** Independent mirror of §2.3.5.2 (incl. the 40-bit zero-pad rule). */
+  private def rc4Key(salt: Array[Byte], password: String, keyBits: Int,
+                     block: Int): Array[Byte] = {
+    val h0 = sha1(salt, password.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+    val h = sha1(h0, le32(block))
+    if (keyBits == 40) h.take(5) ++ new Array[Byte](11)
+    else h.take(keyBits / 8)
+  }
+
+  private def encryptRc4CryptoApi(zip: Array[Byte], password: String,
+      keyBits: Int, salt: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val rnd = new java.util.Random(23)
+    val verifier = new Array[Byte](16)
+    rnd.nextBytes(verifier)
+    // one block-0 stream across verifier ∥ SHA1(verifier): no padding
+    val encVer = jdkRc4(rc4Key(salt, password, keyBits, 0),
+      verifier ++ sha1(verifier))
+    val cspName = "Microsoft Base Cryptographic Provider v1.0 "
+      .getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val header = le32(0x04 /* fCryptoAPI */) ++ le32(0) ++ le32(0x6801) ++
+      le32(0x8004) ++ le32(keyBits) ++ le32(0x17) ++ le32(0) ++ le32(0) ++ cspName
+    val info = le32(0) /* version placeholder */ ++ le32(0x04) ++
+      le32(header.length) ++ header ++
+      le32(16) ++ salt ++ encVer.take(16) ++ le32(20) ++ encVer.drop(16)
+    info(0) = 3; info(1) = 0; info(2) = 2; info(3) = 0 // version 3.2
+    // 512-byte blocks, re-keyed per block index
+    val out = zip.grouped(512).zipWithIndex.map { case (chunk, b) =>
+      jdkRc4(rc4Key(salt, password, keyBits, b), chunk)
+    }.reduce(_ ++ _)
+    (info, le64(zip.length.toLong) ++ out)
+  }
+
+  private def encryptFileRc4(plainXlsx: String, encPath: String,
+      password: String, keyBits: Int): Unit = {
+    val zip = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plainXlsx))
+    val salt = new Array[Byte](16)
+    new java.util.Random(29).nextBytes(salt)
+    val (info, pkg) = encryptRc4CryptoApi(zip, password, keyBits, salt)
+    val cfb = writeCfb(Seq("EncryptionInfo" -> info, "EncryptedPackage" -> pkg))
+    java.nio.file.Files.write(java.nio.file.Paths.get(encPath), cfb)
+  }
+
+  test("rc4: hand-rolled keystream equals the JDK's ARCFOUR on random inputs") {
+    val rnd = new java.util.Random(31)
+    (1 to 20).foreach { _ =>
+      val key = new Array[Byte](5 + rnd.nextInt(12))
+      rnd.nextBytes(key)
+      val data = new Array[Byte](1 + rnd.nextInt(2000))
+      rnd.nextBytes(data)
+      assert(OffCrypto.rc4(key, data).sameElements(jdkRc4(key, data)))
+      // symmetric: decrypt(encrypt(x)) == x
+      assert(OffCrypto.rc4(key, OffCrypto.rc4(key, data)).sameElements(data))
+    }
+  }
+
+  test("rc4 key derivation: block-sensitive; 40-bit keys zero-pad to 16 bytes") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 3).toByte)
+    val k0 = OffCrypto.deriveRc4CryptoApiKey(salt, "VelvetSweatshop", 128, 0)
+    val k1 = OffCrypto.deriveRc4CryptoApiKey(salt, "VelvetSweatshop", 128, 1)
+    assert(k0.length == 16 && !k0.sameElements(k1))
+    assert(k0.sameElements(rc4Key(salt, "VelvetSweatshop", 128, 0)))
+    val k40 = OffCrypto.deriveRc4CryptoApiKey(salt, "VelvetSweatshop", 40, 0)
+    assert(k40.length == 16, "40-bit key must zero-pad to 16 bytes (§2.3.5.2)")
+    assert(k40.drop(5).forall(_ == 0) && !k40.take(5).forall(_ == 0))
+    assert(k40.take(5).sameElements(k0.take(5)))
+    assert(k40.sameElements(rc4Key(salt, "VelvetSweatshop", 40, 0)))
+  }
+
+  test("RC4 CryptoAPI workbook (Office <=2003 writers) opens transparently") {
+    for (keyBits <- Seq(40, 128)) {
+      val dir = tmpDir()
+      val plain = s"$dir/plain.xlsx"
+      // enough rows that the zip spans several 512-byte RC4 blocks —
+      // the per-block re-keying is what the round-trip must prove
+      Xlsx.write(plain, Seq(("Sheet1",
+        Seq(Seq("agency", "count")) ++
+          (1 to 200).map(i => Seq(s"Agency $i", i.toString)))))
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(plain)) > 1024)
+      val enc = s"$dir/enc.xlsx"
+      encryptFileRc4(plain, enc, "VelvetSweatshop", keyBits)
+      val (h1, r1) = Xlsx.headerAndRows(plain, "Sheet1")
+      val (h2, r2) = Xlsx.headerAndRows(enc, "Sheet1")
+      assert(h1.toSeq == h2.toSeq, s"keyBits=$keyBits")
+      assert(r1.map(_.toSeq) == r2.map(_.toSeq), s"keyBits=$keyBits")
+    }
+  }
+
+  test("RC4 CryptoAPI with a REAL password fails loud naming the default") {
+    val dir = tmpDir()
+    val plain = s"$dir/plain.xlsx"
+    Xlsx.write(plain, Seq(("Sheet1", Seq(Seq("a"), Seq("1")))))
+    val enc = s"$dir/enc.xlsx"
+    encryptFileRc4(plain, enc, "actual-secret", 128)
+    val ex = intercept[IllegalArgumentException](Xlsx.header(enc, "Sheet1"))
+    assert(ex.getMessage.contains("VelvetSweatshop"))
+    assert(ex.getMessage.contains("RC4 CryptoAPI"))
+  }
+
   test("Cfb reader: mini and regular streams both exact") {
     val small = Array.tabulate[Byte](150)(i => (i * 7).toByte)   // mini
     val big = Array.tabulate[Byte](9000)(i => (i * 13).toByte)   // FAT
