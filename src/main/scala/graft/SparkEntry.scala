@@ -589,6 +589,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    // The Manku (WWW'07) table-of-combinations construction — HARD
+    // recall to maxHamming = 6 where the 4×16 banding is best-effort
+    // past hamming 3 (DedupSpec proves completeness against all-pairs
+    // brute force and exhibits an all-bands-disagree pair only this
+    // form finds). Same verify-twin oracle design as
+    // q_dedup_simhash_verify: permuted copies are hamming-0 pairs the
+    // construction MUST find; the multiset fingerprint rides the table
+    // exchange as a carry and the oracle recomputes the multiset
+    // equality exactly — a full hash match on the hard-recall plumbing.
+    "q_dedup_simhash_manku" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.select(col("doc_id"), Dedup.normText(col("text")).as("nt"))
+      val perm = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", array_sort(split(col("nt"), " "))).as("nt"))
+      val all = base.unionByName(perm)
+      val pairs = Dedup.simhashPairsHard(all, "doc_id", "nt",
+        maxHamming = 6, blocks = 8,
+        carry = Seq("wh" ->
+          xxhash64(concat_ws(" ", array_sort(split(col("nt"), " "))))))
+      pairs.filter(col("wh_a") === col("wh_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
           blockCol = "source", n = 3, threshold = 0.6)
@@ -1641,6 +1664,22 @@ object SparkEntry {
         |WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_simhash_verify" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, nt FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_sort(string_split(nt, ' ')), ' ') FROM base),
+        |w AS (SELECT doc_id, list_sort(string_split(nt, ' ')) AS words FROM u)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM w a JOIN w b ON a.words = b.words AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Same multiset-pair oracle as q_dedup_simhash_verify: hamming-0
+    // pairs share every block, so the hard construction must emit
+    // exactly the multiset-equal set after the carry filter.
+    "q_dedup_simhash_manku" ->
       """WITH base AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
         |  FROM documents),

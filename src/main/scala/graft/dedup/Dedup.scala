@@ -522,6 +522,93 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs with a HARD recall guarantee at any
+    * `maxHamming` — the Manku et al. (WWW'07 §3) table-of-combinations
+    * construction that [[simhashPairs]]'s scaladoc names as the scale
+    * answer beyond h ≈ bands−1.
+    *
+    * Split the 64-bit hash into `blocks` equal blocks. A pair within
+    * hamming distance h has its differing bits in at most h blocks, so
+    * it AGREES on some (blocks−h)-subset of blocks (pigeonhole). One
+    * candidate table per (blocks−h)-combination, keyed on the hash
+    * MASKED to that combination's bits (block concatenation without
+    * bit-shuffling — equality of the masked hashes ⇔ all key blocks
+    * agree), makes candidate generation COMPLETE to h = maxHamming.
+    *
+    * Cost model vs widening [[simhashPairs]] bands: hard recall at h
+    * via bands needs h+1 bands of 64/(h+1) bits — at h = 6 that is
+    * 8-bit keys, 256 buckets/band, ~n²/256 candidates per band. This
+    * construction pays replication C(blocks, blocks−h) rows/doc
+    * (28 at the 8-block/h=6 default) but keys are (blocks−h)·64/blocks
+    * bits wide (16 bits → ~n²/65536 candidates per table): ~23× fewer
+    * raw candidates for 3.5× the band exchange — the right trade as
+    * soon as the corpus outgrows the bucket width, measured in
+    * SCALING.md round 10. Emission is once-per-pair from its first
+    * agreeing table ((xor & tableMask) == 0 is pure bit arithmetic —
+    * the [[simhashPairs]] emit-once move, statically unrolled over the
+    * earlier combinations); `carry` columns ride the table exchange as
+    * in [[simhashPairs]]. */
+  def simhashPairsHard(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 6, blocks: Int = 8,
+                       carry: Seq[(String, Column)] = Nil): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0,
+      s"simhashPairsHard: blocks ($blocks) must divide the 64-bit hash width")
+    require(maxHamming >= 1 && maxHamming < blocks,
+      s"simhashPairsHard: maxHamming ($maxHamming) must be in [1, blocks-1] " +
+        s"(the pigeonhole needs at least one agreeing block)")
+    val combos: Seq[Long] = (0 until blocks).combinations(blocks - maxHamming)
+      .map { c =>
+        val w = 64 / blocks
+        val blockMask = if (w == 64) -1L else (1L << w) - 1L
+        c.map(i => blockMask << (i * w)).reduce(_ | _)
+      }.toSeq
+    require(combos.size <= 256,
+      s"simhashPairsHard: C($blocks, ${blocks - maxHamming}) = ${combos.size} " +
+        "tables — replication past 256 rows/doc is a config error " +
+        "(use fewer blocks or the banded simhashPairs)")
+    locally {
+      val internal = Set("id", "sim", "tbl", "mkey", "hamming")
+      val outputs = Set("id_a", "id_b", "hamming")
+      carry.foreach { case (n, _) =>
+        require(!internal.contains(n),
+          s"simhashPairsHard: carry column '$n' collides with an internal column " +
+            s"(reserved: ${internal.toSeq.sorted.mkString(", ")})")
+        require(!outputs.contains(n + "_a") && !outputs.contains(n + "_b"),
+          s"simhashPairsHard: carry column '$n' collides with the pair outputs")
+      }
+      val dup = carry.groupBy(_._1).collect { case (n, cs) if cs.size > 1 => n }
+      require(dup.isEmpty,
+        s"simhashPairsHard: duplicate carry names: ${dup.mkString(", ")}")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val sims = docs.repartition(parts).select(
+      col(idCol).as("id") +:
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
+    val tableStructs = combos.zipWithIndex.map { case (m, t) =>
+      struct(lit(t).as("tbl"), col("sim").bitwiseAND(lit(m)).as("mkey"))
+    }
+    val banded = sims.select(
+        col("id") +: col("sim") +: carry.map(c => col(c._1)) :+
+          inline(array(tableStructs: _*)): _*)
+      .repartition(col("tbl"), col("mkey"))
+    val xor = col("l.sim").bitwiseXOR(col("r.sim"))
+    val earlierAgree = combos.indices.init.map { j =>
+      (col("l.tbl") > j) && (xor.bitwiseAND(lit(combos(j))) === 0L)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    banded.as("l").join(banded.as("r"),
+        col("l.tbl") === col("r.tbl") &&
+        col("l.mkey") === col("r.mkey") &&
+        col("l.id") < col("r.id"))
+      .filter(!earlierAgree)
+      .select(col("l.id").as("id_a") +: col("r.id").as("id_b") +:
+        bit_count(xor).as("hamming") +:
+        carry.flatMap(c => Seq(col(s"l.${c._1}").as(s"${c._1}_a"),
+          col(s"r.${c._1}").as(s"${c._1}_b"))): _*)
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- N-gram Jaccard --------------------------------------------------
 
   /** Salted self-join scaffolding shared by the blocked pair

@@ -262,6 +262,65 @@ class DedupSpec extends SparkSpec {
     assert(carried.get((1L, 3L)).forall(v => v._2 == v._3))
   }
 
+  test("simhashPairsHard (Manku): finds a pair that disagrees in EVERY band") {
+    def sim(t: String): Long = SimHashImpl.compute(UTF8String.fromString(t))
+    // a 40-word base makes a one-word append flip ~4 bits in
+    // expectation (flips need a tied bit-majority), so a short search
+    // finds a suffix whose xor has hamming in [4,6] WITH at least one
+    // differing bit in each 16-bit band — the 4×16 banding's candidate
+    // generation provably misses that pair; the 8-block hard tables
+    // must catch it (≥ 2 blocks still agree).
+    val base = (0 until 40).map(i => s"base$i").mkString(" ")
+    val adv = (1 to 20000).view.map(i => s"$base extra$i").find { t =>
+      val x = sim(base) ^ sim(t)
+      val hm = java.lang.Long.bitCount(x)
+      hm >= 4 && hm <= 6 &&
+        (0 until 4).forall(b => ((x >>> (b * 16)) & 0xffffL) != 0L)
+    }
+    assert(adv.isDefined, "no all-band-disagreeing suffix in 20000 tries")
+    val expectHm = java.lang.Long.bitCount(sim(base) ^ sim(adv.get))
+    val docs = Seq((1L, base), (2L, adv.get)).toDF("doc_id", "text")
+    val hard = Dedup.simhashPairsHard(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(hard == Seq((1L, 2L, expectHm)), s"hard=$hard expected hm=$expectHm")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+    assert(banded.isEmpty,
+      "the 4-band form found a pair that disagrees in every band?!")
+  }
+
+  test("simhashPairsHard: equals all-pairs brute force on the corpus; emits once") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val h = 6
+    val hardRows = Dedup.simhashPairsHard(docs, "doc_id", "text", maxHamming = h)
+      .as[(Long, Long, Int)].collect()
+    // emit-once: no pair appears twice across the 28 tables
+    assert(hardRows.map(r => (r._1, r._2)).distinct.length == hardRows.length)
+    val hard = hardRows.toSet
+    val sims = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("sim"))
+    val brute = sims.as("a").join(sims.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hm"))
+      .filter(col("hm") <= h)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hard == brute,
+      s"missed=${(brute -- hard).take(5)} extra=${(hard -- brute).take(5)}")
+    assert(brute.nonEmpty, "corpus has no near-dup pairs at h=6 — test is vacuous")
+    // the banded form's candidates are best-effort: must be a subset
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = h)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded.subsetOf(hard))
+    // config guards
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsHard(docs, "doc_id", "text", maxHamming = 8, blocks = 8))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsHard(docs, "doc_id", "text", maxHamming = 8, blocks = 16))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsHard(docs, "doc_id", "text", carry = Seq("sim" -> lit(1))))
+  }
+
   test("simhashPairs(carry): colliding carry names are rejected up front") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     // internal working column, output pair column suffix, duplicate
