@@ -1400,6 +1400,73 @@ object CappedCollectLongs {
   final class Buf(var arr: Array[Long], var size: Int, var overflowed: Boolean)
 }
 
+/** parse_date_flexible(str, formatsNl — newline-joined; formats may contain commas) → timestamp: the
+  * [[graft.ops.Dates.parseDateFlexible]] chain as ONE expression node.
+  * Exists for PLAN size, not semantics — the chain is a ~150-node tree
+  * the Standardizer instantiates per candidate column; see
+  * [[DateParseImpl]] for the fidelity contract (format parsing
+  * delegates to Spark's own TimestampFormatter; DatesKernelSpec pins
+  * kernel ≡ chain). Session-zone aware like try_to_timestamp. */
+case class ParseDateFlexibleExpr(child: Expression, formatsNl: String,
+    timeZoneId: Option[String] = None)
+  extends UnaryExpression with TimeZoneAwareExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_date_flexible"
+  override def withTimeZone(timeZoneId: String): ParseDateFlexibleExpr =
+    copy(timeZoneId = Some(timeZoneId))
+  override protected def withNewChildInternal(newChild: Expression): ParseDateFlexibleExpr =
+    copy(child = newChild)
+  @transient private lazy val impl =
+    new DateParseImpl(formatsNl.split('\n').toSeq, zoneId)
+  override protected def nullSafeEval(input: Any): Any =
+    impl.parse(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("dateParseImpl", impl,
+      classOf[DateParseImpl].getName)
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("parsed")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${childGen.isNull}) {
+        java.lang.Long $r = $ref.parse(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r.longValue(); }
+      }""")
+  }
+}
+
+/** parse_time_std(str) → "HH:mm:ss" string or null: the
+  * [[graft.ops.Dates.parseTime]] chain as one node — see
+  * [[TimeParseImpl]] and [[ParseDateFlexibleExpr]] for why. */
+case class ParseTimeStd(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_time_std"
+  override protected def withNewChildInternal(newChild: Expression): ParseTimeStd =
+    copy(child = newChild)
+  override protected def nullSafeEval(input: Any): Any =
+    TimeParseImpl.parse(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val r = ctx.freshName("parsedTime")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        UTF8String $r = graft.functions.TimeParseImpl.parse(${childGen.value});
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      }""")
+  }
+}
+
 /** Bloom filter kernel for runtime-filter (semi-join reduction) plans.
   * Bit placement uses Kirsch–Mitzenmacher double hashing: probe i sets
   * bit (h + i·mix(h)) & (m-1), so one 64-bit input hash drives all k
@@ -1609,6 +1676,14 @@ object GraftFunctions {
     ("winnow_fp", classOf[WinnowFp], (es: Seq[Expression]) => {
       nargs("winnow_fp", 3, es)
       WinnowFp(es.head, intLit("winnow_fp", es, 1), intLit("winnow_fp", es, 2)) }),
+    ("parse_date_flexible", classOf[ParseDateFlexibleExpr], (es: Seq[Expression]) => {
+      nargs("parse_date_flexible", 2, es)
+      val f = es(1)
+      require(f.foldable && f.dataType == StringType,
+        s"parse_date_flexible: formats must be a string literal, got ${f.sql}")
+      ParseDateFlexibleExpr(es.head, f.eval().toString) }),
+    ("parse_time_std", classOf[ParseTimeStd], (es: Seq[Expression]) => {
+      nargs("parse_time_std", 1, es); ParseTimeStd(es.head) }),
     ("capped_collect_longs", classOf[CappedCollectLongs], (es: Seq[Expression]) => {
       nargs("capped_collect_longs", 2, es)
       val e = es(1)
@@ -1680,6 +1755,10 @@ object GraftFunctions {
   def winnowFp(c: Column, k: Int, w: Int): Column =
     call_function("winnow_fp", c,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  def parseDateFlexible(c: Column, formats: Seq[String]): Column =
+    call_function("parse_date_flexible", c,
+      org.apache.spark.sql.functions.lit(formats.mkString("\n")))
+  def parseTimeStd(c: Column): Column = call_function("parse_time_std", c)
   def cappedCollectLongs(c: Column, cap: Long): Column =
     call_function("capped_collect_longs", c, org.apache.spark.sql.functions.lit(cap))
   def kmvSketch(c: Column, k: Int): Column =

@@ -110,6 +110,7 @@ object Identify {
                                sampleSize: Int = 1000,
                                minParseRate: Double = 0.5,
                                dateFormats: Seq[String] = Dates.defaultFormats): Map[String, String] = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val base = identifyColumns(df, known)
     val dateCands = if (known.contains("DATE")) Nil else candidatesFor(df, "DATE")
     val timeCands = if (known.contains("TIME")) Nil else candidatesFor(df, "TIME")
@@ -132,10 +133,15 @@ object Identify {
       // caller-supplied formats participate in validation: scoring with
       // only the defaults would REJECT the very column custom formats
       // were supplied to parse
-      val parsed = Dates.parseDateFlexible(col(c), dateFormats)
+      // kernel renderers, not the Column chains: this projection is
+      // instantiated once per CANDIDATE column, and the ~150-node
+      // chains made Catalyst analysis + per-stage Janino the dominant
+      // standardize() cost (SCALING.md round 10). Kernel == chain is
+      // pinned by DatesKernelSpec.
+      val parsed = graft.functions.GraftFunctions.parseDateFlexible(col(c), dateFormats)
       Seq(col(c).isNotNull.as(s"nn_$i"),
         parsed.as(s"p_$i"),
-        Dates.parseTime(col(c)).isNotNull.as(s"t_$i"))
+        graft.functions.GraftFunctions.parseTimeStd(col(c)).isNotNull.as(s"t_$i"))
     }: _*)
     val fields = parsedCols.select(cands.indices.flatMap { i =>
       Seq(col(s"nn_$i"), col(s"t_$i"),

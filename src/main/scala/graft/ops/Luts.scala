@@ -71,6 +71,55 @@ object Luts {
     }
   }
 
+  /** Render rules with the exact-vocabulary fast path: every plain
+    * (non-noSpace) InSet value is resolved ONCE at plan-build time by
+    * [[rulesEval]] — so cross-rule precedence (an earlier contains/regex
+    * rule shadowing a later set member, or a veto emptying a value's
+    * answer) is baked into each entry — and the whole vocabulary
+    * becomes ONE foldable map literal probed with try_element_at; only
+    * the contains/startswith/regex/noSpace residue stays as a
+    * when-chain. Equivalent to [[rulesToColumn]] by construction
+    * (property-pinned in OpsSpec): a map hit IS the rulesEval answer;
+    * a miss means no plain InSet matcher can fire, so stripping them
+    * from anyOf is semantics-preserving, and a rule whose anyOf
+    * empties can only ever fire on map keys and drops out. noSpace
+    * InSets stay in the chain because their key space (any string
+    * whose space-stripped form is in the set) is not enumerable.
+    *
+    * The motivation is PLAN size, not only row cost: the cleaned `x`
+    * callers pass is itself a sizeable regex-chain tree that the
+    * when-chain re-inlines once per matcher reference; this form
+    * references it twice. Measured on q_standardize_e2e's driver-side
+    * plan time in SCALING.md round 10. */
+  def rulesToColumnLut(rules: Seq[Rule], x: Column, orig: Column): Column = {
+    val exact: Seq[(String, String)] = for {
+      r <- rules
+      m <- r.anyOf
+      vals <- (m match {
+        case InSet(vs, false) => Some(vs)
+        case _ => None
+      }).toSeq
+      v <- vals
+      out <- rulesEval(rules, v).toSeq
+    } yield v -> out
+    val residual = rules.flatMap { r =>
+      val rest = r.anyOf.filterNot {
+        case InSet(_, false) => true
+        case _ => false
+      }
+      if (rest.isEmpty) None else Some(r.copy(anyOf = rest))
+    }
+    val chain = rulesToColumn(residual, x, orig)
+    if (exact.isEmpty) chain
+    else coalesce(try_element_at(typedLit(exact.toMap), x), chain)
+  }
+
+  /** One-expression rendering of a per-source code table: map hit →
+    * phrase, miss → the raw column (the when-chain per code paid one
+    * tree node set per code). */
+  private[ops] def codesToColumn(codes: Seq[(String, String)], raw: Column): Column =
+    coalesce(try_element_at(typedLit(codes.toMap), trim(upper(raw))), raw)
+
   // ---- Scala evaluator (third renderer) --------------------------------
 
   // compiled-pattern cache: rulesEval runs once per accumulated token
@@ -323,11 +372,7 @@ object Luts {
     * behave exactly like [[raceStd]]. */
   def raceStdForSource(raw: Column, source: String, noId: String = "keep"): Column = {
     val expanded = sourceRaceCodes.get(source) match {
-      case Some(codes) =>
-        val key = trim(upper(raw))
-        codes.foldRight(raw) { case ((code, phrase), acc) =>
-          when(key === code, lit(phrase)).otherwise(acc)
-        }
+      case Some(codes) => codesToColumn(codes, raw)
       case None => raw
     }
     raceStd(expanded, noId)
@@ -368,11 +413,7 @@ object Luts {
   /** Source-aware gender standardization (codes expand first). */
   def genderStdForSource(raw: Column, source: String, noId: String = "keep"): Column = {
     val expanded = sourceGenderCodes.get(source) match {
-      case Some(codes) =>
-        val key = trim(upper(raw))
-        codes.foldRight(raw) { case ((code, phrase), acc) =>
-          when(key === code, lit(phrase)).otherwise(acc)
-        }
+      case Some(codes) => codesToColumn(codes, raw)
       case None => raw
     }
     genderStd(expanded, noId)
@@ -389,7 +430,7 @@ object Luts {
   /** raw → OFFICER / SUBJECT / UNSPECIFIED (data.py person-type roles). */
   def roleStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(roleRules, trim(upper(raw)), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(roleRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
   // ---- Injury vocabulary -----------------------------------------------
 
@@ -489,7 +530,7 @@ object Luts {
     * other LUT (_create_ethnicity_lut raises under no_id="error"). */
   def ethStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(ethRules, cleanRace(raw), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(ethRules, cleanRace(raw), noIdFallback(raw, noId)))
 
   // ---- End-to-end column builders + matching oracle SQL ----------------
 
@@ -508,27 +549,27 @@ object Luts {
   /** raw → standardized race category (null → UNSPECIFIED). */
   def raceStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(raceRules, cleanRaceFull(raw), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(raceRules, cleanRaceFull(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized gender category (null → UNSPECIFIED). */
   def genderStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(genderRules, cleanGender(raw), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(genderRules, cleanGender(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized injury category (null → UNSPECIFIED). */
   def injuryStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(injuryRules, cleanInjury(raw), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(injuryRules, cleanInjury(raw), noIdFallback(raw, noId)))
 
   /** raw → FATAL yes/no category (_converters.py:853). */
   def fatalStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(fatalRules, trim(upper(raw)), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(fatalRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
   /** raw → firearm yes/no category (_converters.py:884). */
   def firearmStd(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
-      .otherwise(rulesToColumn(firearmRules, trim(upper(raw)), noIdFallback(raw, noId)))
+      .otherwise(rulesToColumnLut(firearmRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
   /** Matching oracle SQL expressions over a column literally named `raw`. */
   def raceStdSql: String =

@@ -77,6 +77,7 @@ object Standardizer {
                   raceCats: Map[String, String] = Map.empty,
                   ethCats: Map[String, String] = Map.empty,
                   genderCats: Map[String, String] = Map.empty): Result = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     require(Seq("merge", "concat", "false").contains(raceEthCombo),
       s"raceEthCombo must be merge|concat|false, got $raceEthCombo")
     val colMap =
@@ -111,8 +112,10 @@ object Standardizer {
         }
         // date-only canonical string ("yyyy-MM-dd") so the DATETIME
         // merge below can re-parse it with the default formats
-        case "DATE"      => Dates.parseDateFlexible(src, dateFormats).cast("date").cast("string") -> "date_parse"
-        case "TIME"      => Dates.parseTime(src) -> "time_parse"
+        // kernels (one node per parse; DatesKernelSpec pins == chain)
+        case "DATE"      => graft.functions.GraftFunctions
+          .parseDateFlexible(src, dateFormats).cast("date").cast("string") -> "date_parse"
+        case "TIME"      => graft.functions.GraftFunctions.parseTimeStd(src) -> "time_parse"
         case _           => src -> "rename"
       }
 

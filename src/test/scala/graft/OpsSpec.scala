@@ -47,6 +47,37 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v == cases(k), s"for '$k'") }
   }
 
+  test("rulesToColumnLut equals the plain when-chain on vocab, noise, and near-misses") {
+    import graft.ops.Luts
+    import graft.ops.Luts.{ContainsAny, InSet, Rule}
+    val ruleSets = Seq(
+      "race" -> Luts.raceRules, "gender" -> Luts.genderRules,
+      "eth" -> Luts.ethRules, "injury" -> Luts.injuryRules,
+      "fatal" -> Luts.fatalRules, "firearm" -> Luts.firearmRules,
+      "role" -> Luts.roleRules)
+    for ((label, rules) <- ruleSets) {
+      // every exact vocab value, every contains-substring (fires the
+      // residual path), mutations that miss the map but graze matchers,
+      // plus generic junk and the empty string
+      val vocab = rules.flatMap(_.anyOf).flatMap {
+        case InSet(vs, _) => vs
+        case ContainsAny(ss, _) => ss.map(s => s"PRE $s POST")
+        case _ => Nil
+      }
+      val probes = (vocab ++ vocab.map(_ + " X") ++ vocab.map("Z" + _) ++
+        Seq("", " ", "GARBAGE", "NO DATA HERE", "1", "X Y Z")).distinct
+      val df = probes.toDF("x")
+      val got = df.select(
+          Luts.rulesToColumnLut(rules, col("x"), lit("ORIG")).as("lut"),
+          Luts.rulesToColumn(rules, col("x"), lit("ORIG")).as("chain"))
+        .collect()
+      probes.zip(got).foreach { case (p, row) =>
+        assert(row.getString(0) == row.getString(1),
+          s"$label diverges on '$p': lut=${row.getString(0)} chain=${row.getString(1)}")
+      }
+    }
+  }
+
   test("race agg fallbacks and per-source code tables") {
     val agg = Map("CHINESE" -> "ASIAN", "SAMOAN" -> "HAWAIIAN/PACIFIC ISLANDER",
       "WHITE HISPANIC" -> "HISPANIC/LATINO", "MEXICAN" -> "HISPANIC/LATINO",
