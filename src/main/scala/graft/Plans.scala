@@ -74,10 +74,15 @@ object Plans {
       "interval join bucketed on the hour - intervals explode to their covering " +
       "buckets, probes key to one bucket, hash join on the bucket with exact " +
       "[start,end) containment as the join filter; never a cartesian product.", true),
-    ("q_line_dedup", "Corpus-scale shape (auto-broadcast disabled): lines " +
-      "explode once, line counts partial-aggregate before their shuffle, the " +
-      "count folds back via a hash equi-join on the line, one per-doc " +
-      "re-aggregation - no corpus-side broadcast anywhere.", true),
+    ("q_line_dedup", "Corpus-scale shape (auto-broadcast disabled, r10 " +
+      "hash-keyed form): the raw text rides ONE deterministic id-hash " +
+      "exchange (three readers via ReuseExchange — the null-safe <=> " +
+      "join-back and the count(idCol) trick keep the subtrees " +
+      "canonicalization-identical); only 8-byte xxhash64(line) keys + int " +
+      "positions leave the explode, the boilerplate table filters to " +
+      "cnt >= minCount BEFORE its join, and kept_text re-derives from the " +
+      "original text by dropped position. No line STRING is shuffled " +
+      "anywhere; no corpus-side broadcast.", true),
     ("q_dedup_semantic", "Corpus-scale shape (auto-broadcast disabled): " +
       "cell-blocked salted cosine pair join (reused from q_dedup_embed) plus a " +
       "left-anti fold of the removal set, both shuffled equi-joins.", true),
@@ -145,18 +150,17 @@ object Plans {
       "strings); the model is <= bucket-count rows REGARDLESS of corpus " +
       "vocabulary, so the driver-resident model application is bounded by " +
       "construction at any scale.", true),
-    ("q_postings", "Head-anti two-phase inverted index (r8): phase 1 computes " +
-      "df ALONE — its exchange carries map-side partial counts, never the gram " +
-      "stream — and keeps the hot HEAD (df·denom > N), bounded by denom × avg " +
-      "grams/doc at ANY corpus size, broadcast by HINT (survives " +
-      "auto-broadcast off). Phase 2 re-explodes from the SHARED doc_id-hash " +
-      "repartition exchange (deterministic key so AQE stage reuse " +
-      "deduplicates the map side at RUNTIME — round-robin was not reused: " +
-      "one write, two readers, verified in the stage table) and drops head grams " +
-      "via the broadcast anti-join BEFORE the one collect_list exchange. Gram " +
-      "build + per-doc distinct + the \\S+ \\S+ filter fuse into the " +
-      "codegen'd clean_word_bigrams kernel — each bigram is a contiguous " +
-      "byte slice of the text.", true),
+    ("q_postings", "Single-aggregate inverted index (r10): the head cutoff " +
+      "is a PLAN parameter (one driver count), so there are ZERO joins — one " +
+      "deterministic doc_id-hash repartition spreads gram work off the " +
+      "parquet splits, and ONE keyed aggregate emits df (count(1)) and the " +
+      "posting list (capped_collect_longs, cap = N/denom) together: a " +
+      "hot-head term abandons its list at the cap (NULL) instead of " +
+      "building a corpus-sized buffer, and the exact post-aggregate df " +
+      "filter keeps a term iff its list is provably complete. Gram build + " +
+      "per-doc distinct + the cleanliness filter fuse into the codegen'd " +
+      "clean_word_bigrams kernel — each bigram is a contiguous byte slice " +
+      "of the text.", true),
     ("q_ann_pq", "Product quantization: the codebook is a bounded 1-row " +
       "broadcast (16 vectors by construction — NOT corpus-sized); encoding " +
       "is a pure scan-stage projection; ADC scoring broadcasts only the " +
