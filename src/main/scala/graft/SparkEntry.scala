@@ -497,6 +497,10 @@ object SparkEntry {
         pick(genderRaws, col("event_id")).as("officer gender"),
         pick(ageScalarRaws, col("event_id")).as("subject age"),
         col("event_type").as("department"))
+        // deterministic id-hash repartition: the regex-heavy std
+        // projection otherwise runs on the raw frame's 2 parquet
+        // splits (15.5 s × 2-task stages at sf0.1, measured round 10)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
       graft.ops.Standardizer.standardize(raw).df
         .select(col("event_id"),
           col("DATE").as("date"), col("TIME").as("time"),
