@@ -1400,6 +1400,57 @@ object CappedCollectLongs {
   final class Buf(var arr: Array[Long], var size: Int, var overflowed: Boolean)
 }
 
+/** quantize_int8(array<double>) → struct(scale double, q array<byte>):
+  * symmetric int8 quantization, scale = max|x|/127 (0-vector → scale 1),
+  * q = floor(x/scale + 0.5) — exactly-specified IEEE ops so the SQL
+  * oracle agrees on every boundary. Kernel because the declarative form
+  * (aggregate + transform HOFs) runs interpreted AND re-inlines the
+  * whole maxAbs aggregate into every element's lambda (CollapseProject)
+  * — O(dim²) interpreted work per row, 4.9 s for 50k×64 vectors at sf1
+  * where this kernel is a scan-stage pass (SCALING.md round 10).
+  * Null elements: skipped for the scale, null in q (the HOF form's
+  * semantics). */
+case class QuantizeInt8(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(org.apache.spark.sql.types.ByteType,
+      containsNull = true), nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "quantize_int8"
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeInt8Impl.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeInt8Impl.compute($c)")
+}
+
+object QuantizeInt8Impl {
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(arr.getDouble(i))
+        if (a > maxAbs) maxAbs = a
+      }
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        q(i) = math.floor(arr.getDouble(i) / scale + 0.5).toByte
+      i += 1
+    }
+    InternalRow(scale, new GenericArrayData(q))
+  }
+}
+
 /** parse_date_flexible(str, formatsNl — newline-joined; formats may contain commas) → timestamp: the
   * [[graft.ops.Dates.parseDateFlexible]] chain as ONE expression node.
   * Exists for PLAN size, not semantics — the chain is a ~150-node tree
@@ -1684,6 +1735,8 @@ object GraftFunctions {
       ParseDateFlexibleExpr(es.head, f.eval().toString) }),
     ("parse_time_std", classOf[ParseTimeStd], (es: Seq[Expression]) => {
       nargs("parse_time_std", 1, es); ParseTimeStd(es.head) }),
+    ("quantize_int8", classOf[QuantizeInt8], (es: Seq[Expression]) => {
+      nargs("quantize_int8", 1, es); QuantizeInt8(es.head) }),
     ("capped_collect_longs", classOf[CappedCollectLongs], (es: Seq[Expression]) => {
       nargs("capped_collect_longs", 2, es)
       val e = es(1)
@@ -1759,6 +1812,7 @@ object GraftFunctions {
     call_function("parse_date_flexible", c,
       org.apache.spark.sql.functions.lit(formats.mkString("\n")))
   def parseTimeStd(c: Column): Column = call_function("parse_time_std", c)
+  def quantizeInt8(c: Column): Column = call_function("quantize_int8", c)
   def cappedCollectLongs(c: Column, cap: Long): Column =
     call_function("capped_collect_longs", c, org.apache.spark.sql.functions.lit(cap))
   def kmvSketch(c: Column, k: Int): Column =

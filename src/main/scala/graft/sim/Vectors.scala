@@ -21,8 +21,16 @@ object Vectors {
   }
 
   /** Symmetric int8 quantization: scale = max|x| / 127; returns a
-    * struct(scale double, q array<byte>). */
-  def quantizeInt8(vec: Column): Column = {
+    * struct(scale double, q array<byte>). Kernel-rendered
+    * ([[graft.functions.QuantizeInt8]]): the HOF form ran interpreted
+    * with the maxAbs aggregate re-inlined into every element lambda —
+    * O(dim²) per row; [[quantizeInt8Decl]] keeps that form as the
+    * spec's reference twin. */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.GraftFunctions.quantizeInt8(asDouble(vec))
+
+  /** Declarative reference form of [[quantizeInt8]] (spec twin only). */
+  private[graft] def quantizeInt8Decl(vec: Column): Column = {
     val v = asDouble(vec)
     val maxAbs = aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x)))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)

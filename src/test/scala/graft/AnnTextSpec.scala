@@ -76,6 +76,24 @@ class AnnTextSpec extends SparkSpec {
     }
   }
 
+  test("quantize_int8 kernel equals the declarative HOF form on the embeddings table") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = graft.sources.Tables(spark, sfDir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select("vec_id", "embedding")
+      .union(Seq(Array(0f, 0f), Array(1f, -127f), Array(0.005f, -0.005f))
+        .toDF("embedding")
+        .select(lit(-1L).as("vec_id"), col("embedding")))
+    def render(q: org.apache.spark.sql.Column) = vecs.select(
+        q.getField("scale").as("s"),
+        concat_ws(",", transform(q.getField("q"), x => x.cast("string"))).as("qc"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    val kernel = render(graft.sim.Vectors.quantizeInt8(col("embedding")))
+    val decl = render(graft.sim.Vectors.quantizeInt8Decl(col("embedding")))
+    assert(kernel == decl)
+    assert(kernel.nonEmpty)
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the hat", "el gato es un gato", "zzz qqq").toDF("text")
     val got = df.select(TextStats.langId(col("text"))).as[String].collect()
