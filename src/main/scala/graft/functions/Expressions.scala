@@ -1451,6 +1451,92 @@ object QuantizeInt8Impl {
   }
 }
 
+/** text_quality_stats(text, stopsCsv) → struct(n_words, punct, stops):
+  * one pass over the bytes replacing three interpreted constructs in
+  * the quality score — size(split) for the word count,
+  * regexp_extract_all("[^A-Za-z0-9 ]") materializing a match ARRAY
+  * just to count it, and the HOF filter+isin stopword counter that ran
+  * O(words × |list|) interpreted (6.6 s for 50k docs at sf1; kernel is
+  * a scan-stage pass). Semantics mirrored from the declarative form
+  * (spec-pinned in AnnTextSpec): n_words = split(t," ") segment count
+  * (spaces+1, trailing empties kept); punct counts CODE POINTS outside
+  * [A-Za-z0-9 ] (every non-ASCII code point counts once, like the
+  * regex); stops counts space-tokens of lower(t) equal to a stopword,
+  * with multiplicity — ASCII case-fold only, which is exact here
+  * because a token can only equal an ASCII stopword if it is ASCII. */
+case class TextQualityStats(child: Expression, stopsCsv: String)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("punct", LongType, nullable = false),
+    StructField("stops", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "text_quality_stats"
+  override protected def withNewChildInternal(newChild: Expression): TextQualityStats =
+    copy(child = newChild)
+  @transient private lazy val impl = new TextQualityStatsImpl(stopsCsv)
+  override protected def nullSafeEval(input: Any): Any =
+    impl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityStatsImpl", impl,
+      classOf[TextQualityStatsImpl].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+}
+
+final class TextQualityStatsImpl(stopsCsv: String) extends Serializable {
+  // stopwords as ASCII byte arrays, bucketed by length (lists are tiny)
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopsCsv.split(',').foreach(w => if (w.nonEmpty) s.add(w))
+    s
+  }
+  @transient private lazy val maxStopLen: Int =
+    stopsCsv.split(',').map(_.length).foldLeft(0)(math.max)
+  def compute(text: UTF8String): InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    var words = 1L
+    var punct = 0L
+    var stops = 0L
+    var i = 0
+    var tokStart = 0
+    while (i <= n) {
+      val c: Int = if (i == n) 0x20 else b(i) & 0xff
+      if (c == 0x20) {
+        if (i < n) words += 1
+        if (i > tokStart && i - tokStart <= maxStopLen) {
+          // candidate token: ASCII-lowercase fold in place
+          val sb = new java.lang.StringBuilder(i - tokStart)
+          var j = tokStart
+          var ascii = true
+          while (j < i && ascii) {
+            val t = b(j) & 0xff
+            if (t >= 0x80) ascii = false
+            else sb.append((if (t >= 'A' && t <= 'Z') t + 32 else t).toChar)
+            j += 1
+          }
+          if (ascii && stopSet.contains(sb.toString)) stops += 1
+        }
+        tokStart = i + 1
+        i += 1
+      } else if (c < 0x80) {
+        val isWordChar = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+        if (!isWordChar) punct += 1
+        i += 1
+      } else {
+        // one non-ASCII code point = one punct match; skip its bytes
+        punct += 1
+        i += (if (c >= 0xf0) 4 else if (c >= 0xe0) 3 else 2)
+        if (i > n) i = n
+      }
+    }
+    InternalRow(words, punct, stops)
+  }
+}
+
 /** parse_date_flexible(str, formatsNl — newline-joined; formats may contain commas) → timestamp: the
   * [[graft.ops.Dates.parseDateFlexible]] chain as ONE expression node.
   * Exists for PLAN size, not semantics — the chain is a ~150-node tree
@@ -1737,6 +1823,12 @@ object GraftFunctions {
       nargs("parse_time_std", 1, es); ParseTimeStd(es.head) }),
     ("quantize_int8", classOf[QuantizeInt8], (es: Seq[Expression]) => {
       nargs("quantize_int8", 1, es); QuantizeInt8(es.head) }),
+    ("text_quality_stats", classOf[TextQualityStats], (es: Seq[Expression]) => {
+      nargs("text_quality_stats", 2, es)
+      val w = es(1)
+      require(w.foldable && w.dataType == StringType,
+        s"text_quality_stats: stopword list must be a string literal, got ${w.sql}")
+      TextQualityStats(es.head, w.eval().toString) }),
     ("capped_collect_longs", classOf[CappedCollectLongs], (es: Seq[Expression]) => {
       nargs("capped_collect_longs", 2, es)
       val e = es(1)
@@ -1813,6 +1905,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(formats.mkString("\n")))
   def parseTimeStd(c: Column): Column = call_function("parse_time_std", c)
   def quantizeInt8(c: Column): Column = call_function("quantize_int8", c)
+  def textQualityStats(c: Column, stops: Seq[String]): Column =
+    call_function("text_quality_stats", c,
+      org.apache.spark.sql.functions.lit(stops.mkString(",")))
   def cappedCollectLongs(c: Column, cap: Long): Column =
     call_function("capped_collect_longs", c, org.apache.spark.sql.functions.lit(cap))
   def kmvSketch(c: Column, k: Int): Column =

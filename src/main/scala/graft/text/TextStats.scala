@@ -59,9 +59,17 @@ object TextStats {
     // es/de/fr prose scores lower than equivalent English — a real
     // multilingual pipeline should widen the class to \p{L}\p{N}.
     val t = coalesce(text, lit(""))
-    val nWords = size(split(t, " ")).cast("double")
-    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
-    val stops = stopwordHits(t, stopwords.flatMap(_._2).distinct).cast("double")
+    // one kernel pass (word/punct/stopword counts together) — the
+    // declarative split/regexp_extract_all/HOF-isin constructs ran
+    // interpreted at 6.6 s per 50k docs (see TextQualityStats; the
+    // kernel == declarative equality is pinned in AnnTextSpec); the
+    // score arithmetic below stays declarative so the SQL oracle
+    // replays the identical formula
+    val st = graft.functions.GraftFunctions
+      .textQualityStats(t, stopwords.flatMap(_._2).distinct)
+    val nWords = st.getField("n_words").cast("double")
+    val punct = st.getField("punct").cast("double")
+    val stops = st.getField("stops").cast("double")
     val lenScore = least(lit(1.0), nWords / 50.0)
     val punctRatio = punct / greatest(length(t).cast("double"), lit(1.0))
     val stopRatio = stops / greatest(nWords, lit(1.0))

@@ -94,6 +94,33 @@ class AnnTextSpec extends SparkSpec {
     assert(kernel.nonEmpty)
   }
 
+  test("text_quality_stats kernel equals the declarative counters on adversarial text") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val stops = graft.text.TextStats.stopwords.flatMap(_._2).distinct
+    val probes = Seq(
+      "the quick brown fox", "THE THE the", "", " ", "  ", "a  b",
+      "trailing space ", " leading", "punct!!! and, more.",
+      "café naïve 中文 😀 mix",
+      "1984 2x4 a1b2", "el gato y the dog", "word",
+      "that that that that that that that that that") ++
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text").limit(200).collect().map(_.getString(0)).toSeq
+    val df = probes.toDF("t")
+    val decl = df.select(
+        size(split(col("t"), " ")).cast("long"),
+        size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("long"),
+        size(filter(split(lower(col("t")), " "), w => w.isin(stops: _*))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kern = df.select(graft.functions.GraftFunctions
+        .textQualityStats(col("t"), stops).as("s"))
+      .select(col("s.n_words"), col("s.punct"), col("s.stops"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    probes.indices.foreach { i =>
+      assert(decl(i) == kern(i),
+        s"diverges on '${probes(i).take(60)}': decl=${decl(i)} kernel=${kern(i)}")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the hat", "el gato es un gato", "zzz qqq").toDF("text")
     val got = df.select(TextStats.langId(col("text"))).as[String].collect()
