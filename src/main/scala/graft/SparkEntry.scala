@@ -826,10 +826,10 @@ object SparkEntry {
     // small-vocab corpus has meaningful repeat rates at n=2)
     "q_rep_ngrams" -> ((s, dir) =>
       T(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          TextStats.repetitionRatio(col("w"), 2).as("rep2"))
+          TextStats.repetitionRatio2(col("text")).as("rep2"))
         .orderBy("doc_id")),
     "q_vocab" -> ((s, dir) =>
       Rank.buildVocab(T(s, dir, "documents"), "doc_id", "text", minDf = 100L)

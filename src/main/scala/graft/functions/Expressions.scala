@@ -1537,6 +1537,59 @@ final class TextQualityStatsImpl(stopsCsv: String) extends Serializable {
   }
 }
 
+/** word_bigram_rep_stats(text) → struct(n_words, dist): space-token
+  * count plus the number of DISTINCT adjacent-word bigrams — the
+  * inputs of the Gopher-style repetition ratio
+  * (1 − dist/(n_words−1)). The declarative form
+  * (transform∘sequence∘slice∘array_join, then array_distinct) ran
+  * interpreted building every gram string per row (4.5 s / 50k docs
+  * at sf1). Token semantics mirror split(text, " ") exactly — empty
+  * tokens included — and because the join delimiter equals the split
+  * delimiter every bigram is a CONTIGUOUS byte slice [start(wᵢ),
+  * end(wᵢ₊₁)); total grams = n_words − 1 for n_words ≥ 2 (callers
+  * emit 0.0 below that, like the chain). */
+case class WordBigramRepStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_bigram_rep_stats"
+  override protected def withNewChildInternal(newChild: Expression): WordBigramRepStats =
+    copy(child = newChild)
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramRepImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigramRepImpl.compute($c)")
+}
+
+object WordBigramRepImpl {
+  def compute(text: UTF8String): InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    var words = 1L
+    val seen = new java.util.HashSet[UTF8String]()
+    var prevStart = 0  // start of the previous token
+    var start = 0      // start of the current token
+    var tok = 0L       // index of the current token
+    var i = 0
+    while (i <= n) {
+      val c: Int = if (i == n) 0x20 else b(i) & 0xff
+      if (c == 0x20) {
+        if (i < n) words += 1
+        if (tok >= 1)
+          seen.add(UTF8String.fromBytes(b, prevStart, i - prevStart))
+        prevStart = start
+        start = i + 1
+        tok += 1
+      }
+      i += 1
+    }
+    InternalRow(words, seen.size.toLong)
+  }
+}
+
 /** parse_date_flexible(str, formatsNl — newline-joined; formats may contain commas) → timestamp: the
   * [[graft.ops.Dates.parseDateFlexible]] chain as ONE expression node.
   * Exists for PLAN size, not semantics — the chain is a ~150-node tree
@@ -1823,6 +1876,8 @@ object GraftFunctions {
       nargs("parse_time_std", 1, es); ParseTimeStd(es.head) }),
     ("quantize_int8", classOf[QuantizeInt8], (es: Seq[Expression]) => {
       nargs("quantize_int8", 1, es); QuantizeInt8(es.head) }),
+    ("word_bigram_rep_stats", classOf[WordBigramRepStats], (es: Seq[Expression]) => {
+      nargs("word_bigram_rep_stats", 1, es); WordBigramRepStats(es.head) }),
     ("text_quality_stats", classOf[TextQualityStats], (es: Seq[Expression]) => {
       nargs("text_quality_stats", 2, es)
       val w = es(1)
@@ -1905,6 +1960,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(formats.mkString("\n")))
   def parseTimeStd(c: Column): Column = call_function("parse_time_std", c)
   def quantizeInt8(c: Column): Column = call_function("quantize_int8", c)
+  def wordBigramRepStats(c: Column): Column =
+    call_function("word_bigram_rep_stats", c)
   def textQualityStats(c: Column, stops: Seq[String]): Column =
     call_function("text_quality_stats", c,
       org.apache.spark.sql.functions.lit(stops.mkString(",")))

@@ -92,6 +92,19 @@ object TextStats {
         size(grams).cast("double")))
   }
 
+  /** Bigram (n = 2) [[repetitionRatio]] straight from the TEXT via the
+    * word_bigram_rep_stats kernel — one byte pass instead of the
+    * interpreted gram-string HOF chain; equals
+    * repetitionRatio(split(text, " "), 2) (spec-pinned). The generic
+    * words-array form stays for other n / pre-split callers. */
+  def repetitionRatio2(text: Column): Column = {
+    val st = graft.functions.GraftFunctions.wordBigramRepStats(text)
+    when(st.getField("n_words") < 2, lit(0.0)).otherwise(
+      graft.functions.Det.round4(lit(1.0) -
+        st.getField("dist").cast("double") /
+        (st.getField("n_words") - 1).cast("double")))
+  }
+
   /** Rolling-hash document fingerprint (polynomial hash of the
     * normalized text, base 31 mod 2^61-1 style via xxhash64 of the
     * normalized form — stable, collision-resistant, cheap). */

@@ -121,6 +121,25 @@ class AnnTextSpec extends SparkSpec {
     }
   }
 
+  test("repetitionRatio2 kernel equals the words-array HOF form") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val probes = Seq(
+      "", " ", "  ", "one", "a a a a a", "a b a b a b", "x y z",
+      "dup dup", "a  b a  b", "trail ", " lead", "a b c a b c a b",
+      "solo  ") ++
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text").limit(200).collect().map(_.getString(0)).toSeq
+    val df = probes.toDF("t")
+    val hof = df.select(graft.text.TextStats
+        .repetitionRatio(split(col("t"), " "), 2)).collect().map(_.getDouble(0))
+    val kern = df.select(graft.text.TextStats
+        .repetitionRatio2(col("t"))).collect().map(_.getDouble(0))
+    probes.indices.foreach { i =>
+      assert(hof(i) == kern(i),
+        s"diverges on '${probes(i).take(50)}': hof=${hof(i)} kernel=${kern(i)}")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq("the cat is in the hat", "el gato es un gato", "zzz qqq").toDF("text")
     val got = df.select(TextStats.langId(col("text"))).as[String].collect()
