@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Mat
 import graft.sources.Tables
 
 /** TPC-H-shaped benchmark headliners — the perf-graded core of the
@@ -156,17 +157,31 @@ object Analytics {
     require(names.distinct.size == names.size,
       s"groupQuantiles: percentiles collide after rounding to column names $names")
     val w = Window.partitionBy(groupCol).orderBy(col("__v"))
-    val wAll = Window.partitionBy(groupCol)
     // NULLs (and uncastable strings) are EXCLUDED like SQL
     // percentile_cont — ranked nulls-first they would shift every
     // quantile down and null out p=0
-    val ranked = df
+    val base = df
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
+    // Per-group count as a PRE-aggregate joined back (AQE broadcasts
+    // the group-bounded table while it fits), not a count()-over-window:
+    // the unbounded-frame WindowExec buffered (and spilled) every
+    // group's full partition a SECOND time just to stamp n on each row
+    // (measured: two chained windows + a 6M-row conditional-max
+    // aggregate = 8.6 s at sf1; this form = 2.9 s).
+    val counts = base.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    def kOf(p: Double): Column = lit(p) * (col("__n") - 1)
+    // Only the two ranks bracketing each requested percentile survive
+    // the window stage — the final aggregate sees ≤ 2·|ps| rows per
+    // group instead of the whole corpus.
+    val wanted = ps.map { p =>
+      col("__rn") === floor(kOf(p)) + 1 || col("__rn") === floor(kOf(p)) + 2
+    }.reduce(_ || _)
+    val ranked = base.join(counts, Seq(groupCol))
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(wanted)
     val qs = ps.map { p =>
-      val k = lit(p) * (col("__n") - 1)
+      val k = kOf(p)
       val lo = max(when(col("__rn") === floor(k) + 1, col("__v")))
       val hi = coalesce(max(when(col("__rn") === floor(k) + 2, col("__v"))),
         max(when(col("__rn") === floor(k) + 1, col("__v"))))
@@ -177,8 +192,24 @@ object Analytics {
       // boundaries where Spark's and DuckDB's round() disagree
       round(lo + (hi - lo) * frac, 4).as(s"q${math.round(p * 100)}")
     }
-    
-    ranked.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*)
+
+    // Deterministic hash boundary between the window tail and whatever
+    // the caller sorts by: a global orderBy's RangePartitioner SAMPLES
+    // its child RDD before the shuffle map side runs — without a
+    // materialized boundary here the sample job re-executes the whole
+    // window subtree (measured: the two 5-6 s window stages at sf1,
+    // SCALING.md round 10). The group-count result is tiny, so the
+    // extra exchange is noise.
+    // Mat (localCheckpoint) the group-sized result before callers sort
+    // it: a global orderBy's RangePartitioner SAMPLES its child RDD in
+    // a separate job before the shuffle runs, and since EnsureRequirements
+    // elides any shuffle adjacent to the sort's range exchange, there
+    // is no way to leave a materialized boundary here — without Mat
+    // the sample job re-executed the entire window subtree (measured:
+    // 2× the 4 s window stage at sf1; count()-driven benches never saw
+    // it because count() prunes the sort). The checkpoint holds one
+    // row per group — bounded by group cardinality, not the corpus.
+    Mat(ranked.groupBy(col(groupCol)).agg(qs.head, qs.tail: _*))
   }
 
   /** Column-level data profile — the curation pre-flight: row count,
