@@ -1902,7 +1902,24 @@ object GraftFunctions {
       nargs("bloom_agg", 3, es)
       BloomAgg(es.head, intLit("bloom_agg", es, 1), intLit("bloom_agg", es, 2)) }),
     ("bloom_might_contain", classOf[BloomMightContain], (es: Seq[Expression]) => {
-      nargs("bloom_might_contain", 2, es); BloomMightContain(es(0), es(1)) })
+      nargs("bloom_might_contain", 2, es); BloomMightContain(es(0), es(1)) }),
+    // Thin handles on Spark's own decimal plumbing (the pair Catalyst's
+    // DecimalAggregates rule uses, which only fires for precision ≤ 8):
+    // sum a decimal's unscaled LONG through a hot aggregate (fast-hash-map
+    // eligible, no per-row BigDecimal), then rebuild the decimal once per
+    // GROUP with make_decimal. Exact as long as every input fits the
+    // narrow decimal and the group's unscaled sum fits a signed long.
+    ("unscaled_long",
+      classOf[org.apache.spark.sql.catalyst.expressions.UnscaledValue],
+      (es: Seq[Expression]) => {
+        nargs("unscaled_long", 1, es)
+        org.apache.spark.sql.catalyst.expressions.UnscaledValue(es.head) }),
+    ("make_decimal",
+      classOf[org.apache.spark.sql.catalyst.expressions.MakeDecimal],
+      (es: Seq[Expression]) => {
+        nargs("make_decimal", 3, es)
+        org.apache.spark.sql.catalyst.expressions.MakeDecimal(es.head,
+          intLit("make_decimal", es, 1), intLit("make_decimal", es, 2)) })
   )
 
   def register(ext: SparkSessionExtensions): Unit =
@@ -1974,6 +1991,11 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numBits), org.apache.spark.sql.functions.lit(numHashes))
   def bloomMightContain(bloom: Column, hash: Column): Column =
     call_function("bloom_might_contain", bloom, hash)
+  def unscaledLong(c: Column): Column = call_function("unscaled_long", c)
+  def makeDecimal(c: Column, precision: Int, scale: Int): Column =
+    call_function("make_decimal", c,
+      org.apache.spark.sql.functions.lit(precision),
+      org.apache.spark.sql.functions.lit(scale))
 }
 
 /** Entry point for spark.sql.extensions. */

@@ -438,4 +438,30 @@ class PlanSpec extends SparkSpec {
     val want = orders.filter(org.apache.spark.sql.functions.col("year") === 1996).count()
     assert(back.count() == want && want > 0)
   }
+
+  test("q_range_join: unscaled-long sum — decimal cast fenced below the join") {
+    val p = planOf(SparkEntry.queries("q_range_join")(spark, sfDir))
+    // overlapping windows fan each event out ~240× at sf1, so the pair
+    // stream must sum LONGS (fast hash map), never decimals (measured
+    // 15.6 s vs 2.3 s); the one decimal rebuild happens per GROUP
+    assert(!p.contains("sum(cast(value"),
+      s"decimal sum leaked onto the pair stream:\n$p")
+    assert(p.contains("sum(__uv"), s"missing unscaled-long sum:\n$p")
+    // the MakeDecimal rebuild folds into the final aggregate's result
+    // expressions (invisible in the summary string) — pin it logically
+    val op = SparkEntry.queries("q_range_join")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(op.contains("MakeDecimal"), s"missing per-group decimal rebuild:\n$op")
+    // the per-event cast must sit BELOW the repartition barrier, below
+    // the join — an un-fenced projection collapses above the BHJ and
+    // recomputes the cast per PAIR (measured 7.4 s vs 2.7 s at sf1)
+    val iJoin = p.indexOf("BroadcastHashJoin")
+    val iRepart = p.indexOf("REPARTITION_BY_NUM")
+    val iUnscaled = p.indexOf("UnscaledValue")
+    assert(iJoin >= 0 && iRepart >= 0 && iUnscaled >= 0,
+      s"expected BHJ + repartition + UnscaledValue in:\n$p")
+    assert(iJoin < iRepart && iRepart < iUnscaled,
+      s"UnscaledValue must render below the repartition fence below the " +
+        s"join (join@$iJoin, fence@$iRepart, cast@$iUnscaled):\n$p")
+  }
 }
