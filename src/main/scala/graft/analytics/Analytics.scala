@@ -147,7 +147,14 @@ object Analytics {
     * expression shape on both engines the doubles are bit-identical.
     * Exact quantiles sort each group's values — fine for bounded
     * groups; an unbounded-cardinality profile would switch to
-    * approx_percentile and lose the oracle. */
+    * approx_percentile and lose the oracle.
+    *
+    * EAGER: the returned frame is materialized (a job runs) at call
+    * time — the Mat boundary below exists so a caller's global orderBy
+    * cannot re-execute the window subtree, and its localCheckpoint
+    * blocks (one row per group) stay pinned for the session. A loop
+    * that calls this repeatedly should release superseded results via
+    * Mat.releasable instead. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "groupQuantiles: need at least one percentile")
@@ -156,6 +163,8 @@ object Analytics {
     val names = ps.map(p => s"q${math.round(p * 100)}")
     require(names.distinct.size == names.size,
       s"groupQuantiles: percentiles collide after rounding to column names $names")
+    require(!Seq("__v", "__n", "__rn", "__g").contains(groupCol),
+      s"groupQuantiles: group column $groupCol collides with a working column")
     val w = Window.partitionBy(groupCol).orderBy(col("__v"))
     // NULLs (and uncastable strings) are EXCLUDED like SQL
     // percentile_cont — ranked nulls-first they would shift every
@@ -170,6 +179,7 @@ object Analytics {
     // (measured: two chained windows + a 6M-row conditional-max
     // aggregate = 8.6 s at sf1; this form = 2.9 s).
     val counts = base.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(groupCol, "__g")
     def kOf(p: Double): Column = lit(p) * (col("__n") - 1)
     // Only the two ranks bracketing each requested percentile survive
     // the window stage — the final aggregate sees ≤ 2·|ps| rows per
@@ -177,7 +187,10 @@ object Analytics {
     val wanted = ps.map { p =>
       col("__rn") === floor(kOf(p)) + 1 || col("__rn") === floor(kOf(p)) + 2
     }.reduce(_ || _)
-    val ranked = base.join(counts, Seq(groupCol))
+    // null-SAFE join: a null group key is a legitimate group (the
+    // window partitions it like any other); a plain equi-join would
+    // silently drop its quantile row
+    val ranked = base.join(counts, col(groupCol) <=> col("__g")).drop("__g")
       .withColumn("__rn", row_number().over(w))
       .filter(wanted)
     val qs = ps.map { p =>

@@ -1462,8 +1462,13 @@ object QuantizeInt8Impl {
   * (spaces+1, trailing empties kept); punct counts CODE POINTS outside
   * [A-Za-z0-9 ] (every non-ASCII code point counts once, like the
   * regex); stops counts space-tokens of lower(t) equal to a stopword,
-  * with multiplicity — ASCII case-fold only, which is exact here
-  * because a token can only equal an ASCII stopword if it is ASCII. */
+  * with multiplicity — ASCII case-fold only. KNOWN DIVERGENCE from the
+  * declarative lower()+isin twin (like the 0x0B note above): a few
+  * non-ASCII code points case-fold INTO ASCII under Unicode rules
+  * (U+212A KELVIN SIGN → 'k'), so a token containing one can equal an
+  * ASCII stopword under lower() but not here. No shipped stopword list
+  * has single-letter entries, so the spec pin holds; a corpus where
+  * this matters should pre-normalize (NFKC) before scoring. */
 case class TextQualityStats(child: Expression, stopsCsv: String)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)

@@ -117,8 +117,13 @@ object Luts {
   /** One-expression rendering of a per-source code table: map hit →
     * phrase, miss → the raw column (the when-chain per code paid one
     * tree node set per code). */
-  private[ops] def codesToColumn(codes: Seq[(String, String)], raw: Column): Column =
+  private[ops] def codesToColumn(codes: Seq[(String, String)], raw: Column): Column = {
+    // toMap keeps the LAST duplicate where the old when-chain kept the
+    // FIRST — no current table has duplicates; fail loud if one grows
+    require(codes.map(_._1).distinct.size == codes.size,
+      s"codesToColumn: duplicate codes in ${codes.map(_._1).diff(codes.map(_._1).distinct).distinct}")
     coalesce(try_element_at(typedLit(codes.toMap), trim(upper(raw))), raw)
+  }
 
   // ---- Scala evaluator (third renderer) --------------------------------
 

@@ -60,6 +60,13 @@ object Rank {
     // clean_word_bigrams kernel; the repartition spreads gram work off
     // the few parquet splits and hash-partitions on the id
     // (deterministic, not round-robin — the AQE stage-cache trap).
+    // SNAPSHOT CONTRACT: docs is scanned TWICE — count() here bakes N
+    // into the cap and the df filter, and the main query re-executes
+    // the plan below. A deterministic source (parquet tables, as
+    // everywhere in this engine) makes both passes see the same corpus;
+    // a changing or non-deterministic docs (a stream, a sample without
+    // a seed) could disagree and shift the head cutoff silently —
+    // Mat(docs) first in that case.
     val n = docs.count()
     val cap = math.max(n / denom, 1L)
     docs

@@ -119,6 +119,14 @@ class EngineSpec extends SparkSpec {
     val q = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
     val r = Analytics.groupQuantiles(q, "k", "v", Seq(0.5)).head()
     assert(r.getDouble(1) == 2.5) // interpolated median
+    // a NULL group key is a legitimate group — the count join must be
+    // null-safe or its quantile row silently vanishes
+    val qn = Seq((Some("g"), 1.0), (None, 10.0), (None, 20.0))
+      .toDF("k", "v")
+    val rn = Analytics.groupQuantiles(qn, "k", "v", Seq(0.5)).collect()
+    assert(rn.length == 2, rn.mkString(","))
+    val nullRow = rn.find(_.isNullAt(0)).get
+    assert(nullRow.getDouble(1) == 15.0) // interpolated median of the null group
   }
 
   test("q1 pricing summary has the expected group keys and positive counts") {
