@@ -889,10 +889,18 @@ object SparkEntry {
         concat(lit("user"), col("doc_id"), lit("@example.com")),
         when(pmod(col("doc_id"), lit(3)) === 0, lit("123-45-6789")).otherwise(lit("na")),
         when(pmod(col("doc_id"), lit(2)) === 0, lit("555.867.5309")).otherwise(lit("na")))
+      // One kernel call per doc (pii_scrub_stats) instead of the six
+      // regex passes of the declarative twin (scrubPii/piiCount kept
+      // as the spec oracle; PiiKernelSpec pins equivalence). The
+      // orderBy's sampling job re-executes the kernel subtree — fine:
+      // re-running a cheap kernel beats checkpointing a corpus-sized
+      // string buffer.
       T(s, dir, "documents")
-        .select(col("doc_id"), injected.as("t"))
-        .select(col("doc_id"), Curation.piiCount(col("t")).as("n_pii"),
-          Curation.scrubPii(col("t")).as("scrubbed"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.piiScrubStats(injected).as("__p"))
+        .select(col("doc_id"),
+          (col("__p.n_email") + col("__p.n_ssn") + col("__p.n_phone")).as("n_pii"),
+          col("__p.scrubbed").as("scrubbed"))
         .orderBy("doc_id")
     }),
     // Word 3-grams (the synthetic ~30-word vocabulary makes real 8/13-

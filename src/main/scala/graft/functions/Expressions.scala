@@ -1595,6 +1595,224 @@ object WordBigramRepImpl {
   }
 }
 
+/** pii_scrub_stats(text) → struct(scrubbed, n_email, n_ssn, n_phone):
+  * the progressive email→SSN→phone redaction chain
+  * ([[graft.text.Curation.scrubPii]]/[[graft.text.Curation.piiCount]],
+  * reference sources in Curation.scala) as ONE kernel. The declarative
+  * form ran SIX regex passes per document — three regexp_replace plus
+  * three regexp_extract_all materializing match ARRAYS just to count
+  * them (2.5 s vs the 0.15 s DuckDB proxy at sf1). Here each stage is
+  * a linear byte scan with java.util.regex find/replaceAll semantics
+  * reproduced exactly (PiiKernelSpec pins kernel ≡ java.util.regex on
+  * adversarial inputs):
+  *  - emails are '@'-anchored: the maximal local-class run before the
+  *    '@' (clamped at the previous match end, like find()'s region),
+  *    the maximal domain-class run after it, and the RIGHTMOST dot
+  *    with ≥2 letters following — exactly the backtracking order of
+  *    [A-Za-z0-9.-]+\.[A-Za-z]{2,}.
+  *  - SSN/phone are digit-anchored with \b checked against default
+  *    (ASCII) word-char semantics; UTF-8 continuation bytes are
+  *    non-word, matching java's treatment of the non-ASCII chars.
+  * The three stages still rewrite PROGRESSIVELY (counts are taken on
+  * the same intermediate text the replacement chain sees, so an
+  * SSN-shaped span inside a replaced email counts once — and a
+  * boundary CREATED by a replacement, e.g. '>' before digits where a
+  * word char stood, matches exactly like the chained regex form). */
+case class PiiScrubStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("scrubbed", StringType, nullable = false),
+    StructField("n_email", LongType, nullable = false),
+    StructField("n_ssn", LongType, nullable = false),
+    StructField("n_phone", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pii_scrub_stats"
+  override protected def withNewChildInternal(newChild: Expression): PiiScrubStats =
+    copy(child = newChild)
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScrubImpl.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiScrubImpl.compute($c)")
+}
+
+object PiiScrubImpl {
+  private val EMAIL = "<EMAIL>".getBytes("UTF-8")
+  private val SSN = "<SSN>".getBytes("UTF-8")
+  private val PHONE = "<PHONE>".getBytes("UTF-8")
+
+  @inline private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+  @inline private def isAlpha(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  // java \b quirk: even WITHOUT UNICODE_CHARACTER_CLASS, Pattern's
+  // boundary node tests `ch == '_' || Character.isLetterOrDigit(ch)` —
+  // Unicode-aware, unlike the ASCII-only \w — so 'é' IS a word char at
+  // a boundary ("é123-45-6789é" does NOT match \b\d{3}-…). The RE2
+  // oracle's \b is ASCII-only; the engine keeps java semantics (it
+  // replaces Spark's regexp_replace) and the oracle corpora are ASCII
+  // at the affected positions.
+  @inline private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Code point ENDING at byte index `i` (exclusive); -1 at the start. */
+  private def cpBefore(b: Array[Byte], i: Int): Int = {
+    if (i <= 0) return -1
+    var k = i - 1
+    while (k > 0 && (b(k) & 0xc0) == 0x80) k -= 1
+    cpAt(b, k, i)
+  }
+
+  /** Code point STARTING at byte index `i`; -1 at the end or on a
+    * malformed sequence (treated as non-word, like U+FFFD). */
+  private def cpAt(b: Array[Byte], i: Int, n: Int): Int = {
+    if (i >= n) return -1
+    val c = b(i) & 0xff
+    if (c < 0x80) c
+    else if (c < 0xc0) -1 // stray continuation byte
+    else if (c < 0xe0) {
+      if (i + 1 < n) ((c & 0x1f) << 6) | (b(i + 1) & 0x3f) else -1
+    } else if (c < 0xf0) {
+      if (i + 2 < n) ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
+        (b(i + 2) & 0x3f) else -1
+    } else {
+      if (i + 3 < n) ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+        ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f) else -1
+    }
+  }
+
+  @inline private def wordBefore(b: Array[Byte], i: Int): Boolean = {
+    if (i <= 0) false
+    else {
+      val c = b(i - 1) & 0xff
+      if (c < 0x80) isAlpha(c) || isDigit(c) || c == '_'
+      else { val cp = cpBefore(b, i); cp >= 0 && isWordCp(cp) }
+    }
+  }
+
+  @inline private def wordAt(b: Array[Byte], i: Int, n: Int): Boolean = {
+    if (i >= n) false
+    else {
+      val c = b(i) & 0xff
+      if (c < 0x80) isAlpha(c) || isDigit(c) || c == '_'
+      else { val cp = cpAt(b, i, n); cp >= 0 && isWordCp(cp) }
+    }
+  }
+  @inline private def isLocal(c: Int): Boolean =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  @inline private def isDomain(c: Int): Boolean =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '-'
+
+  /** Minimal growable byte sink (ByteArrayOutputStream without the
+    * synchronization — this runs once per row on the scan stage). */
+  private final class Buf(cap: Int) {
+    var a = new Array[Byte](math.max(cap, 16))
+    var len = 0
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      if (n > 0) {
+        if (len + n > a.length)
+          a = java.util.Arrays.copyOf(a, math.max(a.length * 2, len + n))
+        System.arraycopy(src, off, a, len, n)
+        len += n
+      }
+    }
+    def append(src: Array[Byte]): Unit = append(src, 0, src.length)
+  }
+
+  /** Email pass: returns the match count, appends the rewritten text.
+    * Leftmost-first like find(): every match's local run ends at the
+    * first '@' whose local+domain validate, so iterating '@'s in order
+    * and clamping the local run at the previous match end is exact. */
+  private def scrubEmails(b: Array[Byte], n: Int, out: Buf): Long = {
+    var count = 0L
+    var from = 0    // region start: end of the previous match
+    var copied = 0  // input bytes already emitted
+    var a = 0
+    while (a < n) {
+      if (b(a) == '@' && a > from) {
+        var ls = a // local-part start: maximal run of local chars
+        while (ls > from && isLocal(b(ls - 1) & 0xff)) ls -= 1
+        var mEnd = -1
+        if (ls < a) {
+          var de = a + 1 // domain run [a+1, de)
+          while (de < n && isDomain(b(de) & 0xff)) de += 1
+          // rightmost dot with ≥1 domain char before it and ≥2 letters
+          // after — the first split [A-Za-z0-9.-]+ backtracking reaches
+          var d = de - 1
+          while (mEnd < 0 && d >= a + 2) {
+            if (b(d) == '.') {
+              var le = d + 1 // greedy letter run (stops ≤ de: alpha ⊂ domain)
+              while (le < n && isAlpha(b(le) & 0xff)) le += 1
+              if (le - (d + 1) >= 2) mEnd = le
+            }
+            d -= 1
+          }
+        }
+        if (mEnd > 0) {
+          out.append(b, copied, ls - copied)
+          out.append(EMAIL)
+          count += 1
+          copied = mEnd
+          from = mEnd
+          a = mEnd - 1 // resume the '@' scan at mEnd (++ below)
+        }
+      }
+      a += 1
+    }
+    out.append(b, copied, n - copied)
+    count
+  }
+
+  /** SSN / phone pass: ddd SEP dd(d) SEP dddd with \b on both sides.
+    * `dot` admits '.' as a separator (phone); mid is the middle group
+    * width (2 for SSN, 3 for phone). */
+  private def scrubNumeric(b: Array[Byte], n: Int, out: Buf,
+                           mid: Int, dot: Boolean, repl: Array[Byte]): Long = {
+    @inline def sep(c: Int): Boolean = c == '-' || (dot && c == '.')
+    val w = 3 + 1 + mid + 1 + 4 // total match width
+    var count = 0L
+    var copied = 0
+    var i = 0
+    while (i + w <= n) {
+      var ok = isDigit(b(i) & 0xff) && !wordBefore(b, i)
+      if (ok) {
+        var j = i
+        var g = 0
+        while (ok && g < 3) { ok = isDigit(b(j) & 0xff); j += 1; g += 1 }
+        ok = ok && sep(b(j) & 0xff); j += 1
+        g = 0
+        while (ok && g < mid) { ok = ok && isDigit(b(j) & 0xff); j += 1; g += 1 }
+        ok = ok && sep(b(j) & 0xff); j += 1
+        g = 0
+        while (ok && g < 4) { ok = ok && isDigit(b(j) & 0xff); j += 1; g += 1 }
+        ok = ok && !wordAt(b, i + w, n)
+      }
+      if (ok) {
+        out.append(b, copied, i - copied)
+        out.append(repl)
+        count += 1
+        copied = i + w
+        i += w
+      } else i += 1
+    }
+    out.append(b, copied, n - copied)
+    count
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val b0 = text.getBytes
+    val n0 = b0.length
+    val buf1 = new Buf(n0 + 16)
+    val nEmail = scrubEmails(b0, n0, buf1)
+    val buf2 = new Buf(buf1.len)
+    val nSsn = scrubNumeric(buf1.a, buf1.len, buf2, mid = 2, dot = false, SSN)
+    val buf3 = new Buf(buf2.len)
+    val nPhone = scrubNumeric(buf2.a, buf2.len, buf3, mid = 3, dot = true, PHONE)
+    InternalRow(
+      UTF8String.fromBytes(buf3.a, 0, buf3.len), nEmail, nSsn, nPhone)
+  }
+}
+
 /** parse_date_flexible(str, formatsNl — newline-joined; formats may contain commas) → timestamp: the
   * [[graft.ops.Dates.parseDateFlexible]] chain as ONE expression node.
   * Exists for PLAN size, not semantics — the chain is a ~150-node tree
@@ -1883,6 +2101,8 @@ object GraftFunctions {
       nargs("quantize_int8", 1, es); QuantizeInt8(es.head) }),
     ("word_bigram_rep_stats", classOf[WordBigramRepStats], (es: Seq[Expression]) => {
       nargs("word_bigram_rep_stats", 1, es); WordBigramRepStats(es.head) }),
+    ("pii_scrub_stats", classOf[PiiScrubStats], (es: Seq[Expression]) => {
+      nargs("pii_scrub_stats", 1, es); PiiScrubStats(es.head) }),
     ("text_quality_stats", classOf[TextQualityStats], (es: Seq[Expression]) => {
       nargs("text_quality_stats", 2, es)
       val w = es(1)
@@ -1984,6 +2204,7 @@ object GraftFunctions {
   def quantizeInt8(c: Column): Column = call_function("quantize_int8", c)
   def wordBigramRepStats(c: Column): Column =
     call_function("word_bigram_rep_stats", c)
+  def piiScrubStats(c: Column): Column = call_function("pii_scrub_stats", c)
   def textQualityStats(c: Column, stops: Seq[String]): Column =
     call_function("text_quality_stats", c,
       org.apache.spark.sql.functions.lit(stops.mkString(",")))

@@ -74,7 +74,12 @@ object Curation {
   /** Redact emails, SSNs, then phone numbers (order matters: the SSN
     * 3-2-4 shape must not see phone fragments already rewritten; the
     * oracle applies the same order). Pure scan-stage expressions that
-    * stay inside WholeStageCodegen. */
+    * stay inside WholeStageCodegen.
+    *
+    * DECLARATIVE SPEC TWIN: production callers should use
+    * [[graft.functions.GraftFunctions.piiScrubStats]] — one kernel
+    * call replacing these six regex passes (2.5 s → kernel-speed at
+    * sf1); PiiKernelSpec pins kernel ≡ this chain. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
