@@ -497,10 +497,16 @@ object SparkEntry {
         pick(genderRaws, col("event_id")).as("officer gender"),
         pick(ageScalarRaws, col("event_id")).as("subject age"),
         col("event_type").as("department"))
-        // deterministic id-hash repartition: the regex-heavy std
-        // projection otherwise runs on the raw frame's 2 parquet
-        // splits (15.5 s × 2-task stages at sf0.1, measured round 10)
-        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        // RANGE repartition on the output sort key (was: id-hash): it
+        // still spreads the regex-heavy std projection off the raw
+        // frame's 2 parquet splits, AND it is the final order — the
+        // output sort becomes partition-local, so the RangePartitioner
+        // sample job of a global orderBy no longer re-executes the std
+        // projection (it samples this cheap pick projection instead).
+        // One exchange total; std projection runs ONCE (guide §2.4;
+        // sf0.1 isolated 11.3 → ~6 s, r10). Row order is identical:
+        // range partitions are ordered and event_id is unique.
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
       graft.ops.Standardizer.standardize(raw).df
         .select(col("event_id"),
           col("DATE").as("date"), col("TIME").as("time"),
@@ -511,7 +517,10 @@ object SparkEntry {
           col("GENDER_OFFICER").as("gender_officer"),
           col("AGE_SUBJECT").as("age_subject"),
           col("AGENCY").as("agency"))
-        .orderBy("event_id")
+        // partition-local sort: the input is already RANGE-partitioned
+        // by event_id (above), so ordered partitions + local sort ==
+        // the global orderBy, without its sample-job double execution
+        .sortWithinPartitions("event_id")
     }),
 
     // Dedup
@@ -891,17 +900,20 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(2)) === 0, lit("555.867.5309")).otherwise(lit("na")))
       // One kernel call per doc (pii_scrub_stats) instead of the six
       // regex passes of the declarative twin (scrubPii/piiCount kept
-      // as the spec oracle; PiiKernelSpec pins equivalence). The
-      // orderBy's sampling job re-executes the kernel subtree — fine:
-      // re-running a cheap kernel beats checkpointing a corpus-sized
-      // string buffer.
+      // as the spec oracle; PiiKernelSpec pins equivalence). RANGE
+      // repartition on doc_id BEFORE the kernel: the global orderBy's
+      // sample job re-executed the kernel subtree (2× kernel); ordered
+      // partitions + local sort give the identical row order with the
+      // kernel run once, and the raw-text exchange spreads the kernel
+      // across the full parallelism instead of the scan's 2 splits.
       T(s, dir, "documents")
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.piiScrubStats(injected).as("__p"))
         .select(col("doc_id"),
           (col("__p.n_email") + col("__p.n_ssn") + col("__p.n_phone")).as("n_pii"),
           col("__p.scrubbed").as("scrubbed"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
     // Word 3-grams (the synthetic ~30-word vocabulary makes real 8/13-
     // gram overlap vanishingly rare; the operator takes n as a param).

@@ -464,4 +464,27 @@ class PlanSpec extends SparkSpec {
       s"UnscaledValue must render below the repartition fence below the " +
         s"join (join@$iJoin, fence@$iRepart, cast@$iUnscaled):\n$p")
   }
+
+  /** The sort-over-expensive-projection recipe (r10): a final GLOBAL
+    * orderBy above an expensive map projection makes the range
+    * exchange's sampling job re-execute the projection (~2× the query).
+    * These queries instead RANGE-partition the cheap input by the sort
+    * key and sort within partitions — the plan must show exactly one
+    * exchange (a range one), and no global sort. */
+  private def assertRangeThenLocalSort(name: String): Unit = {
+    val p = planOf(SparkEntry.queries(name)(spark, sfDir))
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"$name: expected exactly one RANGE exchange, got $exchanges in:\n$p")
+    assert(!p.contains("Sort [") || !"Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+      s"$name: global sort must not reappear above the projection:\n$p")
+  }
+
+  test("q_standardize_e2e: one range exchange below the std projection, local sort") {
+    assertRangeThenLocalSort("q_standardize_e2e")
+  }
+
+  test("q_pii_scrub: one range exchange below the kernel, local sort") {
+    assertRangeThenLocalSort("q_pii_scrub")
+  }
 }
