@@ -1110,16 +1110,26 @@ object SparkEntry {
     // exact rounds (decimal-exact contribution sums, Det-rounded
     // scores) — the link-analysis signal of a crawl-curation pipeline.
     "q_pagerank" -> ((s, dir) => {
-      // Distinct on the INT pair before the string concat: the dedup
-      // shuffle moves 2 longs/row instead of 2 strings/row, and the
-      // downstream symmetrize-distinct inside pageRank sees only the
-      // surviving pairs.
+      // Distinct on the INT pair before any rendering: the dedup
+      // shuffle moves 2 longs/row instead of 2 strings/row.
+      // The iteration runs on PACKED LONG node ids (customer 2k,
+      // supplier 2k+1 — a bijection, so the graph is isomorphic and
+      // deg/pr are bit-identical); the "c<id>"/"s<id>" strings the
+      // query always returned are rendered in the FINAL projection
+      // only. The previous string-typed rounds read ~117 MB of cached
+      // string state per round at sf0.1 (guide §2.3: narrower types) —
+      // long state is ~1/3 the bytes and hashes a word, not a string.
       val edges = T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       graft.analytics.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(
+          concat(
+            when(pmod(col("node").cast("long"), lit(2)) === 0, lit("c")).otherwise(lit("s")),
+            shiftright(col("node").cast("long"), 1).cast("string")).as("node"),
+          col("deg"), col("pr"))
         .orderBy("node")
     }),
     // "Customers who bought X also bought Y": supplier-supplier Jaccard

@@ -58,11 +58,27 @@ object Graph {
     // re-expands (same guard as Dedup.components)
     val par = math.max(edges.sparkSession.sparkContext.defaultParallelism,
       edges.sparkSession.sessionState.conf.numShufflePartitions)
+    // Node-id representation (guide §2.3, narrower types): when BOTH
+    // endpoint columns are already integral, the whole iteration runs
+    // on LONG ids — the per-round join state is ~1/3 the bytes of the
+    // old unconditional string cast and hashes a word instead of a
+    // varlen string (q_pagerank sf0.1: ~117 MB of cached string state
+    // read per round became ~40 MB). Non-integral ids keep the string
+    // unification; deg/pr are representation-independent either way,
+    // only the `node` column's TYPE reflects the choice.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(srcCol, dstCol).forall(c => edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    val idType = if (integralIds) "long" else "string"
     val (sym, releaseSym) = Mat.releasable(
-      edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .unionByName(edges.select(col(dstCol).cast("string").as("src"),
-        col(srcCol).cast("string").as("dst")))
+      edges.select(col(srcCol).cast(idType).as("src"),
+        col(dstCol).cast(idType).as("dst"))
+      .unionByName(edges.select(col(dstCol).cast(idType).as("src"),
+        col(srcCol).cast(idType).as("dst")))
       .distinct(), coalesceTo = par)
     val (deg, releaseDeg) = Mat.releasable(sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg")), coalesceTo = par)
@@ -154,7 +170,21 @@ object Graph {
   private def packedJaccard(baskets: DataFrame, threshold: Double): DataFrame = {
     val deg = baskets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("deg"))
+    // Deterministic repartition of the baskets BEFORE the pair
+    // generator: AQE sizes the basket-agg exchange's read by its INPUT
+    // bytes and is blind to the quadratic per-basket fan-out below, so
+    // it coalesced the explode stage to 2 tasks at sf0.1 (2.9 of the
+    // query's 4.9 s on 2 MB of baskets). The key must NOT be the bare
+    // basket column — that partitioning equals the upstream groupBy's,
+    // EnsureRequirements elides the exchange, and AQE re-coalesces the
+    // read; hashing the key through xxhash64 yields a distinct (still
+    // deterministic) partitioning that survives, and REPARTITION_BY_NUM
+    // is exempt from AQE coalescing. The extra exchange moves only
+    // packed baskets (guide §2.5 — amplify AFTER the exchange; never
+    // let a stage be sized by its pre-explode bytes).
+    val par = baskets.sparkSession.sparkContext.defaultParallelism
     val pairs = baskets
+      .repartition(par, xxhash64(col("b")))
       .select(posexplode(col("items")).as(Seq("p", "item_a")), col("items"))
       .select(col("item_a"),
         explode(slice(col("items"), col("p") + lit(2),
