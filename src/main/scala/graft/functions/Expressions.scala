@@ -1855,6 +1855,43 @@ case class ParseDateFlexibleExpr(child: Expression, formatsNl: String,
 /** parse_time_std(str) → "HH:mm:ss" string or null: the
   * [[graft.ops.Dates.parseTime]] chain as one node — see
   * [[TimeParseImpl]] and [[ParseDateFlexibleExpr]] for why. */
+/** Categorical LUT standardization as ONE expression node — the fourth
+  * renderer of graft.ops.Luts' rule tables (declarative Column chain,
+  * oracle SQL, Scala rulesEval, and this kernel). Exists for PLAN cost,
+  * not row cost: the declarative tree (vocabulary map literal + regex
+  * residue over a regex cleaning subtree) is thousands of Catalyst
+  * nodes that the optimizer re-walks on every execution — measured as
+  * ~3.5 s of driver time per run on a 10-row input. Row semantics are
+  * delegated to Luts.kernelEval (clean twin + rulesEval), which
+  * LutKernelSpec pins ≡ the declarative chain per LUT. Null input maps
+  * to UNSPECIFIED (hence nullable=false, null-handling inline). */
+case class LutStd(child: Expression, lut: String, noId: String)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(graft.ops.Luts.kernelLuts.contains(lut),
+    s"lut_std: unknown lut '$lut' (have ${graft.ops.Luts.kernelLuts.keys.toSeq.sorted.mkString(",")})")
+  require(Seq("keep", "null", "error").contains(noId),
+    s"lut_std: noId must be keep|null|error, got $noId")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lut_std"
+  override protected def withNewChildInternal(newChild: Expression): LutStd =
+    copy(child = newChild)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    graft.ops.Luts.kernelEval(lut,
+      child.eval(input).asInstanceOf[UTF8String], noId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    // lut/noId are validated identifiers ([a-z]+), safe as Java literals
+    ev.copy(code = code"""
+      ${childGen.code}
+      UTF8String ${ev.value} = graft.ops.Luts.kernelEval(
+        "$lut", ${childGen.isNull} ? null : ${childGen.value}, "$noId");""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}
+
 case class ParseTimeStd(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -2097,6 +2134,15 @@ object GraftFunctions {
       ParseDateFlexibleExpr(es.head, f.eval().toString) }),
     ("parse_time_std", classOf[ParseTimeStd], (es: Seq[Expression]) => {
       nargs("parse_time_std", 1, es); ParseTimeStd(es.head) }),
+    ("lut_std", classOf[LutStd], (es: Seq[Expression]) => {
+      nargs("lut_std", 3, es)
+      def strLit(pos: Int, what: String): String = {
+        val e = es(pos)
+        require(e.foldable && e.dataType == StringType,
+          s"lut_std: $what must be a string literal, got ${e.sql}")
+        e.eval().toString
+      }
+      LutStd(es.head, strLit(1, "lut name"), strLit(2, "noId mode")) }),
     ("quantize_int8", classOf[QuantizeInt8], (es: Seq[Expression]) => {
       nargs("quantize_int8", 1, es); QuantizeInt8(es.head) }),
     ("word_bigram_rep_stats", classOf[WordBigramRepStats], (es: Seq[Expression]) => {
@@ -2201,6 +2247,9 @@ object GraftFunctions {
     call_function("parse_date_flexible", c,
       org.apache.spark.sql.functions.lit(formats.mkString("\n")))
   def parseTimeStd(c: Column): Column = call_function("parse_time_std", c)
+  def lutStd(c: Column, lut: String, noId: String): Column =
+    call_function("lut_std", c,
+      org.apache.spark.sql.functions.lit(lut), org.apache.spark.sql.functions.lit(noId))
   def quantizeInt8(c: Column): Column = call_function("quantize_int8", c)
   def wordBigramRepStats(c: Column): Column =
     call_function("word_bigram_rep_stats", c)

@@ -202,6 +202,67 @@ object Luts {
 
   // ---- Cleaning (normalize-before-match, _converters.py:478) -----------
 
+  // Plain-string twins of the Column cleaning chains below — the
+  // fourth renderer (the lut_std KERNEL, see kernelEval) runs these on
+  // executors. Parity notes: upper() goes through UTF8String
+  // .toUpperCase (bit-identical to Spark's Upper expression, unlike
+  // String.toUpperCase under a non-ROOT default locale); trimSpaces
+  // strips ONLY ' ' like SQL trim (Java String.trim also strips
+  // control chars); replaceAll is the same java.util.regex engine
+  // Spark's regexp_replace runs. LutKernelSpec pins kernel ≡ chain
+  // per LUT over the full test vocabulary plus random strings.
+  private def upperStr(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toUpperCase.toString
+
+  private[ops] def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  def trimUpperStr(s: String): String = trimSpaces(upperStr(s))
+
+  def cleanRaceStr(s: String): String =
+    trimSpaces(upperStr(s).replace('_', ' ').replaceAll("[*.-]", ""))
+
+  def cleanGenderStr(s: String): String =
+    upperStr(s).replaceAll("[-_ ']", "")
+
+  /** Exact string twin of the Column [[cleanInjury]] chain (distinct
+    * from [[cleanInjuryStr]], the Java-trim variant the converter-
+    * guided injury parse has always used). */
+  def cleanInjuryColStr(s: String): String =
+    trimSpaces(upperStr(s)
+      .replaceAll("^\\d+\\s*-\\s*", "")
+      .replaceAll("-", " ")
+      .replaceAll("\\*", "")
+      .replaceAll("OF[FI]{2}CERS?|SUBJECT", "")
+      .replaceAll("^\\s*\\d\\s+", "")
+      .replaceAll("\\s{2,}", " "))
+
+  private lazy val abbrevFullPattern =
+    java.util.regex.Pattern.compile(AbbrevFullRe)
+
+  def cleanRaceFullStr(s: String): String = {
+    val up = upperStr(s)
+    val stripped = up.replaceAll(NonLatinoRe, "")
+    val strippedTrim = trimSpaces(stripped)
+    val base = if (strippedTrim.nonEmpty) strippedTrim else trimSpaces(up)
+    val m = abbrevFullPattern.matcher(base)
+    // regexp_extract semantics: first find(), group text ('' when the
+    // pattern never matches — the rlike guard makes that case moot)
+    val expanded = if (m.find()) {
+      val g1 = trimSpaces(Option(m.group(1)).getOrElse(""))
+      val g2 = trimSpaces(Option(m.group(2)).getOrElse(""))
+      if (g1.length == 1 && g2.length > 1) g2
+      else if (g2.length == 1 && g1.length > 1) g1
+      else base
+    } else base
+    cleanRaceStr(expanded)
+  }
+
   /** Race-style cleaning: upper, '_'→' ', drop '*' '-' '.', trim. */
   def cleanRace(c: Column): Column =
     trim(regexp_replace(regexp_replace(upper(c), "_", " "), "[*.-]", ""))
@@ -434,6 +495,9 @@ object Luts {
 
   /** raw → OFFICER / SUBJECT / UNSPECIFIED (data.py person-type roles). */
   def roleStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("role", raw, noId)
+
+  def roleStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(roleRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
@@ -534,6 +598,9 @@ object Luts {
     * `noId` honors the reference's unknown-value modes like every
     * other LUT (_create_ethnicity_lut raises under no_id="error"). */
   def ethStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("eth", raw, noId)
+
+  def ethStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(ethRules, cleanRace(raw), noIdFallback(raw, noId)))
 
@@ -551,28 +618,98 @@ object Luts {
     case other   => throw new IllegalArgumentException(s"noId must be keep|null|error, got $other")
   }
 
+  // ---- Kernel renderer (the fourth renderer, r10) -----------------------
+  // Motivation is ANALYZER/OPTIMIZER time, not row cost: the
+  // declarative LUT trees (map literal + regex-chain residue over a
+  // regex cleaning subtree) are thousands of expression nodes, and
+  // Catalyst re-optimizes them on EVERY execution — measured as ~3.5 s
+  // of driver time per run on q_expand_counts' 10-row input. The
+  // lut_std kernel is ONE expression node evaluating the same rules
+  // through [[rulesEval]] (already the spec-pinned third renderer) and
+  // the string cleaning twins above. The declarative builders remain
+  // below as `*StdDecl` — LutKernelSpec pins kernel ≡ declarative per
+  // LUT over the full vocabulary plus random fuzz.
+
+  /** (cleaning twin, rules) per kernel LUT name. */
+  val kernelLuts: Map[String, (String => String, Seq[Rule])] = Map(
+    "race" -> ((cleanRaceFullStr _, raceRules)),
+    "eth" -> ((cleanRaceStr _, ethRules)),
+    "gender" -> ((cleanGenderStr _, genderRules)),
+    "injury" -> ((cleanInjuryColStr _, injuryRules)),
+    "fatal" -> ((trimUpperStr _, fatalRules)),
+    "firearm" -> ((trimUpperStr _, firearmRules)),
+    "role" -> ((trimUpperStr _, roleRules)))
+
+  /** Executor-side evaluation of one LUT over one raw value — called
+    * from the lut_std expression's eval/codegen. Null → UNSPECIFIED
+    * (matching the `when(raw.isNull, …)` head of every declarative
+    * builder); a rules miss applies the no_id mode exactly like
+    * [[noIdFallback]]. */
+  def kernelEval(lut: String,
+                 raw: org.apache.spark.unsafe.types.UTF8String,
+                 noId: String): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (raw == null) return UTF8String.fromString(UNSPECIFIED)
+    val (clean, rules) = kernelLuts(lut)
+    val s = raw.toString
+    rulesEval(rules, clean(s)) match {
+      case Some(out) => UTF8String.fromString(out)
+      case None => noId match {
+        case "keep" => UTF8String.fromString(trimUpperStr(s))
+        case "null" => UTF8String.EMPTY_UTF8
+        case "error" => throw new RuntimeException("Unknown value in column: " + s)
+        case other => throw new IllegalArgumentException(
+          s"noId must be keep|null|error, got $other")
+      }
+    }
+  }
+
+  private def kernelCol(lut: String, raw: Column, noId: String): Column = {
+    // validate the mode EAGERLY, like noIdFallback always did — the
+    // expression's own require would otherwise only fire at analysis
+    require(Seq("keep", "null", "error").contains(noId),
+      s"noId must be keep|null|error, got $noId")
+    graft.functions.GraftFunctions.lutStd(raw, lut, noId)
+  }
+
   /** raw → standardized race category (null → UNSPECIFIED). */
   def raceStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("race", raw, noId)
+
+  /** Declarative spec twin of [[raceStd]] (LutKernelSpec pins ≡). */
+  def raceStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(raceRules, cleanRaceFull(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized gender category (null → UNSPECIFIED). */
   def genderStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("gender", raw, noId)
+
+  def genderStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(genderRules, cleanGender(raw), noIdFallback(raw, noId)))
 
   /** raw → standardized injury category (null → UNSPECIFIED). */
   def injuryStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("injury", raw, noId)
+
+  def injuryStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(injuryRules, cleanInjury(raw), noIdFallback(raw, noId)))
 
   /** raw → FATAL yes/no category (_converters.py:853). */
   def fatalStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("fatal", raw, noId)
+
+  def fatalStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(fatalRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
   /** raw → firearm yes/no category (_converters.py:884). */
   def firearmStd(raw: Column, noId: String = "keep"): Column =
+    kernelCol("firearm", raw, noId)
+
+  def firearmStdDecl(raw: Column, noId: String = "keep"): Column =
     when(raw.isNull, lit(UNSPECIFIED))
       .otherwise(rulesToColumnLut(firearmRules, trim(upper(raw)), noIdFallback(raw, noId)))
 
