@@ -169,7 +169,29 @@ object SparkEntry {
     * config change, not code). Ops that measured the opposite trade
     * declare it here instead of flipping the global. */
   val queryConfs: Map[String, Map[String, String]] = Map(
-    "q_stream_joined" -> Map("spark.sql.codegen.hugeMethodLimit" -> "65535"))
+    "q_stream_joined" -> Map(
+      "spark.sql.codegen.hugeMethodLimit" -> "65535",
+      // An INNER stream-stream join in append mode emits every result
+      // row inside the data batch itself; the trailing no-data
+      // micro-batch only advances the watermark to evict join state —
+      // at 2× 32 partitions × 4 state stores it re-opened and
+      // re-committed every store for zero output rows (measured 6.8 of
+      // the query's 14.8 s isolated at sf0.1). Output is identical
+      // with it off (oracle-pinned); stateful operators that EMIT on
+      // watermark close (sessionization, dedupe horizons, append-mode
+      // windows) keep the default — this conf is scoped per query.
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+    // Same reasoning, per emission mode: Complete-mode sinks re-emit
+    // the full table each batch (a no-data batch adds nothing);
+    // dropDuplicatesWithinWatermark and the default neardup emission
+    // both emit on the data batch that first carries a key — the
+    // trailing batch only evicts state. q_stream_sessions(+native) and
+    // q_stream_asof EMIT on watermark close and keep the default.
+    "q_stream_window" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+    "q_stream_topk" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+    "q_stream_dedupe" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+    "q_stream_enrich" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+    "q_stream_neardup" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
 
   /** Per-query CORE (SparkConf) overrides — confs the running context
     * cannot change (`spark.conf.set` on them is a no-op after SparkEnv
