@@ -743,9 +743,13 @@ object SparkEntry {
     // ...and the removal step: all but the corpus-global first
     // occurrence of each repeated span cut, text reassembled.
     "q_substr_scrub" -> ((s, dir) =>
+      // scrubRepeatedSpans returns its output RANGE-partitioned by
+      // doc_id (see the operator), so the id order is partition-local —
+      // a global orderBy would re-execute the token-rebuild projection
+      // in its sampling job (r10 recipe, same as q_standardize_e2e)
       Dedup.scrubRepeatedSpans(T(s, dir, "documents"), "doc_id", "text",
           k = 10, minCount = 2)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {

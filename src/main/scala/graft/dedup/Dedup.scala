@@ -894,8 +894,14 @@ object Dedup {
     // O(tokens × removal-ranges) filter/transform, the most expensive
     // per-row stage of the operator, onto one core (same trap as the
     // gram projections above).
+    // RANGE partition by the id (was: round-robin): same even spread
+    // for dense ids, and the output comes back range-partitioned by
+    // idCol — a caller wanting id-ordered output can sortWithinPartitions
+    // instead of a global orderBy, whose RangePartitioner sample job
+    // re-executes this whole rebuild projection (the r10 recipe; doc
+    // ids are unique so ordered partitions + local sort ≡ orderBy).
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.repartition(parts).select(col(idCol),
+    val base = docs.repartitionByRange(parts, col(idCol)).select(col(idCol),
       split(coalesce(col(textCol), lit("")), " ").as("__w"))
     val idx = sequence(lit(1), size(col("__w")))
     val kept = when(col("__rr").isNull, col("__w"))
