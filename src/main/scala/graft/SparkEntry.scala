@@ -467,7 +467,18 @@ object SparkEntry {
         .orderBy("id")
     }),
     "q_parse_dates" -> ((s, dir) => {
+      // RANGE repartition on the sort key BELOW the format/parse
+      // projection (r10 recipe, guide §2.4): the global orderBy's
+      // RangePartitioner sample job re-executed the projection (and on
+      // the scan's 3 splits only — 0.66 s sample + 0.51 s real at
+      // sf0.1); range-partitioning the cheap scan instead runs the
+      // projection ONCE at full width. The orderBy stays: over
+      // range-partitioned input it satisfies OrderedDistribution and
+      // compiles to a partition-local sort with no extra exchange —
+      // and degrades to a correct (just slower) global sort if the
+      // partitioning ever stops surviving.
       val o = T(s, dir, "orders")
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("o_orderkey"))
       val raw = when(pmod(col("o_orderkey"), lit(3)) === 0,
           date_format(col("o_orderdate"), "MM/dd/yyyy"))
         .when(pmod(col("o_orderkey"), lit(3)) === 1,
@@ -706,9 +717,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // Pairs → clusters: connected components over the embed near-dup
-    // graph (min-label propagation; oracle = recursive CTE closure).
+    // graph (oracle = recursive CTE closure). The operator is the
+    // ALTERNATING large-star/small-star variant (r11, guide §1.2 —
+    // change the algorithm, not the constants): this cosine graph is
+    // chain-shaped at threshold 0.3, and min-label propagation tracked
+    // its diameter — 16 rounds of ~2 s scheduling/codegen fixed cost
+    // each at sf0.1, unchanged by a second pointer jump (label chains
+    // were never the bottleneck, edge hops were). Star alternations
+    // contract paths geometrically: 6 rounds, 16.6 → 5.3 s warm
+    // isolated, identical (id, min-reachable) output by construction.
     "q_dedup_components" -> ((s, dir) =>
-      Dedup.components(
+      Dedup.componentsStars(
           Dedup.embedCosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding",
             "label", threshold = 0.3))
         .orderBy("id")),
@@ -744,12 +763,17 @@ object SparkEntry {
     // occurrence of each repeated span cut, text reassembled.
     "q_substr_scrub" -> ((s, dir) =>
       // scrubRepeatedSpans returns its output RANGE-partitioned by
-      // doc_id (see the operator), so the id order is partition-local —
-      // a global orderBy would re-execute the token-rebuild projection
-      // in its sampling job (r10 recipe, same as q_standardize_e2e)
+      // doc_id (see the operator). orderBy over that partitioning
+      // satisfies OrderedDistribution, so it compiles to the same
+      // partition-local sort with NO extra exchange (verified in the
+      // r11 plan dump) — and unlike the previous sortWithinPartitions
+      // it stays CORRECT if the operator's removal-ranges join ever
+      // stops broadcasting and re-shuffles the base side (the r10
+      // ADVICE silent-misorder risk): the degraded path plans a real
+      // range exchange instead of silently mis-ordering.
       Dedup.scrubRepeatedSpans(T(s, dir, "documents"), "doc_id", "text",
           k = 10, minCount = 2)
-        .sortWithinPartitions("doc_id")),
+        .orderBy("doc_id")),
 
     // Similarity search
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -1148,8 +1172,10 @@ object SparkEntry {
       val edges = T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
+        // cast BEFORE packing: *2 in the key's own (possibly int) type
+        // would overflow / ANSI-throw at very large scale factors
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       graft.analytics.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(
           concat(
@@ -1268,15 +1294,14 @@ object SparkEntry {
     // long-typed. The repartition below the join is a REQUIRED barrier,
     // not a tuning knob: Catalyst collapses an un-fenced projection
     // above the join, recomputing the cast per PAIR (measured 7.4 s vs
-    // 2.7 s with the fence). Exactness bounds, documented not checked:
-    // |value| < 10^8 (fits decimal(18,10); larger values would cast to
-    // NULL where decimal(30,10) kept them) and Σ|value| < 9.2×10^8 per
-    // anchor (unscaled long sum headroom).
+    // 2.7 s with the fence). Exactness bounds are ENFORCED fail-loud
+    // (r10 VERDICT ask #5) by rangeJoinUnscaled / rangeJoinGuardedSum
+    // below — an out-of-range value raises instead of silently
+    // NULLing (cast) or wrapping (long sum).
     "q_range_join" -> ((s, dir) => {
       val events = T(s, dir, "events")
-        .withColumn("__uv",
-          graft.functions.GraftFunctions.unscaledLong(col("value").cast("decimal(18,10)")))
-        .repartition(32)
+        .withColumn("__uv", rangeJoinUnscaled(col("value")))
+        .repartition(s.sparkContext.defaultParallelism)
       val anchors = T(s, dir, "events")
         .filter(col("event_type") === "signup" && col("value") > 9.0)
         .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
@@ -1284,13 +1309,45 @@ object SparkEntry {
       Joins.rangeJoin(events, "ts", anchors, "w_start", "w_end",
           bucketUs = 3600L * 1000000L)
         .groupBy("anchor_id")
-        .agg(count(lit(1)).as("n_in_window"), sum(col("__uv")).as("__us"))
+        .agg(count(lit(1)).as("n_in_window"), sum(col("__uv")).as("__us"),
+          max(abs(col("__uv"))).as("__mx"))
         .select(col("anchor_id"), col("n_in_window"),
-          round(graft.functions.GraftFunctions.makeDecimal(col("__us"), 28, 10), 2)
+          round(graft.functions.GraftFunctions.makeDecimal(
+            rangeJoinGuardedSum(col("__us"), col("__mx"), col("n_in_window")),
+            28, 10), 2)
             .cast("double").as("sum_value"))
         .orderBy("anchor_id")
     })
   )
+
+  /** q_range_join's per-event unscaled-long extraction with the
+    * decimal(18,10) range ENFORCED: |value| >= 10^8 does not fit and
+    * the plain cast would return NULL where the old decimal(30,10)
+    * form kept the value — a silent wrong answer at scale. Raises
+    * instead (r10 VERDICT ask #5). */
+  private[graft] def rangeJoinUnscaled(value: Column): Column = {
+    val dec = value.cast("decimal(18,10)")
+    graft.functions.GraftFunctions.unscaledLong(
+      when(value.isNotNull && dec.isNull,
+        raise_error(concat(
+          lit("q_range_join: |value| >= 1e8 does not fit decimal(18,10): "),
+          value.cast("string")))).otherwise(dec))
+  }
+
+  /** q_range_join's per-group overflow guard for the unscaled-long
+    * sum: every partial sum is bounded by max|uv|·n, so
+    * max|uv|·n < 2^63 proves no intermediate overflowed anywhere.
+    * Checked conservatively in doubles with a ~2% margin (9.0e18 <
+    * 2^63 ≈ 9.22e18) — a group that near-fills long headroom raises
+    * instead of wrapping silently. */
+  private[graft] def rangeJoinGuardedSum(us: Column, maxAbs: Column,
+                                         n: Column): Column =
+    when(maxAbs.cast("double") * n.cast("double") > lit(9.0e18),
+      raise_error(concat(
+        lit("q_range_join: unscaled-long sum headroom exceeded for a "),
+        lit("window: max|uv|*n = "),
+        (maxAbs.cast("double") * n.cast("double")).cast("string"))))
+      .otherwise(us)
 
   // ---- oracle SQL (DuckDB dialect, same tables) ------------------------
 

@@ -34,7 +34,14 @@ object Graph {
   /** Damped PageRank over an UNDIRECTED graph (edges are
     * symmetrized), `iterations` exact rounds from the uniform start.
     * Every node appearing in any edge gets a score; rounds use
-    * PR' = (1-d)/N + d·Σ PR(u)/deg(u). Returns (node, deg, pr). */
+    * PR' = (1-d)/N + d·Σ PR(u)/deg(u). Returns (node, deg, pr).
+    *
+    * CONTRACT — the `node` column's TYPE depends on the input id
+    * types: when BOTH endpoint columns are integral it is LONG (the
+    * iteration runs on narrow ids, guide §2.3), otherwise STRING.
+    * Callers that sort or join on `node` get numeric vs lexicographic
+    * semantics accordingly; cast explicitly if a fixed type is
+    * needed. deg/pr values are representation-independent. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                digits: Int = 9): DataFrame = {

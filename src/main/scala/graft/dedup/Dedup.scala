@@ -137,7 +137,12 @@ object Dedup {
           labels("component").as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: also adopt the component's own current
-      // component — turns O(diameter) rounds into O(log diameter)
+      // component — turns O(diameter) rounds into O(log diameter).
+      // A SECOND jump per round was tried in r11 and reverted: on the
+      // sf0.1 embed graph the round count stayed 16 (propagation is
+      // edge-hop-bound, not label-chain-bound) while each round paid
+      // an extra label-sized join. High-diameter graphs belong on
+      // [[componentsStars]] (measured there: 6 rounds, 3× faster).
       val (jumped, releaseJumped) = Mat.releasable(stepped.as("a")
         .join(stepped.select(col("id").as("cid"), col("component").as("cc")),
           col("a.component") === col("cid"), "left")
@@ -556,12 +561,11 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming < blocks,
       s"simhashPairsHard: maxHamming ($maxHamming) must be in [1, blocks-1] " +
         s"(the pigeonhole needs at least one agreeing block)")
-    val combos: Seq[Long] = (0 until blocks).combinations(blocks - maxHamming)
-      .map { c =>
-        val w = 64 / blocks
-        val blockMask = if (w == 64) -1L else (1L << w) - 1L
-        c.map(i => blockMask << (i * w)).reduce(_ | _)
-      }.toSeq
+    // THE combination-mask definition lives in MankuImpl.combos (the
+    // kernel twin evaluates the same array; MankuSpec pins equality
+    // with this spec construction)
+    val combos: Seq[Long] =
+      graft.functions.MankuImpl.combos(blocks, maxHamming).toSeq
     require(combos.size <= 256,
       s"simhashPairsHard: C($blocks, ${blocks - maxHamming}) = ${combos.size} " +
         "tables — replication past 256 rows/doc is a config error " +
@@ -586,17 +590,21 @@ object Dedup {
       col(idCol).as("id") +:
         graft.functions.GraftFunctions.simhash64(col(textCol)).as("sim") +:
         carry.map { case (n, c) => c.as(n) }: _*)
-    val tableStructs = combos.zipWithIndex.map { case (m, t) =>
-      struct(lit(t).as("tbl"), col("sim").bitwiseAND(lit(m)).as("mkey"))
-    }
+    // Kernelized table expansion + emit-once reject (r11, guide §4 /
+    // the lut_std playbook): the literal inline(array(struct(lit(t),
+    // sim & lit(m)))) form re-planned C(blocks, blocks−h) struct
+    // subtrees and a (C−1)-clause OR chain per execution — ~1 s of
+    // driver-side plan/codegen cost per run at EVERY scale factor.
+    // Both collapse to one expression node each, evaluating the same
+    // MankuImpl.combos masks (MankuSpec pins kernel ≡ literal form).
     val banded = sims.select(
         col("id") +: col("sim") +: carry.map(c => col(c._1)) :+
-          inline(array(tableStructs: _*)): _*)
+          inline(graft.functions.GraftFunctions.simhashMankuTables(
+            col("sim"), blocks, maxHamming)): _*)
       .repartition(col("tbl"), col("mkey"))
     val xor = col("l.sim").bitwiseXOR(col("r.sim"))
-    val earlierAgree = combos.indices.init.map { j =>
-      (col("l.tbl") > j) && (xor.bitwiseAND(lit(combos(j))) === 0L)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    val earlierAgree = graft.functions.GraftFunctions.earlierComboAgree(
+      xor, col("l.tbl"), blocks, maxHamming)
     banded.as("l").join(banded.as("r"),
         col("l.tbl") === col("r.tbl") &&
         col("l.mkey") === col("r.mkey") &&
@@ -888,20 +896,23 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_pos").as("s"),
         (col("span_pos") + col("span_tokens") - 1).as("e"))).as("__rr"))
-    // Repartition before the per-token cut: the docs scan can be one
-    // parquet split, and when AQE broadcasts the (small) removal table
-    // the base side keeps the scan partitioning — serializing the
-    // O(tokens × removal-ranges) filter/transform, the most expensive
-    // per-row stage of the operator, onto one core (same trap as the
-    // gram projections above).
-    // RANGE partition by the id (was: round-robin): same even spread
-    // for dense ids, and the output comes back range-partitioned by
-    // idCol — a caller wanting id-ordered output can sortWithinPartitions
-    // instead of a global orderBy, whose RangePartitioner sample job
-    // re-executes this whole rebuild projection (the r10 recipe; doc
-    // ids are unique so ordered partitions + local sort ≡ orderBy).
+    // RANGE partition by the id ABOVE the removal-ranges join, BELOW
+    // the per-token cut (r11; was: range-partition the docs below the
+    // join). The r10 shape only produced id-ordered output because AQE
+    // happened to convert the statically-planned sort-merge join to
+    // broadcast with a LOCAL shuffle read, which preserved the range
+    // layout by accident — the r10 ADVICE silent-misorder risk, now
+    // confirmed in the static plan (EnsureRequirements hash-exchanges
+    // the base side). With the range exchange above the join the
+    // output is range-partitioned BY CONSTRUCTION whatever join
+    // strategy the planner picks, a caller's orderBy(idCol) satisfies
+    // OrderedDistribution and compiles to a partition-local sort, and
+    // the O(tokens × removal-ranges) filter/transform — the most
+    // expensive per-row stage of the operator — runs exactly once at
+    // full cluster width (the range exchange's sample job sees only
+    // the cheap join output below it, never the rebuild).
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.repartitionByRange(parts, col(idCol)).select(col(idCol),
+    val base = docs.select(col(idCol),
       split(coalesce(col(textCol), lit("")), " ").as("__w"))
     val idx = sequence(lit(1), size(col("__w")))
     val kept = when(col("__rr").isNull, col("__w"))
@@ -910,6 +921,7 @@ object Dedup {
           r => i >= r.getField("s") && i <= r.getField("e"))) === 0),
         i => element_at(col("__w"), i.cast("int"))))
     base.join(rm, Seq(idCol), "left")
+      .repartitionByRange(parts, col(idCol))
       .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
         (size(col("__w")) - size(kept)).cast("long").as("n_removed"),
         // fully-scrubbed doc → NULL, matching lineDedup's convention

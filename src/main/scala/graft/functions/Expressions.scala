@@ -497,6 +497,92 @@ case class EarlierBandAgree(lh: Expression, rh: Expression, bid: Expression)
     copy(lh = newFirst, rh = newSecond, bid = newThird)
 }
 
+object MankuImpl {
+  /** Combination masks for the Manku table-of-combinations
+    * construction (Dedup.simhashPairsHard): one 64-bit mask per
+    * (blocks − maxHamming)-subset of equal blocks, in
+    * `(0 until blocks).combinations(blocks - maxHamming)` order — THE
+    * definition all renderers share (the operator's requires validate
+    * against it, the kernels evaluate it). Cached per config; the
+    * per-row entry points below pay one int-keyed map probe. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  def combos(blocks: Int, maxHamming: Int): Array[Long] =
+    cache.computeIfAbsent(blocks << 8 | maxHamming, _ => {
+      val w = 64 / blocks
+      val blockMask = if (w == 64) -1L else (1L << w) - 1L
+      (0 until blocks).combinations(blocks - maxHamming)
+        .map(_.map(i => blockMask << (i * w)).reduce(_ | _)).toArray
+    })
+
+  /** (tbl, sim & mask(tbl)) rows for every combination table — the
+    * kernel twin of the literal inline(array(struct(lit(t), sim &
+    * lit(m)))) expansion, which re-planned C(blocks, blocks−h) struct
+    * subtrees per execution. */
+  def tables(sim: Long, blocks: Int, maxHamming: Int): ArrayData = {
+    val ms = combos(blocks, maxHamming)
+    val rows = new Array[Any](ms.length)
+    var i = 0
+    while (i < ms.length) {
+      rows(i) = InternalRow(i, sim & ms(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** True iff any combination table BEFORE `tbl` also agrees on the
+    * pair (xor masked to that table's bits is zero) — the emit-once
+    * reject condition, twin of the statically unrolled OR chain. */
+  def earlierAgree(xor: Long, tbl: Int, blocks: Int, maxHamming: Int): Boolean = {
+    val ms = combos(blocks, maxHamming)
+    var j = 0
+    while (j < tbl) {
+      if ((xor & ms(j)) == 0L) return true
+      j += 1
+    }
+    false
+  }
+}
+
+/** simhash_manku_tables(sim, blocks, maxHamming) →
+  * array<struct<tbl:int, mkey:bigint>> (see MankuImpl.tables). */
+case class SimhashMankuTables(child: Expression, blocks: Int, maxHamming: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tbl", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("mkey", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "simhash_manku_tables"
+  override protected def nullSafeEval(input: Any): Any =
+    MankuImpl.tables(input.asInstanceOf[Long], blocks, maxHamming)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MankuImpl.tables($c, $blocks, $maxHamming)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashMankuTables =
+    copy(child = newChild)
+}
+
+/** earlier_combo_agree(xor, tbl, blocks, maxHamming) → boolean
+  * (see MankuImpl.earlierAgree). */
+case class EarlierComboAgree(xor: Expression, tbl: Expression,
+                             blocks: Int, maxHamming: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = xor
+  override def right: Expression = tbl
+  override def inputTypes = Seq(LongType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "earlier_combo_agree"
+  override protected def nullSafeEval(x: Any, t: Any): Any =
+    MankuImpl.earlierAgree(x.asInstanceOf[Long], t.asInstanceOf[Int],
+      blocks, maxHamming)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, t) =>
+      s"graft.functions.MankuImpl.earlierAgree($x, $t, $blocks, $maxHamming)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EarlierComboAgree =
+    copy(xor = newLeft, tbl = newRight)
+}
+
 /** word_ngram_counts(text) → map<bigint,bigint>: distinct word
   * unigram+bigram feature hashes to occurrence counts (Σ values =
   * 2·n_words − 1). NULL text → NULL (callers coalesce). */
@@ -2110,6 +2196,14 @@ object GraftFunctions {
     ("earlier_band_agree", classOf[EarlierBandAgree], (es: Seq[Expression]) => {
       nargs("earlier_band_agree", 3, es)
       EarlierBandAgree(es(0), es(1), es(2)) }),
+    ("simhash_manku_tables", classOf[SimhashMankuTables], (es: Seq[Expression]) => {
+      nargs("simhash_manku_tables", 3, es)
+      SimhashMankuTables(es.head, intLit("simhash_manku_tables", es, 1),
+        intLit("simhash_manku_tables", es, 2)) }),
+    ("earlier_combo_agree", classOf[EarlierComboAgree], (es: Seq[Expression]) => {
+      nargs("earlier_combo_agree", 4, es)
+      EarlierComboAgree(es(0), es(1), intLit("earlier_combo_agree", es, 2),
+        intLit("earlier_combo_agree", es, 3)) }),
     ("word_ngram_md5_buckets", classOf[WordNgramMd5Buckets], (es: Seq[Expression]) => {
       nargs("word_ngram_md5_buckets", 2, es)
       WordNgramMd5Buckets(es.head, intLit("word_ngram_md5_buckets", es, 1).toLong) }),
@@ -2228,6 +2322,14 @@ object GraftFunctions {
   def cleanWordBigrams(c: Column): Column = call_function("clean_word_bigrams", c)
   def earlierBandAgree(lh: Column, rh: Column, bandId: Column): Column =
     call_function("earlier_band_agree", lh, rh, bandId)
+  def simhashMankuTables(sim: Column, blocks: Int, maxHamming: Int): Column =
+    call_function("simhash_manku_tables", sim,
+      org.apache.spark.sql.functions.lit(blocks),
+      org.apache.spark.sql.functions.lit(maxHamming))
+  def earlierComboAgree(xor: Column, tbl: Column, blocks: Int, maxHamming: Int): Column =
+    call_function("earlier_combo_agree", xor, tbl,
+      org.apache.spark.sql.functions.lit(blocks),
+      org.apache.spark.sql.functions.lit(maxHamming))
   def wordWindowHashes(c: Column, k: Int): Column =
     call_function("word_window_hashes", c, org.apache.spark.sql.functions.lit(k))
   def wordNgramMd5Buckets(c: Column, buckets: Int): Column =

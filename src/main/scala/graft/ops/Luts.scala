@@ -156,17 +156,38 @@ object Luts {
     }.map(_.out)
   }
 
+  // Precompiled patterns for the per-row cleaning twins (r10 ADVICE):
+  // String.replaceAll compiles its pattern on EVERY call, and these
+  // twins run once per row inside the lut_std kernel. Matcher
+  // .replaceAll is the exact engine + replacement semantics that
+  // String.replaceAll delegates to, so the chains are bit-identical.
+  private lazy val pLeadNumDash = java.util.regex.Pattern.compile("^\\d+\\s*-\\s*")
+  private lazy val pDash = java.util.regex.Pattern.compile("-")
+  private lazy val pStar = java.util.regex.Pattern.compile("\\*")
+  private lazy val pOfficer = java.util.regex.Pattern.compile("OF[FI]{2}CERS?|SUBJECT")
+  private lazy val pLeadCount = java.util.regex.Pattern.compile("^\\s*\\d\\s+")
+  private lazy val pMultiSpace = java.util.regex.Pattern.compile("\\s{2,}")
+  private lazy val pRacePunct = java.util.regex.Pattern.compile("[*.-]")
+  private lazy val pGenderSep = java.util.regex.Pattern.compile("[-_ ']")
+  private lazy val nonLatinoPattern =
+    java.util.regex.Pattern.compile(NonLatinoRe)
+
+  /** The shared injury regex chain (between upper-casing and the
+    * variant-specific trim) — one definition for both injury twins. */
+  private def injuryChain(up: String): String = {
+    val a = pLeadNumDash.matcher(up).replaceAll("")
+    val b = pDash.matcher(a).replaceAll(" ")
+    val c = pStar.matcher(b).replaceAll("")
+    val d = pOfficer.matcher(c).replaceAll("")
+    val e = pLeadCount.matcher(d).replaceAll("") // leading count (_converters.py:793)
+    pMultiSpace.matcher(e).replaceAll(" ")
+  }
+
   /** Plain-string twin of [[cleanInjury]] (same regex chain).
     * Locale.ROOT: a tr-TR executor JVM would uppercase "injured" to
     * dotted-capital-I and silently diverge from Spark's upper(). */
   def cleanInjuryStr(s: String): String =
-    s.toUpperCase(java.util.Locale.ROOT)
-      .replaceAll("^\\d+\\s*-\\s*", "")
-      .replaceAll("-", " ")
-      .replaceAll("\\*", "")
-      .replaceAll("OF[FI]{2}CERS?|SUBJECT", "")
-      .replaceAll("^\\s*\\d\\s+", "") // leading count (_converters.py:793)
-      .replaceAll("\\s{2,}", " ").trim
+    injuryChain(s.toUpperCase(java.util.Locale.ROOT)).trim
 
   /** Strict injury standardization of a plain string: Some(category)
     * only when a vocabulary rule fires. */
@@ -225,29 +246,23 @@ object Luts {
   def trimUpperStr(s: String): String = trimSpaces(upperStr(s))
 
   def cleanRaceStr(s: String): String =
-    trimSpaces(upperStr(s).replace('_', ' ').replaceAll("[*.-]", ""))
+    trimSpaces(pRacePunct.matcher(upperStr(s).replace('_', ' ')).replaceAll(""))
 
   def cleanGenderStr(s: String): String =
-    upperStr(s).replaceAll("[-_ ']", "")
+    pGenderSep.matcher(upperStr(s)).replaceAll("")
 
   /** Exact string twin of the Column [[cleanInjury]] chain (distinct
     * from [[cleanInjuryStr]], the Java-trim variant the converter-
     * guided injury parse has always used). */
   def cleanInjuryColStr(s: String): String =
-    trimSpaces(upperStr(s)
-      .replaceAll("^\\d+\\s*-\\s*", "")
-      .replaceAll("-", " ")
-      .replaceAll("\\*", "")
-      .replaceAll("OF[FI]{2}CERS?|SUBJECT", "")
-      .replaceAll("^\\s*\\d\\s+", "")
-      .replaceAll("\\s{2,}", " "))
+    trimSpaces(injuryChain(upperStr(s)))
 
   private lazy val abbrevFullPattern =
     java.util.regex.Pattern.compile(AbbrevFullRe)
 
   def cleanRaceFullStr(s: String): String = {
     val up = upperStr(s)
-    val stripped = up.replaceAll(NonLatinoRe, "")
+    val stripped = nonLatinoPattern.matcher(up).replaceAll("")
     val strippedTrim = trimSpaces(stripped)
     val base = if (strippedTrim.nonEmpty) strippedTrim else trimSpaces(up)
     val m = abbrevFullPattern.matcher(base)

@@ -111,14 +111,26 @@ object Rank {
     * fits, and the join stays a hash shuffle beyond that); the id
     * sequence reassembles in one per-doc aggregation, the same
     * explode → equi-join → in-order fold-back shape as
-    * [[graft.text.Curation.lineDedup]]. */
+    * [[graft.text.Curation.lineDedup]].
+    *
+    * The docs are RANGE-partitioned on the id BEFORE the explode (r11,
+    * guide §2.4): while the vocab join stays broadcast the partitioning
+    * survives to the aggregation (RangePartitioning satisfies the
+    * groupBy's ClusteredDistribution — no hash exchange) and to a
+    * caller's orderBy(idCol) (OrderedDistribution — the global sort is
+    * partition-local, no sample job). One exchange total, and the
+    * explode+aggregate run at cluster width instead of on the scan's
+    * splits. If the vocab ever outgrows broadcast, the term-keyed
+    * shuffle join breaks the chain and the caller's orderBy plans its
+    * own range exchange — slower, still correct. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                minDf: Long): DataFrame = {
     require(!Seq("pos", "term", "term_id", "n_tokens", "n_oov", "ids_csv")
         .contains(idCol.toLowerCase),
       s"tokenize: idCol '$idCol' collides with the operator's working/output columns")
     val vocab = buildVocab(docs, idCol, textCol, minDf).select("term", "term_id")
-    val toks = docs.select(col(idCol),
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartitionByRange(par, col(idCol)).select(col(idCol),
       posexplode(split(lower(coalesce(col(textCol), lit(""))), " "))
         .as(Seq("pos", "term")))
     toks.join(vocab, Seq("term"), "left")

@@ -487,4 +487,40 @@ class PlanSpec extends SparkSpec {
   test("q_pii_scrub: one range exchange below the kernel, local sort") {
     assertRangeThenLocalSort("q_pii_scrub")
   }
+
+  test("q_parse_dates: one range exchange below the parse projection, orderBy adds none") {
+    // the r11 recipe variant that KEEPS orderBy: over range-partitioned
+    // input the global sort satisfies OrderedDistribution and plans no
+    // exchange of its own — a second exchange here means the recipe broke
+    val p = planOf(SparkEntry.queries("q_parse_dates")(spark, sfDir))
+    val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"q_parse_dates: expected exactly one RANGE exchange, got $exchanges in:\n$p")
+  }
+
+  test("q_tokenize: range partitioning survives explode+vocab join to the agg and sort") {
+    // docs are range-partitioned on doc_id BELOW the explode; while the
+    // vocab join stays broadcast the aggregation needs no doc-keyed hash
+    // exchange and the final orderBy plans no exchange — one doc_id
+    // exchange total, and it is the range one
+    val p = planOf(SparkEntry.queries("q_tokenize")(spark, sfDir))
+    assert("rangepartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      s"q_tokenize: expected exactly one doc_id range exchange:\n$p")
+    // the vocab df-count legitimately shuffles on (doc_id, term) — what
+    // must NOT exist is a doc_id-ONLY hash exchange (the agg requirement
+    // reappearing because the vocab join stopped broadcasting)
+    assert("hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findFirstIn(p).isEmpty,
+      s"q_tokenize: doc-keyed hash exchange crept back (vocab join no longer broadcast?):\n$p")
+  }
+
+  test("q_substr_scrub: range exchange above the rm join; orderBy adds none") {
+    // the removal-ranges join may plan as SMJ (rm is corpus-derived, no
+    // broadcast hint) — the operator range-partitions its OUTPUT above
+    // the join, so the rebuild projection runs once and the caller's
+    // orderBy is exchange-free regardless of join strategy. A second
+    // range exchange = the recipe broke and orderBy re-sorted globally.
+    val p = planOf(SparkEntry.queries("q_substr_scrub")(spark, sfDir))
+    assert("rangepartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      s"q_substr_scrub: expected exactly one doc_id range exchange:\n$p")
+  }
 }
